@@ -1,0 +1,61 @@
+"""Table catalog over the driver's parquet testdata.
+
+Analog of the reference's schema-pinned ingest boundary (reference
+spark_jobs/transform_weather.py:30-61): every table is loaded from
+columnar parquet (SURVEY.md §1.4) and can be registered as a temp view
+for the Spark SQL surface (reference sql/create_weather_tables.sql
+views, §3.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always be broadcast in joins (the
+# dim_city / dim_weather_code role, reference sql/create_weather_tables.sql:42-82).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table. Parquet scan → full pushdown/pruning.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
+    default; read it as long nanos and truncate to micros — exactly the
+    conversion DuckDB applies when reading the same file (verified:
+    DuckDB truncates, not rounds).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all of them."""
+    use = names or TABLES
+    return {n: table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so spark.sql() queries mirror the oracle SQL."""
+    for n, df in load(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,56 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Mirrors the reference's session bootstrap (reference
+spark_jobs/transform_weather.py:21-27) minus the JDBC jar, plus the
+tuning the reference lacked: AQE, dynamic partition overwrite, UTC
+session timezone (reference mixed naive UTC with America/New_York —
+SURVEY.md §7.4.5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "etl-showcase-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Defaults are chosen for local[N] testing but every knob is the one
+    you'd set on a 1000-executor cluster too: AQE handles skew + shuffle
+    coalescing at runtime, dynamic partition overwrite makes the
+    merge-upsert sink idempotent per-partition instead of full-table
+    (the reference's staging overwrite, transform_weather.py:171, does
+    not survive 100 TB).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Read parquet naive timestamps as TimestampType (session-UTC),
+        # matching the DuckDB oracle's naive TIMESTAMP semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Arrow for every pandas_udf / mapInPandas / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,73 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+The driver hashes (row-count, schema, order-insensitive values) at
+sf0.01. This module reproduces that gate locally so every query is
+verified before it ships: columns sorted by name, rows sorted by all
+columns, values compared EXACTLY (the engine is designed for bit-equal
+parity — see functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, normalize dtypes, sort rows by all columns."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
+        elif s.dtype == object:
+            # bytes / lists render to a stable repr for sorting+compare
+            df[c] = s.map(lambda v: repr(v) if isinstance(v, (bytes, list, np.ndarray, dict)) else v)
+        elif pd.api.types.is_integer_dtype(s.dtype):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s.dtype):
+            df[c] = s.astype("float64")
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            df[c] = s.astype(str)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    a, e = canonicalize(actual), canonicalize(expected)
+    if list(a.columns) != list(e.columns):
+        return [f"column mismatch: spark={list(a.columns)} oracle={list(e.columns)}"]
+    if len(a) != len(e):
+        problems.append(f"row count mismatch: spark={len(a)} oracle={len(e)}")
+        return problems
+    for c in a.columns:
+        av, ev = a[c], e[c]
+        if pd.api.types.is_float_dtype(av.dtype) and pd.api.types.is_float_dtype(ev.dtype):
+            avn, evn = av.to_numpy(), ev.to_numpy()
+            exact = (avn == evn) | (np.isnan(avn) & np.isnan(evn))
+            if not exact.all():
+                bad = int((~exact).sum())
+                idx = int(np.argmax(~exact))
+                close = np.allclose(avn, evn, rtol=1e-9, atol=1e-12, equal_nan=True)
+                problems.append(
+                    f"column {c}: {bad} float mismatches "
+                    f"(first at row {idx}: spark={avn[idx]!r} oracle={evn[idx]!r}; "
+                    f"within 1e-9 tolerance: {close})"
+                )
+        else:
+            eq = (av == ev) | (av.isna() & ev.isna())
+            if not eq.to_numpy().all():
+                bad = int((~eq).sum())
+                idx = int(np.argmax(~eq.to_numpy()))
+                problems.append(
+                    f"column {c}: {bad} mismatches "
+                    f"(first at row {idx}: spark={av.iloc[idx]!r} oracle={ev.iloc[idx]!r})"
+                )
+    return problems
+
+
+def spark_to_pandas(df) -> pd.DataFrame:
+    return df.toPandas()

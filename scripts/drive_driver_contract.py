@@ -1,0 +1,41 @@
+"""Simulate the driver's verify: plain SparkSession (driver's own, untuned),
+import __spark_entry__, smoke entry(), run every queries() entry at sf0.01,
+compare with oracle_sql() via DuckDB."""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+import __spark_entry__ as ent
+from etl_showcase_spark.testing import compare_frames
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .appName("driver-sim").getOrCreate())
+
+df = ent.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+qs, osql = ent.queries(), ent.oracle_sql()
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+
+fails = 0
+for name, fn in sorted(qs.items()):
+    try:
+        actual = fn(spark, "/root/testdata/sf0.01").toPandas()
+        if name in osql:
+            expected = con.execute(osql[name]).fetchdf()
+            problems = compare_frames(actual, expected)
+            status = "MATCH" if not problems else f"MISMATCH: {problems}"
+            fails += bool(problems)
+        else:
+            status = f"rows-only ({len(actual)} rows)"
+        print(f"  {name}: {status}")
+    except Exception as e:
+        fails += 1
+        print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+print("RESULT:", "ALL-MATCH" if fails == 0 else f"{fails} FAILURES")
