@@ -1,0 +1,141 @@
+"""Reusable relational operators beyond the built-in DataFrame surface.
+
+These are the "library-level custom" pieces from SURVEY.md §7.3:
+as-of join (J7), top-k per group (O3/W1), latest-per-key (W1 — the
+v_latest_weather pattern, reference sql/create_weather_tables.sql:139-148),
+band/range join (J6 — the weather-code CASE thresholds as a lookup,
+reference spark_jobs/transform_weather.py:131-138).
+
+All are pure DataFrame compositions — no collect(), no Python row loops —
+so they scale with the cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+) -> DataFrame:
+    """Top-1 row per key under a deterministic total order.
+
+    DISTINCT ON twin (reference sql/create_weather_tables.sql:140-148);
+    callers must pass a tie-breaking total order (SURVEY.md §7.4.3).
+    Catalyst rewrites rank-then-filter into per-partition top-k, so this
+    is a single shuffle on `keys` even at 100 TB.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Top-k rows per key (deterministic order required), rank included."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_vals: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts for the same key (SURVEY.md §2.4 J7).
+
+    Implemented with the union-sort trick instead of a range join: tag
+    both sides, sort within each key by (ts, side) — right rows sort
+    before left rows at equal ts so `<=` semantics hold — and carry the
+    last-seen right values forward with last(ignorenulls). One shuffle
+    on the key, no quadratic candidate pairs, skew-safe under AQE —
+    this is the 100 TB-viable plan; a range join would blow up on hot keys.
+    """
+    on = list(on)
+    lcols = [c for c in left.columns]
+    tagged_l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__rv_{v}") for v in right_vals],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
+    )
+    tagged_r = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in lcols],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__rv_{v}") for v in right_vals],
+        F.col(right_ts).alias("__rts"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        *lcols,
+        "__side",
+        *[F.last(F.col(f"__rv_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}") for v in right_vals],
+        F.last(F.col("__rts"), ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def band_join(
+    df: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range/θ-join of a fact column into [lo, hi) bands (J6).
+
+    The bands side is tiny by construction (a category lookup), so this
+    broadcasts and becomes a BroadcastNestedLoopJoin — per-row scan of a
+    handful of bands, no shuffle of the fact side.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return df.join(F.broadcast(bands), cond, "left")
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Keyed upsert: rows of `updates` win over rows of `target`.
+
+    Spark twin of INSERT ... ON CONFLICT (k) DO UPDATE (reference
+    dags/weather_etl_pipeline.py:174-190): anti-join the target on the
+    natural key, then union the updates (SURVEY.md §4.3.1). With both
+    sides partitioned by the key this is one shuffle; at the sink,
+    pair with dynamic partition overwrite for idempotent re-runs.
+    """
+    keys = list(keys)
+    untouched = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return untouched.unionByName(updates.select(*target.columns))
+
+
+def seed_insert(existing: DataFrame, seed: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Conflict-skip insert: add seed rows whose key is absent.
+
+    Twin of INSERT ... ON CONFLICT DO NOTHING (reference
+    sql/create_weather_tables.sql:60-82, the WMO code seeding).
+    """
+    keys = list(keys)
+    fresh = seed.join(existing.select(*keys).distinct(), keys, "left_anti")
+    return existing.unionByName(fresh.select(*existing.columns))

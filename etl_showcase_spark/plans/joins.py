@@ -1,1 +1,256 @@
-"""Placeholder — populated in a later milestone."""
+"""Join surface (SURVEY.md §2.4 J1-J8).
+
+The reference's joins are implicit in its star schema (fact_daily_weather
+↔ dim_city/dim_weather_code, reference sql/create_weather_tables.sql:42-105;
+upsert-as-join dags/weather_etl_pipeline.py:183-190). Here they are made
+explicit against the driver's star schema, each with the physical
+strategy you'd want at 100 TB: broadcast for dims, shuffle/sort-merge
+for fact×fact, anti/semi for existence, broadcast-NLJ for bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import davg, dec2, dsum, sql_davg, sql_dsum
+from ..operators.relational import asof_join, band_join
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# J1: broadcast hash equi-join — fact × small dims (dim_city role).
+# ---------------------------------------------------------------------------
+
+_BCAST_ORACLE = f"""
+SELECT
+  r.r_name AS region_name,
+  n.n_name AS nation_name,
+  COUNT(*) AS n_customers,
+  {sql_dsum("c.c_acctbal", "total_acctbal")},
+  {sql_davg("c.c_acctbal", "avg_acctbal")}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@register("join_broadcast_dims", oracle=_BCAST_ORACLE, tags=("J1", "G1"))
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+            davg("c_acctbal", "avg_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: shuffle/sort-merge equi-join — fact × fact (orders × lineitem),
+# revenue per priority. The lineitem side is pre-aggregated by key
+# BEFORE the join (map-side reduction), so the join input shrinks from
+# |lineitem| to |orders| rows — the shuffle that matters at 100 TB.
+# ---------------------------------------------------------------------------
+
+_SMJ_ORACLE = """
+SELECT
+  o.o_orderpriority AS priority,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+       AS DOUBLE) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("join_fact_revenue", oracle=_SMJ_ORACLE, tags=("J2", "G1"), bench=True)
+def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))).alias("__rev")
+    )
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J4: anti + semi joins — the two halves of the reference upsert
+# (dags/weather_etl_pipeline.py:174-190) as existence predicates.
+# ---------------------------------------------------------------------------
+
+_ANTI_ORACLE = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_without_orders
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_anti_no_orders", oracle=_ANTI_ORACLE, tags=("J3",))
+def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT n.n_name AS nation_name, COUNT(*) AS n_active_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+"""
+
+
+@register("join_semi_active", oracle=_SEMI_ORACLE, tags=("J4", "J1"))
+def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5: left outer join — dim lookup where the key may be absent
+# (dim_weather_code gaps, reference spark_jobs/transform_weather.py:131-138).
+# ---------------------------------------------------------------------------
+
+_LEFT_ORACLE = f"""
+SELECT
+  c.c_custkey AS customer_id,
+  COUNT(o.o_orderkey) AS n_orders,
+  {sql_dsum("o.o_totalprice", "lifetime_value")}
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+@register("join_left_lifetime", oracle=_LEFT_ORACLE, tags=("J5",))
+def join_left_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("customer_id"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "lifetime_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: range/band θ-join — the weather-code CASE thresholds as a band
+# lookup table (transform_weather.py:133-136 ↔ band [lo,hi) → category).
+# ---------------------------------------------------------------------------
+
+_SIZE_BANDS = [(0, 10, "XS"), (10, 20, "S"), (20, 30, "M"), (30, 40, "L"), (40, 100, "XL")]
+
+_BAND_ORACLE = """
+SELECT p.p_partkey AS part_id, p.p_size AS size, b.band AS size_band
+FROM part p
+LEFT JOIN (VALUES (0,10,'XS'),(10,20,'S'),(20,30,'M'),(30,40,'L'),(40,100,'XL'))
+  AS b(lo, hi, band)
+  ON p.p_size >= b.lo AND p.p_size < b.hi
+"""
+
+
+@register("join_band_sizes", oracle=_BAND_ORACLE, tags=("J6",))
+def join_band_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_SIZE_BANDS, ["lo", "hi", "band"])
+    return band_join(p, bands, "p_size").select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_size").alias("size"),
+        F.col("band").alias("size_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7: as-of join — latest signup at-or-before each purchase, per user
+# (generalized v_latest_weather, reference sql/create_weather_tables.sql:139-148).
+# Spark side uses the union-sort operator (no range-join blowup).
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT
+  p.event_id,
+  p.user_id,
+  p.ts AS purchase_ts,
+  MAX(s.ts) AS ts_asof
+FROM events p
+LEFT JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+@register("join_asof_signup", oracle=_ASOF_ORACLE, tags=("J7",))
+def join_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        right_vals=[],
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8: cross join — small-side cartesian (all-pairs baseline shape for
+# similarity search; here kept tiny: regions × order statuses).
+# ---------------------------------------------------------------------------
+
+_CROSS_ORACLE = """
+SELECT r.r_name AS region_name, s.o_orderstatus AS status
+FROM region r
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+"""
+
+
+@register("join_cross_pairs", oracle=_CROSS_ORACLE, tags=("J8",))
+def join_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    statuses = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(statuses).select(
+        F.col("r_name").alias("region_name"),
+        F.col("o_orderstatus").alias("status"),
+    )
