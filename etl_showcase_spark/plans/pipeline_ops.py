@@ -1,1 +1,249 @@
-"""Placeholder — populated in a later milestone."""
+"""Pipeline/data-quality operators (SURVEY.md §2.12 Q1-Q6, §2.8 U1-U2)
+plus the end-to-end recast of the reference's transform job.
+
+The reference's distinctive surface is its load discipline: idempotent
+keyed upsert (dags/weather_etl_pipeline.py:169-192), conflict-skip
+dimension seeding (sql/create_weather_tables.sql:60-82), and
+validation gates before/after (dags/weather_etl_pipeline.py:95-116,
+195-215). Each is a pure DataFrame composition here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import davg, dec2, sql_davg
+from ..operators.relational import merge_upsert, seed_insert
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Q3: keyed merge-upsert — INSERT ... ON CONFLICT (key) DO UPDATE
+# (dags/weather_etl_pipeline.py:174-190). Updates = 5% price bump for
+# open orders; result = anti-join(target) ∪ updates.
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+         o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+         CAST(o_orderdate AS DATE) AS order_date
+  FROM orders
+),
+u AS (
+  SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+         'U' AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(4,2)) AS DOUBLE)
+           AS total_price,
+         CAST(o_orderdate AS DATE) AS order_date
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT * FROM t WHERE order_id NOT IN (SELECT order_id FROM u)
+UNION ALL
+SELECT * FROM u
+"""
+
+
+@register("merge_upsert_orders", oracle=_UPSERT_ORACLE, tags=("Q3", "J3", "U1"))
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("status"),
+        dec2("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+    updates = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.lit("U").alias("status"),
+            (dec2("o_totalprice") * F.lit(1.05).cast("decimal(4,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+    return merge_upsert(target, updates, ["order_id"])
+
+
+# ---------------------------------------------------------------------------
+# Q6: conflict-skip seed insert — the WMO-code dimension seeding
+# (sql/create_weather_tables.sql:60-82) on event types.
+# ---------------------------------------------------------------------------
+
+_SEED_ORACLE = """
+WITH existing AS (
+  SELECT DISTINCT event_type, 'observed' AS descr FROM events
+),
+seed AS (
+  SELECT * FROM (VALUES
+    ('signup','seeded'),('login','seeded'),('purchase','seeded'),
+    ('error','seeded'),('churn','seeded'),('upgrade','seeded')
+  ) AS s(event_type, descr)
+)
+SELECT * FROM existing
+UNION ALL
+SELECT * FROM seed WHERE event_type NOT IN (SELECT event_type FROM existing)
+"""
+
+
+@register("seed_insert_event_types", oracle=_SEED_ORACLE, tags=("Q6", "J3"))
+def seed_insert_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = (
+        table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("descr", F.lit("observed"))
+    )
+    seed = spark.createDataFrame(
+        [(t, "seeded") for t in ("signup", "login", "purchase", "error", "churn", "upgrade")],
+        ["event_type", "descr"],
+    )
+    return seed_insert(existing, seed, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2: validation + quality gates as relations (counted violations;
+# a pipeline raises when the gate row fails — see pipeline.py).
+# ---------------------------------------------------------------------------
+
+_VALIDATE_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_quantity IS NULL) AS null_qty,
+  COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS nonpositive_price,
+  COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+  COUNT(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01 00:00:00') AS bad_dates,
+  COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber)) AS key_unique
+FROM lineitem
+"""
+
+
+@register("quality_validate_lineitem", oracle=_VALIDATE_ORACLE, tags=("Q1", "Q2"))
+def quality_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity").isNull()).alias("null_qty"),
+        F.count_if(F.col("l_extendedprice") <= 0).alias("nonpositive_price"),
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "bad_discount"
+        ),
+        F.count_if(
+            F.col("l_shipdate") < F.lit("1990-01-01 00:00:00").cast("timestamp")
+        ).alias("bad_dates"),
+        (
+            F.count(F.lit(1))
+            == F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
+        ).alias("key_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/U2: set operations (upsert decomposition building blocks).
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+WITH with_orders AS (SELECT DISTINCT o_custkey AS customer_id FROM orders),
+high_balance AS (SELECT c_custkey AS customer_id FROM customer WHERE c_acctbal > 5000)
+SELECT 'union' AS op, customer_id FROM (
+  SELECT customer_id FROM with_orders UNION SELECT customer_id FROM high_balance)
+UNION ALL
+SELECT 'intersect' AS op, customer_id FROM (
+  SELECT customer_id FROM with_orders INTERSECT SELECT customer_id FROM high_balance)
+UNION ALL
+SELECT 'except' AS op, customer_id FROM (
+  SELECT customer_id FROM high_balance EXCEPT SELECT customer_id FROM with_orders)
+"""
+
+
+@register("set_operations", oracle=_SETOPS_ORACLE, tags=("U1", "U2"))
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_orders = (
+        table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("customer_id"))
+        .distinct()
+    )
+    high_balance = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("customer_id"))
+    )
+    u = with_orders.union(high_balance).distinct().select(F.lit("union").alias("op"), "customer_id")
+    i = with_orders.intersect(high_balance).select(F.lit("intersect").alias("op"), "customer_id")
+    x = high_balance.exceptAll(with_orders).distinct().select(F.lit("except").alias("op"), "customer_id")
+    return u.unionByName(i).unionByName(x)
+
+
+# ---------------------------------------------------------------------------
+# The reference transform job end-to-end (flatten already proven in
+# plans/nested.py): derived metrics → null repair → CASE category →
+# per-key aggregate with rounded averages — transform_weather.py:116-163
+# recast onto lineitem, composed exactly like main() (:177-221).
+# ---------------------------------------------------------------------------
+
+_WEATHER_RECAST_ORACLE = """
+WITH enriched AS (
+  SELECT
+    l_returnflag,
+    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+         AS DOUBLE) AS revenue,
+    CAST(CAST(l_quantity AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))
+         AS DOUBLE) AS qty_net,
+    COALESCE(NULLIF(l_tax, 0.0), 0.0) AS tax_filled,
+    CASE
+      WHEN l_quantity < 10 THEN 'Small'
+      WHEN l_quantity < 25 THEN 'Medium'
+      WHEN l_quantity < 40 THEN 'Large'
+      ELSE 'Jumbo'
+    END AS qty_category
+  FROM lineitem
+)
+SELECT
+  l_returnflag,
+  qty_category,
+  COUNT(*) AS n_items,
+  ROUND(CAST(SUM(CAST(qty_net AS DECIMAL(12,2))) AS DOUBLE) / COUNT(qty_net), 1)
+    AS avg_qty_net,
+  CAST(SUM(CAST(revenue AS DECIMAL(14,4))) AS DOUBLE) AS total_revenue,
+  MAX(tax_filled) AS max_tax
+FROM enriched
+GROUP BY l_returnflag, qty_category
+"""
+
+
+@register(
+    "weather_pipeline_recast",
+    oracle=_WEATHER_RECAST_ORACLE,
+    tags=("P3", "P4", "P5", "G1", "G8"),
+    bench=True,
+)
+def weather_pipeline_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    q = F.col("l_quantity")
+    enriched = li.select(
+        "l_returnflag",
+        (dec2("l_extendedprice") * (one - dec2("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        (dec2("l_quantity") - dec2("l_discount")).cast("double").alias("qty_net"),
+        F.coalesce(F.nullif(F.col("l_tax"), F.lit(0.0)), F.lit(0.0)).alias("tax_filled"),
+        F.when(q < 10, "Small")
+        .when(q < 25, "Medium")
+        .when(q < 40, "Large")
+        .otherwise("Jumbo")
+        .alias("qty_category"),
+    )
+    return enriched.groupBy("l_returnflag", "qty_category").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(davg("qty_net", "x"), 1).alias("avg_qty_net"),
+        F.sum(F.col("revenue").cast("decimal(14,4)")).cast("double").alias("total_revenue"),
+        F.max("tax_filled").alias("max_tax"),
+    )

@@ -13,6 +13,22 @@ import numpy as np
 import pandas as pd
 
 
+def _stable_repr(v):
+    """Engine-independent rendering of nested values (list vs ndarray vs
+    Row all normalize to plain tuples of Python scalars)."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return repr(tuple(_stable_repr(x) for x in v))
+    if isinstance(v, dict):
+        return repr(tuple(sorted((k, _stable_repr(x)) for k, x in v.items())))
+    if hasattr(v, "asDict"):  # pyspark Row
+        return repr(tuple(sorted((k, _stable_repr(x)) for k, x in v.asDict().items())))
+    if isinstance(v, np.floating):
+        return float(v)
+    if isinstance(v, np.integer):
+        return int(v)
+    return v
+
+
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, normalize dtypes, sort rows by all columns."""
     df = df[sorted(df.columns)].copy()
@@ -21,8 +37,8 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(s.dtype, pd.DatetimeTZDtype):
             df[c] = s.dt.tz_convert("UTC").dt.tz_localize(None)
         elif s.dtype == object:
-            # bytes / lists render to a stable repr for sorting+compare
-            df[c] = s.map(lambda v: repr(v) if isinstance(v, (bytes, list, np.ndarray, dict)) else v)
+            # bytes / lists / arrays render to a stable repr for sorting+compare
+            df[c] = s.map(_stable_repr)
         elif pd.api.types.is_integer_dtype(s.dtype):
             df[c] = s.astype("Int64")
         elif pd.api.types.is_float_dtype(s.dtype):
