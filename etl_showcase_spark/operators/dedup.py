@@ -1,0 +1,227 @@
+"""Deduplication operators (SURVEY.md §2.13 L1/L2): exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design: every path is a hash-partition + band-bucket join — never
+an all-pairs cross join. The exact-Jaccard verification only runs on
+LSH candidate pairs, so cost is O(candidates), not O(n²). All hashing
+is xxhash64 (JVM built-in, deterministic across runs/executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import latest_per_key
+from .textops import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """L1: one representative row (lowest id) per exact text value —
+    a hash-groupBy, one shuffle on the text hash."""
+    return latest_per_key(df, [text_col], [F.col(id_col).asc()])
+
+
+def minhash_signature(tok: Column, num_hashes: int, shingle_n: int = 3) -> Column:
+    """MinHash signature over word-n-gram shingles: component i is
+    min(xxhash64(shingle, i)) — the classic permutation approximation.
+    Pure JVM expressions; one pass over the shingle array per row."""
+    sh = shingles(tok, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """L2: MinHash + banded LSH near-duplicate pairs, verified with the
+    exact Jaccard of the candidates' shingle sets.
+
+    shingle → minhash → band → bucket-join → verify:
+    1. signature array per doc (num_hashes components);
+    2. band key = xxhash64 of each r-row slice; explode to (band, key);
+    3. self-join within (band, key) buckets → candidate pairs;
+    4. exact Jaccard on the candidates only; keep >= threshold.
+
+    The bucket join shuffles on the band key — skew-safe under AQE,
+    no quadratic blowup; at 100 TB this is the only viable shape.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("__sh"),
+        minhash_signature(tokens(F.col(text_col)), num_hashes, shingle_n).alias("__sig"),
+    )
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("__sig", b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sh").alias("sh_a"),
+            F.col("r.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """L2 exact variant: all pairs sharing >= 1 shingle, scored with
+    exact Jaccard over distinct shingle sets (inverted-index join, not
+    a cross join — candidate generation is |postings|², bounded by
+    shingle selectivity)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("__sh"),
+    )
+    postings = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("g"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("n_a"),
+            F.col("b.__n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(tok: Column) -> Column:
+    """L2: 64-bit SimHash over token xxhash64 values — per bit, sum
+    +1/-1 across tokens and keep the sign. Built-in expressions only:
+    the outer transform runs over the 64 bit positions, the inner
+    aggregate over the token hash array."""
+    hashes = F.transform(tok, lambda w: F.xxhash64(w))
+
+    def _vote_fn(bit: int):
+        # closure factory: pyspark inspects lambda arity, so the bit
+        # index can't ride along as a default argument
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(64):  # unrolled: shift amounts must be literals
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_fn(b))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return sig
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 12,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup candidates: block on each of the 4 16-bit
+    chunks (pigeonhole: any pair within hamming distance <= 3*chunks
+    shares at least one exact chunk), then verify the true Hamming
+    distance with bit_count. Returns (id_a, id_b, hamming)."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"), simhash64(tokens(F.col(text_col))).alias("__sig")
+    )
+    n_blocks = 64 // block_bits
+    mask = (1 << block_bits) - 1
+    blocked = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("__sig", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sig", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    hamming = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

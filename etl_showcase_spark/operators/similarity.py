@@ -1,0 +1,194 @@
+"""Vector similarity operators (SURVEY.md §2.13 L3): brute-force
+cosine top-k baseline + hyperplane-LSH bucketed ANN for the scale path.
+
+Numeric determinism: similarity ranking uses *integer-quantized*
+arithmetic (floor(x*1000 + 0.5) per component). Integer dot products
+and norms are exact in both Spark and the DuckDB oracle regardless of
+summation order, so top-k results are bit-reproducible — the float
+epsilon games that plague cross-engine cosine comparisons disappear.
+Quantization error at scale 1000 is ~1e-3 relative, irrelevant for
+near-duplicate detection and ANN retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import topk_per_group
+
+QUANT_SCALE = 1000
+
+
+def quantize(vec: Column, scale: int = QUANT_SCALE) -> Column:
+    """float vector → exact integer vector (round-half-up via floor)."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("bigint")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (left-fold, overflow-safe for
+    |component| <= ~1e6 at 64-4096 dims)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine(a_q: Column, b_q: Column) -> Column:
+    """Cosine from exact integer dot/norms; the only float ops are the
+    final sqrt/divide, computed identically in any engine."""
+    return int_dot(a_q, b_q).cast("double") / (
+        F.sqrt(int_dot(a_q, a_q).cast("double"))
+        * F.sqrt(int_dot(b_q, b_q).cast("double"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus — a broadcast nested-loop join, so the corpus streams through
+    executors once with no shuffle; the per-query top-k is a single
+    shuffle on query_id. This is the correctness baseline; use
+    lsh_ann_topk when the query set is large."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"), quantize(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
+    )
+
+
+def _hyperplane_sign(vec_q: Column, plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane side: components are ±1
+    derived from xxhash64(plane, i) parity — reproducible everywhere,
+    no stored model."""
+    signed = F.transform(
+        F.zip_with(
+            vec_q,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+        ),
+        lambda s: F.when(
+            F.pmod(F.xxhash64(F.lit(plane), s.getField("i")), F.lit(2)) == 1,
+            s.getField("x"),
+        ).otherwise(-s.getField("x")),
+    )
+    return (
+        F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, v: acc + v) > 0
+    ).cast("int")
+
+
+def lsh_bucket_key(vec_q: Column, n_planes: int, dim: int, table_id: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed into
+    one integer. Cosine-similar vectors collide with probability
+    (1 - theta/pi)^n_planes. table_id offsets the plane seeds so
+    multiple independent tables can OR-amplify recall."""
+    key = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        key = key * 2 + _hyperplane_sign(vec_q, table_id * n_planes + p, dim).cast(
+            "bigint"
+        )
+    return key
+
+
+def lsh_bucket_keys(vec_q: Column, n_planes: int, dim: int, n_tables: int) -> Column:
+    """Array of (table, bucket) structs — one entry per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_key(vec_q, n_planes, dim, t).alias("key"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by hyperplane signatures in
+    n_tables independent hash tables (OR-amplification), join within
+    (table, bucket), dedup candidates, rank within query. Shuffles on
+    the bucket key — the corpus never cross-joins; this is the 100 TB
+    path. Recall ≈ 1-(1-p^n_planes)^n_tables, tunable per workload."""
+    q = queries.select(
+        F.col(query_id).alias("q_id"), quantize(F.col(vec_col)).alias("q_vec")
+    ).select(
+        "q_id",
+        "q_vec",
+        F.explode(lsh_bucket_keys(F.col("q_vec"), n_planes, dim, n_tables)).alias("bk"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
+    ).select(
+        "c_id",
+        "c_vec",
+        F.explode(lsh_bucket_keys(F.col("c_vec"), n_planes, dim, n_tables)).alias("bk"),
+    )
+    scored = (
+        c.join(q, c["bk"] == q["bk"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+        .select(
+            "q_id",
+            "c_id",
+            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
+    )
+
+
+def neardup_pairs_by_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """L1-by-embedding: all pairs with quantized cosine >= threshold.
+    Exact all-pairs form (the oracle-checkable baseline); swap in
+    lsh_ann_topk buckets for the approximate scale path."""
+    v = df.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__vec"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = quantized_cosine(F.col("a.__vec"), F.col("b.__vec"))
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

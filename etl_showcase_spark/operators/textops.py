@@ -1,0 +1,126 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.13 L4).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+codegen-friendly) — no Python UDFs. Token/shingle arrays stay inside
+Tungsten rows; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer (the corpus is space-separated lowercase words;
+# the regex handles runs/tabs for robustness on real corpora).
+TOKEN_RE = r"\s+"
+
+# BPE-ish subword splitter: letters runs, digit runs, or single
+# non-alnum marks — a cheap deterministic proxy for tokenizer counting.
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+FINGERPRINT_MOD = 1_000_000_007
+CHAR_MOD = 2_147_483_647
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_RE)
+
+
+def shingles(tok: Column, n: int) -> Column:
+    """Word n-grams joined with spaces; empty array when too short."""
+    starts = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(tok, i, n), " "))
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish subword tokens via regexp_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_RE))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Deterministic document quality signals (length/punct/stopword
+    ratios — the classic pre-training quality filters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n_tok = F.size(tok)
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tok), stop))
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": n_tok,
+        "n_distinct_tokens": F.size(F.array_distinct(tok)),
+        "avg_token_len": (F.length(c) - (n_tok - 1)).cast("double") / n_tok,
+        "distinct_ratio": F.size(F.array_distinct(tok)).cast("double") / n_tok,
+        "stopword_hits": n_stop,
+        "punct_marks": F.regexp_count(c, F.lit(r"[^\w\s]")),
+    }
+
+
+# Tiny per-language marker profiles (n-gram-heuristic language ID).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit score per language over the distinct token set."""
+    tok = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax language with deterministic alphabetical tie-break
+    ('unknown' when every score is zero)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    # fold in reverse alphabetical order so earlier langs win ties
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def char_hash(word: Column) -> Column:
+    """Deterministic per-word hash: polynomial over character codes,
+    mod CHAR_MOD — engine-portable (same arithmetic runs in the DuckDB
+    oracle via list_reduce)."""
+    # index-based char walk (split(w, "") has engine-specific empty-string
+    # edge behavior; substr is unambiguous and mirrors the oracle's w[i])
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.ascii(word.substr(i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * 131 + c) % CHAR_MOD
+    )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive rolling document fingerprint: fold token hashes
+    with a second polynomial (mod FINGERPRINT_MOD). Two documents with
+    the same token sequence — and only those — collide (up to hash
+    collisions), giving a cheap content-defined identity for dedup
+    bookkeeping at scale."""
+    tok = tokens(col)
+    hashes = F.transform(tok, char_hash)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
+    )

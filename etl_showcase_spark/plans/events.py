@@ -1,1 +1,161 @@
-"""Placeholder — populated in a later milestone."""
+"""Time-series / streaming-twin surface (SURVEY.md §2.10 T1-T7).
+
+The reference's "streaming" is a daily-cron micro-batch with an
+idempotent keyed upsert (dags/weather_etl_pipeline.py:123,183-190).
+Here: true event-time tumbling/sliding/session windows over `events`,
+each as a batch query (oracle-checkable) whose streaming twin lives in
+etl_showcase_spark/streaming/jobs.py and is equivalence-tested in
+tests/test_streaming.py.
+
+Window alignment notes: Spark's window() starts are epoch-aligned, so
+1-day tumbling == DATE_TRUNC('day') and the 7d/1d slide assigns each
+event to the 7 day-aligned windows covering it — both reproduced
+literally in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import dsum, sql_dsum
+from ..operators.relational import latest_per_key
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# T2: tumbling 1-day window aggregate (the fact table's daily grain,
+# reference sql/create_weather_tables.sql:93).
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  DATE_TRUNC('day', ts) AS window_start,
+  DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum("value", "total_value")}
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tumbling_daily_by_type", oracle=_TUMBLING_ORACLE, tags=("T2",), bench=True)
+def tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3: sliding 7-day window, 1-day slide (v_weekly_trends recomputed per
+# day, reference sql/create_weather_tables.sql:151-160).
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+SELECT
+  DATE_TRUNC('day', e.ts) - TO_DAYS(CAST(g.i AS INT)) AS window_start,
+  DATE_TRUNC('day', e.ts) - TO_DAYS(CAST(g.i AS INT)) + INTERVAL 7 DAY AS window_end,
+  COUNT(*) AS n_events,
+  {sql_dsum("e.value", "total_value")}
+FROM events e
+CROSS JOIN generate_series(0, 6) AS g(i)
+GROUP BY 1, 2
+"""
+
+
+@register("sliding_7d_windows", oracle=_SLIDING_ORACLE, tags=("T3",))
+def sliding_7d_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4: session windows — 30-minute inactivity gap per user. Spark's
+# session_window(end = last event + gap) reproduced in SQL with the
+# classic lag + cumulative-sum sessionization.
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM marked
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events,
+  {sql_dsum("value", "total_value")}
+FROM sessions
+GROUP BY user_id, session_num
+"""
+
+
+@register("session_windows_30m", oracle=_SESSION_ORACLE, tags=("T4",))
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6: stateful dedup twin — first event per (user, type), deterministic
+# order; the streaming version is dropDuplicatesWithinWatermark.
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, ts, event_id
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("first_event_per_user_type", oracle=_DEDUP_ORACLE, tags=("T6", "W1"))
+def first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_type", "ts", "event_id")

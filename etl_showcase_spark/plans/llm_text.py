@@ -1,1 +1,230 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline text operators over `documents` (SURVEY.md §2.13):
+exact dedup, n-gram Jaccard, MinHash-LSH, SimHash, quality scoring,
+language ID, token counting, fingerprinting.
+
+Oracle notes: token arithmetic (counts, Jaccard from exact integer
+intersections, polynomial fingerprints mod 2^31-1 / 1e9+7) is integer-
+exact in both engines; only MinHash/SimHash (xxhash64-based) are
+engine-specific and get rows-only checks plus property tests in
+tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import textops
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from ..registry import register
+
+# DuckDB token expression mirroring textops.tokens (regex whitespace split).
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# L1: exact dedup — representative (lowest doc_id) per distinct text.
+# ---------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies, text
+FROM documents
+GROUP BY text
+"""
+
+
+@register("dedup_exact_text", oracle=_EXACT_ORACLE, tags=("L1",))
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    groups = d.groupBy("text").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return groups.select("rep_doc_id", "n_copies", "text")
+
+
+# rows-only twin exercising the operator form (keeps full rows)
+@register("dedup_exact_rows", oracle=None, tags=("L1",))
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L4: quality scoring / text statistics.
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, n_chars, text, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT
+  doc_id,
+  LENGTH(text) AS n_chars_measured,
+  CAST(LEN(toks) AS INT) AS n_tokens,
+  CAST(LEN(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+  CAST(LENGTH(text) - (LEN(toks) - 1) AS DOUBLE) / LEN(toks) AS avg_token_len,
+  CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
+  CAST(LEN(list_intersect(list_distinct(toks),
+       ['the','a','of','and','to','in'])) AS INT) AS stopword_hits,
+  CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS punct_marks
+FROM tok
+"""
+
+
+@register("text_quality_stats", oracle=_STATS_ORACLE, tags=("L4",), bench=True)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    feats = textops.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_measured"),
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        feats["n_distinct_tokens"].cast("int").alias("n_distinct_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["stopword_hits"].cast("int").alias("stopword_hits"),
+        feats["punct_marks"].cast("int").alias("punct_marks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: token counting — whitespace + BPE-ish regex subword proxy.
+# ---------------------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(LEN({_SQL_TOKS}) AS INT) AS ws_tokens,
+  CAST(LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+    AS bpe_ish_tokens
+FROM documents
+"""
+
+
+@register("token_counts", oracle=_TOKCOUNT_ORACLE, tags=("L4",))
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        textops.bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_ish_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: language ID — marker-profile heuristic with deterministic argmax.
+# ---------------------------------------------------------------------------
+
+
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    arr = ",".join(f"'{w}'" for w in words)
+    return f"LEN(list_intersect(list_distinct({_SQL_TOKS}), [{arr}]))"
+
+
+_LANGID_ORACLE = (
+    "SELECT doc_id, lang AS labeled_lang, "
+    + ", ".join(
+        f"CAST({_sql_lang_score(w)} AS INT) AS score_{lang}"
+        for lang, w in sorted(textops.LANG_MARKERS.items())
+    )
+    + ", CASE "
+    + " ".join(
+        f"WHEN {_sql_lang_score(w)} > 0 AND {_sql_lang_score(w)} >= "
+        + " GREATEST("
+        + ",".join(_sql_lang_score(w2) for _, w2 in sorted(textops.LANG_MARKERS.items()))
+        + f") THEN '{lang}'"
+        for lang, w in sorted(textops.LANG_MARKERS.items())
+    )
+    + " ELSE 'unknown' END AS predicted_lang FROM documents"
+)
+
+
+@register("lang_id_heuristic", oracle=_LANGID_ORACLE, tags=("L4",))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    scores = textops.lang_scores(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].cast("int").alias(f"score_{lang}") for lang in sorted(scores)],
+        textops.predicted_lang(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4: order-sensitive rolling fingerprint (portable polynomial hash).
+# ---------------------------------------------------------------------------
+
+_FPRINT_ORACLE = f"""
+SELECT
+  doc_id,
+  list_reduce(
+    list_transform({_SQL_TOKS},
+      w -> list_reduce(
+             list_transform(range(1, LENGTH(w) + 1), i -> CAST(ascii(w[i]) AS BIGINT)),
+             (a, c) -> (a * 131 + c) % 2147483647)),
+    (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FPRINT_ORACLE, tags=("L4",))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# L2 exact: n-gram Jaccard near-dup pairs via inverted-index join.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+post AS (SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS g FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         COUNT(*) AS n_inter
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.05
+"""
+
+
+@register("ngram_jaccard_neardup", oracle=_JACCARD_ORACLE, tags=("L2",))
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.05)
+
+
+# ---------------------------------------------------------------------------
+# L2 scale paths: MinHash-LSH + SimHash (xxhash64-based → rows-only;
+# fidelity vs exact Jaccard is property-tested in tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+
+
+@register("minhash_lsh_neardup", oracle=None, tags=("L2",), bench=True)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
+    )
+
+
+@register("simhash_neardup", oracle=None, tags=("L2",))
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=12)

@@ -1,0 +1,76 @@
+"""Property tests for the engine-specific (non-oracle) dedup/ANN ops:
+planted near-duplicates must be found, estimates must track exact
+values, and the LSH scale paths must agree with their exact baselines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_showcase_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash64,
+)
+from etl_showcase_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+from etl_showcase_spark.operators.textops import tokens
+
+from .conftest import SF_SMOKE
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+def _docs(spark):
+    base = " ".join(WORDS * 5)  # 60 tokens
+    mutated = " ".join((WORDS * 5)[:-3] + ["zulu", "yankee", "xray"])  # ~95% shingles shared
+    unrelated = " ".join(reversed([w.upper().lower() + "x" for w in WORDS * 5]))
+    return spark.createDataFrame(
+        [(1, base), (2, mutated), (3, unrelated), (4, base)], ["doc_id", "text"]
+    )
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found  # identical
+    assert (1, 2) in found or (2, 4) in found  # planted near-dup
+    assert all({r.id_a, r.id_b} != {1, 3} for r in pairs)  # unrelated not paired
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.0).collect()
+    }
+    for r in pairs:
+        assert abs(r.jaccard - exact[(r.id_a, r.id_b)]) < 1e-9  # verify step is exact
+
+
+def test_simhash_distance_ordering(spark):
+    df = _docs(spark).select("doc_id", simhash64(tokens(F.col("text"))).alias("sig"))
+    sigs = {r.doc_id: r.sig for r in df.collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(sigs[1], sigs[4]) == 0  # identical docs, identical signature
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])  # near-dup closer than unrelated
+    pairs = simhash_neardup_pairs(_docs(spark), "doc_id", "text", max_hamming=12).collect()
+    assert (1, 4) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_lsh_ann_recall_vs_brute_force(spark):
+    from etl_showcase_spark.catalog import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(queries, e, "vec_id", "vec_id", "embedding", k=10)
+    approx = lsh_ann_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=10, n_planes=4, n_tables=8
+    )
+    exact_set = {(r.q_id, r.c_id) for r in exact.collect()}
+    approx_set = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # deterministic hashing → stable; measured 0.78 on this data
+    assert recall >= 0.6, f"LSH recall collapsed: {recall}"
+    # every approx hit must carry the exact same cosine as brute force
+    ej = {(r.q_id, r.c_id): r.cosine for r in exact.collect()}
+    for r in approx.collect():
+        if (r.q_id, r.c_id) in ej:
+            assert abs(r.cosine - ej[(r.q_id, r.c_id)]) < 1e-12

@@ -1,0 +1,53 @@
+"""Streaming ↔ batch equivalence (SURVEY.md §7.4.6: streaming semantics
+can't be oracle-checked in SQL — verify with deterministic micro-batch
+replays against the batch twins)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from etl_showcase_spark.plans.events import (
+    session_windows_30m,
+    tumbling_daily_by_type,
+)
+from etl_showcase_spark.streaming import jobs
+from etl_showcase_spark.testing import compare_frames
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_tumbling_matches_batch(spark):
+    streamed = jobs.stream_tumbling_daily(spark, SF_SMOKE).toPandas()
+    batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
+
+
+def test_stream_sessions_match_batch(spark):
+    streamed = jobs.stream_session_windows(spark, SF_SMOKE).toPandas()
+    batch = session_windows_30m(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
+
+
+def test_stream_dedup_keyset_matches_batch(spark):
+    from etl_showcase_spark.plans.events import first_event_per_user_type
+
+    streamed = jobs.stream_dedup_first_events(spark, SF_SMOKE).toPandas()
+    batch = first_event_per_user_type(spark, SF_SMOKE).toPandas()
+    skeys = set(zip(streamed.user_id, streamed.event_type))
+    bkeys = set(zip(batch.user_id, batch.event_type))
+    assert skeys == bkeys
+    assert len(streamed) == len(batch)
+
+
+def test_stream_upsert_sink_idempotent(spark):
+    batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
+    with tempfile.TemporaryDirectory() as tmp:
+        target = f"{tmp}/target"
+        jobs.stream_upsert_to_parquet(spark, SF_SMOKE, target, f"{tmp}/ckpt1")
+        first = spark.read.parquet(target).toPandas()
+        # replay with a fresh checkpoint: same keys must not duplicate
+        jobs.stream_upsert_to_parquet(spark, SF_SMOKE, target, f"{tmp}/ckpt2")
+        second = spark.read.parquet(target).toPandas()
+    assert len(first) == len(second)
+    expected = batch[["window_start", "event_type", "n_events"]]
+    assert not compare_frames(second, expected)
