@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect/write overhead). The suite covers the engine's pillars:
+relational agg, fact-fact join, pipeline recast, event-time windows,
+text stats, MinHash near-dup, and ANN top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _bench_ann(spark, sf_dir):
+    """ANN at bench scale: same operator as ann_cosine_topk but a query
+    set that stays ~100 queries as the corpus grows."""
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    stride = max(50, n // 100)
+    queries = e.filter(F.col("vec_id") % stride == 0)
+    return brute_force_topk(queries, e, "vec_id", "vec_id", "embedding", k=10)
+
+
+def _bench_ann_lsh(spark, sf_dir):
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.similarity import lsh_ann_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    stride = max(50, n // 100)
+    queries = e.filter(F.col("vec_id") % stride == 0)
+    return lsh_ann_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=10, n_planes=4, n_tables=8
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from etl_showcase_spark.registry import bench_specs
+    from etl_showcase_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="etl-showcase-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    suite = {name: spec.build for name, spec in sorted(bench_specs().items())}
+    # scale-aware overrides (same operators, bounded query sets)
+    suite["ann_cosine_topk"] = _bench_ann
+    suite["ann_lsh_topk"] = _bench_ann_lsh
+
+    # JVM/catalog warmup so the first query doesn't pay session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

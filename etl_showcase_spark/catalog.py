@@ -28,6 +28,13 @@ TABLES = (
 # dim_city / dim_weather_code role, reference sql/create_weather_tables.sql:42-82).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# Fact-side tables that carry the compute; when a scan yields fewer
+# partitions than the cluster has slots (the driver's testdata is one
+# unsplittable row group per table), fan out so expression-heavy
+# operators use every core. On a real lake the input is many-file and
+# this branch never triggers.
+FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet scan → full pushdown/pruning.
@@ -45,8 +52,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if name in FACT_TABLES:
+        slots = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(2, slots // 2):
+            df = df.repartition(slots)
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -9,6 +9,8 @@ is xxhash64 (JVM built-in, deterministic across runs/executors).
 
 from __future__ import annotations
 
+import random as _random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,26 +60,49 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("__sh"),
-        minhash_signature(tokens(F.col(text_col)), num_hashes, shingle_n).alias("__sig"),
+    # Relational shape end-to-end: explode shingles once, dedup with a
+    # shuffle (array_distinct on long string arrays is an order of
+    # magnitude slower per row than a hash-partition distinct), then
+    # num_hashes cheap hash columns per posting row — all codegen —
+    # and map-side partial MIN per doc. This is the shape that scales.
+    postings = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("g"),
+        )
+        .dropDuplicates(["__id", "g"])
     )
-    banded = base.select(
+    # one string hash per posting; the num_hashes permutations are cheap
+    # universal hashes (a*h+b mod p) over it — 31-bit domain keeps
+    # a*h within long range (no ANSI overflow)
+    p = 2_147_483_647
+    rnd = _random.Random(0x5EED)
+    coefs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
+    hbase = F.pmod(F.xxhash64("g"), F.lit(p))
+    hashed = postings.select(
         "__id",
-        "__sh",
+        *[
+            F.pmod(hbase * F.lit(a) + F.lit(b), F.lit(p)).alias(f"h{i}")
+            for i, (a, b) in enumerate(coefs)
+        ],
+    )
+    sig = hashed.groupBy("__id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    banded = sig.select(
+        "__id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("__sig", b * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
+                            F.concat_ws(
                                 ",",
+                                *[
+                                    F.col(f"m{b * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
                             )
                         ).alias("key"),
                     )
@@ -85,7 +110,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("__id", "__sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -96,22 +121,31 @@ def minhash_lsh_pairs(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.__sh").alias("sh_a"),
-            F.col("r.__sh").alias("sh_b"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    # Exact-Jaccard verification only on the candidate pairs, computed
+    # relationally from the posting sets (no array columns ride through
+    # the shuffles): |A∩B| via a posting-posting join restricted to the
+    # candidate pairs, |A| and |B| via per-doc counts.
+    sizes = postings.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    pa = postings.select(F.col("__id").alias("id_a"), F.col("g").alias("g"))
+    pb = postings.select(F.col("__id").alias("id_b"), F.col("g").alias("g"))
+    inter = (
+        candidates.join(pa, "id_a")
+        .join(pb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
     return (
-        candidates.select(
-            "id_a",
-            "id_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -127,11 +161,15 @@ def ngram_jaccard_pairs(
     exact Jaccard over distinct shingle sets (inverted-index join, not
     a cross join — candidate generation is |postings|², bounded by
     shingle selectivity)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(tokens(F.col(text_col)), shingle_n)).alias("__sh"),
+    dedup = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("g"),
+        )
+        .dropDuplicates(["__id", "g"])
     )
-    postings = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("g"))
+    sizes = dedup.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    postings = dedup.join(sizes, "__id")
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.__id") < F.col("b.__id")))

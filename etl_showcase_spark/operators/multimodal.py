@@ -1,0 +1,110 @@
+"""Multimodal column operators (SURVEY.md §2.13 L5).
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct riding alongside. The Spark-side plumbing — schema,
+Arrow batch shape, mapInPandas signatures, partition-preserving
+transforms — is real and tested; actual codec decode (JPEG/WAV/MP4) is
+stubbed behind NotImplementedError because media libraries aren't in
+this container. The byte-level feature extractor is a genuine
+implementation (numpy histogram over the raw bytes), so the whole
+pipeline runs end-to-end deterministically.
+
+Design for 100 TB: media bytes never leave the executor JVM except as
+Arrow batches into the Python worker; feature extraction is
+batch-vectorized (one numpy call per Arrow batch, not per row); outputs
+are fixed-width vectors that downstream ANN/dedup operators consume
+directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Canonical multimodal column bundle: payload + typed metadata.
+MEDIA_META_FIELDS = "format STRING, n_bytes INT, width INT, height INT"
+FEATURE_DIM = 16
+
+SUPPORTED_FAKE_FORMAT = "raw"  # deterministic byte-payload "codec"
+
+
+def attach_media_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a deterministic media payload from a text column:
+    payload = utf-8 bytes, metadata struct typed like a real decoder's
+    output. Stands in for `spark.read.format('binaryFile')` ingestion."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(SUPPORTED_FAKE_FORMAT).alias("format"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        ),
+    )
+
+
+def decode_media(fmt: str) -> None:
+    """Codec decode stub — real formats need image/audio libs that are
+    not in this container (SURVEY.md north star allows stubbing the
+    decode step; the surrounding plumbing is real)."""
+    if fmt != SUPPORTED_FAKE_FORMAT:
+        raise NotImplementedError(
+            f"decode for format {fmt!r} requires a media codec library; "
+            f"only the deterministic {SUPPORTED_FAKE_FORMAT!r} payload is "
+            "decodable in this environment"
+        )
+
+
+def extract_byte_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Feature-extract each payload into a FEATURE_DIM-bin byte
+    histogram (a real, deterministic computation — the stand-in for an
+    image-embedding model). Vectorized per Arrow batch via mapInPandas;
+    passthrough of the row identity column `doc_id`."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"doc_id LONG, features ARRAY<DOUBLE>, n_bytes INT"
+
+    def featurize(batches):
+        for pdf in batches:
+            feats = []
+            sizes = []
+            for buf in pdf[media_col]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+                sizes.append(len(arr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "features": feats,
+                    "n_bytes": np.asarray(sizes, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(featurize, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling plumbing: chunk each payload into fixed-size
+    "frames" and explode one row per sampled frame (the video
+    frame-sample shape). Pure built-in expressions — substr over binary
+    with a computed index sequence."""
+    n = F.octet_length("media")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(every_n_bytes))
+    frame = F.explode(
+        F.transform(
+            starts,
+            lambda i: F.struct(
+                i.alias("frame_offset"),
+                F.substring(F.col("media"), i, every_n_bytes).alias("frame_bytes"),
+            ),
+        )
+    )
+    return df.select("doc_id", frame.alias("f")).select(
+        "doc_id",
+        F.col("f.frame_offset").alias("frame_offset"),
+        F.col("f.frame_bytes").alias("frame_bytes"),
+    )

@@ -61,17 +61,22 @@ def brute_force_topk(
     lsh_ann_topk when the query set is large."""
     q = queries.select(
         F.col(query_id).alias("q_id"), quantize(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")))
     c = corpus.select(
         F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
+    # norms computed once per row (not per pair); the per-pair work is a
+    # single integer dot product
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
         )
     )
     return topk_per_group(
@@ -168,6 +173,66 @@ def lsh_ann_topk(
     )
     return topk_per_group(
         scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
+    )
+
+
+def knn_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Vectorized cosine top-k via Arrow + numpy matmul (mapInPandas).
+
+    The 100 TB-fast brute-force path: the (bounded) query matrix is
+    broadcast to executors once; each corpus partition streams through
+    as Arrow batches and does one (batch × dim) @ (dim × nq) GEMM; each
+    batch emits only its local top-k per query, and a final per-query
+    top-k reduces across partitions. Python cost is O(1) calls per
+    batch — no per-row interpretation.
+
+    Use when exact ranking is wanted and |queries| fits in memory
+    (~1e5 × dim floats); otherwise lsh_ann_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpd = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    q_ids = qpd["q_id"].to_numpy()
+    qm = np.stack(qpd["v"].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((q_ids, qm))
+
+    def score_batches(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            c_ids = pdf["c_id"].to_numpy()
+            cm = np.stack(pdf["v"].to_numpy()).astype("float64")
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ mat.T  # (batch, nq)
+            top = min(k + 1, len(c_ids))
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                idx = np.argpartition(-col, top - 1)[:top]
+                yield pd.DataFrame(
+                    {
+                        "q_id": ids[j],
+                        "c_id": c_ids[idx],
+                        "cosine": col[idx],
+                    }
+                )
+
+    scored = corpus.select(
+        F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(score_batches, "q_id long, c_id long, cosine double")
+    pruned = scored.filter(F.col("q_id") != F.col("c_id"))
+    return topk_per_group(
+        pruned, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
     )
 
 

@@ -1,0 +1,110 @@
+"""Multimodal column surface (SURVEY.md §2.13 L5): binary payloads +
+typed metadata, batch-vectorized feature extraction, frame sampling.
+
+The payloads are manufactured deterministically from documents.text
+(utf-8 bytes) so the whole path runs and oracle-checks end-to-end; the
+codec decode for real media formats is the one stubbed step
+(operators/multimodal.py:decode_media).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.multimodal import (
+    attach_media_columns,
+    extract_byte_features,
+    sample_frames,
+)
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Binary payload + metadata struct (oracle checks the byte-level facts).
+# ---------------------------------------------------------------------------
+
+_META_ORACLE = """
+SELECT
+  doc_id,
+  'raw' AS format,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  octet_length(encode(text)) = length(text) AS ascii_only
+FROM documents
+"""
+
+
+@register("multimodal_media_meta", oracle=_META_ORACLE, tags=("L5",))
+def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_media_columns(table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.format").alias("format"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        (F.col("media_meta.n_bytes") == F.length("text")).alias("ascii_only"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one row per 64-byte frame of each payload.
+# ---------------------------------------------------------------------------
+
+# (DuckDB 1.0 has no BLOB substring, so the oracle derives each frame's
+# length arithmetically from the payload size — equivalent for any
+# payload, and the Spark side still exercises real binary slicing.)
+_FRAMES_ORACLE = """
+WITH offs AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         unnest(generate_series(1, GREATEST(octet_length(encode(text)), 1), 64)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_offset,
+       CAST(LEAST(64, n - i + 1) AS INT) AS frame_len
+FROM offs
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE, tags=("L5",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_media_columns(table(spark, sf_dir, "documents"))
+    frames = sample_frames(d, every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_offset").cast("int").alias("frame_offset"),
+        F.octet_length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch-vectorized feature extraction (mapInPandas; byte histogram is
+# integer-exact so the derived checks oracle-match even through Python).
+# ---------------------------------------------------------------------------
+
+_FEATURES_ORACLE = """
+SELECT
+  doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+  16 AS feature_dim
+FROM documents
+"""
+
+
+@register("multimodal_byte_features", oracle=_FEATURES_ORACLE, tags=("L5",))
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_media_columns(table(spark, sf_dir, "documents"))
+    feats = extract_byte_features(d)
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.size("features").cast("int").alias("feature_dim"),
+    )
+
+
+# full feature vectors (rows-only; exact histogram values are asserted
+# in tests/test_multimodal.py)
+@register("multimodal_feature_vectors", oracle=None, tags=("L5",))
+def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_media_columns(table(spark, sf_dir, "documents"))
+    return extract_byte_features(d)

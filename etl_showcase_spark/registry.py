@@ -45,6 +45,7 @@ _PLAN_MODULES = (
     "etl_showcase_spark.plans.pipeline_ops",
     "etl_showcase_spark.plans.llm_text",
     "etl_showcase_spark.plans.llm_vector",
+    "etl_showcase_spark.plans.multimodal",
 )
 
 

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: deterministic payloads, exact byte histograms,
+frame-sampling shape, and the decode stub's contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_showcase_spark.catalog import table
+from etl_showcase_spark.operators.multimodal import (
+    attach_media_columns,
+    decode_media,
+    extract_byte_features,
+    sample_frames,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_features_match_numpy_reference(spark):
+    d = attach_media_columns(table(spark, SF_SMOKE, "documents")).limit(20)
+    rows = {r.doc_id: r.text for r in d.select("doc_id", "text").collect()}
+    feats = {r.doc_id: (r.features, r.n_bytes) for r in extract_byte_features(d).collect()}
+    assert feats.keys() == rows.keys()
+    for doc_id, text in rows.items():
+        arr = np.frombuffer(text.encode(), dtype=np.uint8)
+        expected = np.bincount(arr >> 4, minlength=16) / len(arr)
+        got, n_bytes = feats[doc_id]
+        assert n_bytes == len(arr)
+        assert np.allclose(got, expected, atol=0)  # bit-exact
+
+
+def test_frame_sample_covers_payload(spark):
+    d = attach_media_columns(table(spark, SF_SMOKE, "documents"))
+    frames = sample_frames(d, every_n_bytes=64)
+    per_doc = (
+        frames.groupBy("doc_id")
+        .agg(
+            F.sum(F.octet_length("frame_bytes")).alias("total"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .join(d.select("doc_id", F.length("text").alias("n")), "doc_id")
+    )
+    bad = per_doc.filter(
+        (F.col("total") != F.col("n"))
+        | (F.col("n_frames") != F.ceil(F.col("n") / 64))
+    ).count()
+    assert bad == 0
+
+
+def test_decode_stub_contract():
+    decode_media("raw")  # supported fake codec: no-op
+    with pytest.raises(NotImplementedError):
+        decode_media("jpeg")
