@@ -1,0 +1,189 @@
+"""Ingest/landing queries exercising the sources surface (SURVEY.md
+§2.1): schema-pinned JSON scan (S1), Hive-partitioned landing sink
+(S4), partition-scoped keyed upsert (Q3 at file level, §4.3.1), and the
+HTTP fan-out extractor shape (S3).
+
+Each query is self-contained: it stages files under a fresh temp dir,
+runs the io op, and returns a deterministic relation the DuckDB oracle
+can reproduce from the original parquet (the landing roundtrip must be
+value-preserving, which is exactly what's being tested).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..functions.numeric import dec2
+from ..registry import register
+from ..sources.io import (
+    WEATHER_RAW_SCHEMA,
+    http_fanout_source,
+    merge_upsert_partitioned,
+    read_json,
+    write_partitioned,
+)
+
+# ---------------------------------------------------------------------------
+# S1 + S4: partitioned JSON landing roundtrip. Write nation⋈region as a
+# Hive-partitioned JSON landing (the raw/weather/{ds}/ shape,
+# dags/weather_etl_pipeline.py:55-56), read it back with an explicit
+# schema (spark_jobs/transform_weather.py:34-59), and aggregate. The
+# oracle computes the same relation straight from parquet — equality
+# proves the landing is value-preserving.
+# ---------------------------------------------------------------------------
+
+_LANDING_ORACLE = """
+SELECT r.r_name AS region_name,
+       COUNT(*) AS n_nations,
+       SUM(n.n_nationkey) AS key_sum,
+       MIN(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region_name
+"""
+
+_LANDING_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("region_name", T.StringType()),
+    ]
+)
+
+
+@register("json_ingest_landing", oracle=_LANDING_ORACLE, tags=("S1", "S2", "S4"))
+def json_ingest_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    landing = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+    path = tempfile.mkdtemp(prefix="landing_")
+    write_partitioned(landing, path, ["region_name"], fmt="json")
+    back = read_json(spark, path, schema=_LANDING_SCHEMA)
+    return (
+        back.groupBy("region_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 on files: partition-scoped keyed upsert. Target = orders partitioned
+# by order year; updates = 5% price bump on open orders. Only the touched
+# year partitions are read and rewritten (§4.4: the reference's
+# full-table staging overwrite doesn't survive 100 TB).
+# ---------------------------------------------------------------------------
+
+_PART_UPSERT_ORACLE = """
+WITH t AS (
+  SELECT o_orderkey AS order_id,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS total_price,
+         EXTRACT(year FROM o_orderdate) AS order_year,
+         o_orderstatus AS status
+  FROM orders
+),
+u AS (
+  -- price has 2 decimals, so price*1.05 has exactly <=4 decimals:
+  -- DECIMAL(14,4) holds it EXACTLY — no rounding step, no HALF_UP vs
+  -- HALF_EVEN divergence between engines
+  SELECT order_id,
+         CAST(total_price * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(14,4)) AS total_price,
+         order_year, 'U' AS status
+  FROM t WHERE status = 'O'
+),
+merged AS (
+  SELECT * FROM t WHERE order_id NOT IN (SELECT order_id FROM u)
+  UNION ALL SELECT * FROM u
+)
+SELECT order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(total_price) AS DOUBLE) AS revenue,
+       COUNT(*) FILTER (WHERE status = 'U') AS n_updated
+FROM merged
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+@register("partitioned_upsert_orders", oracle=_PART_UPSERT_ORACLE, tags=("Q3", "S4", "J3"))
+def partitioned_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    target = o.select(
+        F.col("o_orderkey").alias("order_id"),
+        dec2("o_totalprice").cast("decimal(14,4)").alias("total_price"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    path = tempfile.mkdtemp(prefix="upsert_target_")
+    write_partitioned(target, path, ["order_year"])
+    updates = target.filter(F.col("status") == "O").select(
+        "order_id",
+        (F.col("total_price") * F.lit(1.05).cast("decimal(4,2)"))
+        .cast("decimal(14,4)")
+        .alias("total_price"),
+        "order_year",
+        F.lit("U").alias("status"),
+    )
+    merge_upsert_partitioned(spark, path, updates, ["order_id"], "order_year")
+    merged = spark.read.parquet(path)
+    return (
+        merged.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_price").cast("double").alias("revenue"),
+            F.count(F.when(F.col("status") == "U", 1)).alias("n_updated"),
+        )
+        .orderBy("order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3: HTTP fan-out extract → schema-pinned parse → flatten → aggregate:
+# the reference's whole extract+transform dataflow
+# (dags/weather_etl_pipeline.py:45-92 → spark_jobs/transform_weather.py:64-113)
+# as one distributed plan. The fetch is the deterministic in-container
+# stub; no SQL oracle (an HTTP source isn't SQL-expressible) → the
+# driver's rows-only check applies.
+# ---------------------------------------------------------------------------
+
+
+@register("http_fanout_weather", oracle=None, tags=("S3", "A1", "A2", "A3"))
+def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    endpoints = n.select(
+        F.concat(F.lit("https://api.example.com/v1/forecast?city="), F.col("n_name"))
+        .alias("url")
+    )
+    raw = http_fanout_source(endpoints)
+    parsed = raw.select(F.from_json("payload", WEATHER_RAW_SCHEMA).alias("w"))
+    flat = parsed.select(
+        F.col("w.city").alias("city"),
+        F.explode(
+            F.arrays_zip(
+                F.col("w.daily.time").alias("time"),
+                F.col("w.daily.temperature_2m_max").alias("tmax"),
+                F.col("w.daily.temperature_2m_min").alias("tmin"),
+                F.col("w.daily.precipitation_sum").alias("prec"),
+            )
+        ).alias("d"),
+    ).select("city", "d.time", "d.tmax", "d.tmin", "d.prec")
+    return (
+        flat.groupBy("city")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("tmax"), 1).alias("avg_tmax"),
+            F.round(F.sum("prec"), 1).alias("total_prec"),
+        )
+        .orderBy("city")
+    )

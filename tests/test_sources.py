@@ -1,0 +1,85 @@
+"""Sources/sinks surface: landing roundtrips, partition-scoped upsert,
+HTTP fan-out determinism (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_showcase_spark.sources.io import (
+    WEATHER_RAW_SCHEMA,
+    http_fanout_source,
+    merge_upsert_partitioned,
+    read_json,
+    write_partitioned,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_partitioned_json_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], ["k", "v", "p"]
+    )
+    path = tempfile.mkdtemp(prefix="t_landing_")
+    write_partitioned(df, path, ["p"], fmt="json")
+    assert sorted(os.listdir(path) + []) >= ["p=x", "p=y"]
+    back = read_json(spark, path)
+    assert back.count() == 3
+    assert set(back.columns) == {"k", "v", "p"}
+
+
+def test_dynamic_overwrite_touches_only_written_partitions(spark):
+    path = tempfile.mkdtemp(prefix="t_dyn_")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "p"])
+    write_partitioned(df, path, ["p"])
+    # second write only touches p=x; p=y must survive
+    write_partitioned(spark.createDataFrame([(9, "x")], ["k", "p"]), path, ["p"])
+    rows = {(r.k, r.p) for r in spark.read.parquet(path).collect()}
+    assert rows == {(9, "x"), (2, "y")}
+
+
+def test_merge_upsert_partitioned(spark):
+    path = tempfile.mkdtemp(prefix="t_upsert_")
+    target = spark.createDataFrame(
+        [(1, 10.0, 2024), (2, 20.0, 2024), (3, 30.0, 2025)],
+        ["id", "val", "yr"],
+    )
+    write_partitioned(target, path, ["yr"])
+    updates = spark.createDataFrame([(2, 99.0, 2024), (4, 40.0, 2024)], ["id", "val", "yr"])
+    merge_upsert_partitioned(spark, path, updates, ["id"], "yr")
+    rows = {(r.id, r.val, r.yr) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, 10.0, 2024), (2, 99.0, 2024), (4, 40.0, 2024), (3, 30.0, 2025)}
+
+
+def test_http_fanout_deterministic_and_parseable(spark):
+    urls = spark.createDataFrame(
+        [(f"https://api.example.com/v1/forecast?city=C{i}",) for i in range(6)],
+        ["url"],
+    )
+    a = {tuple(r) for r in http_fanout_source(urls).collect()}
+    b = {tuple(r) for r in http_fanout_source(urls).collect()}
+    assert a == b and len(a) == 6
+    parsed = (
+        http_fanout_source(urls)
+        .select(F.from_json("payload", WEATHER_RAW_SCHEMA).alias("w"))
+        .select("w.city", F.size("w.daily.time").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 3 for r in parsed)
+    assert {r.city for r in parsed} == {f"C{i}" for i in range(6)}
+
+
+def test_ingest_queries_smoke(spark):
+    from etl_showcase_spark.plans.ingest import (
+        http_fanout_weather,
+        json_ingest_landing,
+        partitioned_upsert_orders,
+    )
+
+    assert json_ingest_landing(spark, SF_SMOKE).count() == 5
+    up = partitioned_upsert_orders(spark, SF_SMOKE)
+    assert up.filter(F.col("n_updated") > 0).count() > 0
+    assert http_fanout_weather(spark, SF_SMOKE).count() == 25
