@@ -137,6 +137,55 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch twin of the custom stateful operator
+# (streaming/jobs.py:stream_user_profile_state): per-user cross-session
+# rollup — event count, exact value total, session count at a 30-minute
+# gap. Same new-session rule as session_windows_30m.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "total_value")},
+       SUM(is_new) AS n_sessions
+FROM marked
+GROUP BY user_id
+"""
+
+
+@register("user_session_stats", oracle=_PROFILE_ORACLE, tags=("T4", "W3"))
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > F.lit(30 * 60 * 1_000_000)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+        F.sum("is_new").cast("long").alias("n_sessions"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # T6: stateful dedup twin — first event per (user, type), deterministic
 # order; the streaming version is dropDuplicatesWithinWatermark.
 # ---------------------------------------------------------------------------

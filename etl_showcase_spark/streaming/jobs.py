@@ -126,6 +126,78 @@ def stream_dedup_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sparkSession.table(qname)
 
 
+def stream_user_profile_state(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §2.11): per-user activity
+    profile via applyInPandasWithState — explicit GroupState carried
+    across micro-batches, the surface Spark's built-in windows can't
+    express (running cross-session rollup with custom gap logic).
+
+    Per user: event count, exact value total (integer cents in state, so
+    the sum is order-independent), and session count at a
+    ``gap_minutes`` silence threshold (new session when the gap since
+    the previous event exceeds it — same rule as the session_windows_30m
+    batch twin). State schema is a compact fixed row per user; at scale
+    state lives in the state store (RocksDB), partitioned by user_id,
+    and watermark-driven eviction would bound it for unbounded keys.
+
+    Deterministic: events are sorted by ts inside the update function,
+    and the profile depends only on the per-user ts multiset.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def update_profile(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, cents, n_sessions, last_ns = state.get
+        else:
+            n, cents, n_sessions, last_ns = 0, 0, 0, None
+        chunks = [pdf[["ts", "value"]] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=["ts", "value"])
+        if len(df):
+            df = df.sort_values("ts")
+            ts_ns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            for t, v in zip(ts_ns, df["value"].to_numpy()):
+                if last_ns is None or t - last_ns > gap_ns:
+                    n_sessions += 1
+                last_ns = int(t)
+                n += 1
+                cents += int(round(v * 100))
+        state.update((n, cents, n_sessions, last_ns))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_profile,
+        outputStructType="user_id long, n_events long, total_value double, n_sessions long",
+        stateStructType="n_events long, cents long, n_sessions long, last_ns long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"stream_profile_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
 def stream_upsert_to_parquet(
     spark: SparkSession, sf_dir: str, target_dir: str, checkpoint_dir: str
 ) -> None:

@@ -39,6 +39,14 @@ def test_stream_dedup_keyset_matches_batch(spark):
     assert len(streamed) == len(batch)
 
 
+def test_stateful_profile_matches_batch(spark):
+    from etl_showcase_spark.plans.events import user_session_stats
+
+    streamed = jobs.stream_user_profile_state(spark, SF_SMOKE).toPandas()
+    batch = user_session_stats(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
+
+
 def test_stream_upsert_sink_idempotent(spark):
     batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
     with tempfile.TemporaryDirectory() as tmp:
