@@ -55,8 +55,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if name in FACT_TABLES:
+        import os
+
         slots = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(2, slots // 2):
+        try:  # free metadata check — never a Spark job
+            small = os.path.getsize(path) < slots * 8 * 1024 * 1024
+        except OSError:  # non-local path (real lake): many files, skip
+            small = False
+        if small:
             df = df.repartition(slots)
     return df
 

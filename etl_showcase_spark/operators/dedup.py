@@ -60,25 +60,35 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    # Relational shape end-to-end: explode shingles once, dedup with a
-    # shuffle (array_distinct on long string arrays is an order of
-    # magnitude slower per row than a hash-partition distinct), then
-    # num_hashes cheap hash columns per posting row — all codegen —
-    # and map-side partial MIN per doc. This is the shape that scales.
+    # Relational shape end-to-end, shuffle-frugal:
+    # - shingles are hashed to 64-bit BEFORE the explode, so every
+    #   downstream shuffle/join moves 8-byte longs, never 3-word
+    #   strings (Jaccard over the hashed sets equals string-set Jaccard
+    #   up to ~1e-11 collision probability);
+    # - one repartition by doc serves the (__id, g) dedup, the per-doc
+    #   signature aggregate, and the per-doc size count
+    #   (hashpartitioning(__id) satisfies all three clustering
+    #   requirements — no further exchanges).
     postings = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("g"),
+            F.explode(
+                F.transform(
+                    shingles(tokens(F.col(text_col)), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("g"),
         )
+        .repartition(F.col("__id"))
         .dropDuplicates(["__id", "g"])
     )
-    # one string hash per posting; the num_hashes permutations are cheap
-    # universal hashes (a*h+b mod p) over it — 31-bit domain keeps
-    # a*h within long range (no ANSI overflow)
+    # the num_hashes permutations are cheap universal hashes
+    # (a*h+b mod p) over the shingle hash — 31-bit domain keeps a*h
+    # within long range (no ANSI overflow)
     p = 2_147_483_647
     rnd = _random.Random(0x5EED)
     coefs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
-    hbase = F.pmod(F.xxhash64("g"), F.lit(p))
+    hbase = F.pmod(F.col("g"), F.lit(p))
     hashed = postings.select(
         "__id",
         *[
@@ -86,11 +96,15 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(coefs)
         ],
     )
+    # signature + set size in one aggregate; sizes ride the band join so
+    # no separate size joins are needed later
     sig = hashed.groupBy("__id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
+        F.count(F.lit(1)).alias("__n"),
     )
     banded = sig.select(
         "__id",
+        "__n",
         F.explode(
             F.array(
                 *[
@@ -110,7 +124,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "__id", "__n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -121,32 +137,34 @@ def minhash_lsh_pairs(
             & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+        )
+        .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
     )
     # Exact-Jaccard verification only on the candidate pairs, computed
     # relationally from the posting sets (no array columns ride through
     # the shuffles): |A∩B| via a posting-posting join restricted to the
-    # candidate pairs, |A| and |B| via per-doc counts.
-    sizes = postings.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    # candidate pairs; |A| and |B| already rode along from the signature
+    # aggregate.
     pa = postings.select(F.col("__id").alias("id_a"), F.col("g").alias("g"))
     pb = postings.select(F.col("__id").alias("id_b"), F.col("g").alias("g"))
     inter = (
         candidates.join(pa, "id_a")
         .join(pb, ["id_b", "g"])
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inter"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
 
 
@@ -161,11 +179,14 @@ def ngram_jaccard_pairs(
     exact Jaccard over distinct shingle sets (inverted-index join, not
     a cross join — candidate generation is |postings|², bounded by
     shingle selectivity)."""
+    # one repartition by doc serves the dedup, the size aggregate, and
+    # the size join (all colocated on __id — no further exchanges)
     dedup = (
         df.select(
             F.col(id_col).alias("__id"),
             F.explode(shingles(tokens(F.col(text_col)), shingle_n)).alias("g"),
         )
+        .repartition(F.col("__id"))
         .dropDuplicates(["__id", "g"])
     )
     sizes = dedup.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))

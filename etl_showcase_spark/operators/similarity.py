@@ -84,24 +84,25 @@ def brute_force_topk(
     )
 
 
+def _plane_signs(plane: int, dim: int) -> list[int]:
+    """Deterministic ±1 hyperplane, generated driver-side (splitmix-style
+    bit mix per (plane, i)) and inlined as a literal array — the
+    executor-side cost is ONE zip_with multiply-fold per plane instead
+    of per-component hash calls. Reproducible everywhere, no stored
+    model."""
+    out = []
+    for i in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        out.append(1 if (z ^ (z >> 31)) & 1 else -1)
+    return out
+
+
 def _hyperplane_sign(vec_q: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane side: components are ±1
-    derived from xxhash64(plane, i) parity — reproducible everywhere,
-    no stored model."""
-    signed = F.transform(
-        F.zip_with(
-            vec_q,
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
-        ),
-        lambda s: F.when(
-            F.pmod(F.xxhash64(F.lit(plane), s.getField("i")), F.lit(2)) == 1,
-            s.getField("x"),
-        ).otherwise(-s.getField("x")),
-    )
-    return (
-        F.aggregate(signed, F.lit(0).cast("bigint"), lambda acc, v: acc + v) > 0
-    ).cast("int")
+    """Side of one deterministic pseudo-random hyperplane: sign of the
+    exact integer dot with a literal ±1 vector."""
+    signs = F.array(*[F.lit(s) for s in _plane_signs(plane, dim)])
+    return (int_dot(vec_q, signs) > 0).cast("int")
 
 
 def lsh_bucket_key(vec_q: Column, n_planes: int, dim: int, table_id: int = 0) -> Column:
@@ -130,6 +131,44 @@ def lsh_bucket_keys(vec_q: Column, n_planes: int, dim: int, n_tables: int) -> Co
     )
 
 
+def lsh_bucket_keys_gemm(
+    vec_col: str, n_planes: int, dim: int, n_tables: int
+) -> Column:
+    """All n_tables bucket keys in ONE Arrow-vectorized pass: stack the
+    batch into a (rows × dim) int matrix, one GEMM against the
+    (dim × n_planes·n_tables) ±1 plane matrix, sign+bit-pack per table.
+    Returns array<bigint> of length n_tables (index = table id).
+
+    Same buckets as lsh_bucket_key (identical planes, exact integer
+    arithmetic), but plan size is O(1) instead of O(planes × dim)
+    expression nodes, and per-row cost is a vectorized dot — this is
+    the signature path that scales: at 100 TB the plane matrix is tiny
+    and each Arrow batch costs one matmul."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    total = n_planes * n_tables
+    planes = [_plane_signs(p, dim) for p in range(total)]
+
+    @pandas_udf("array<long>")
+    def keys(vecs):  # pd.Series of list<float>
+        import numpy as np
+        import pandas as pd
+
+        S = np.array(planes, dtype="int64").T  # (dim, total)
+        m = np.stack(vecs.to_numpy())
+        q = np.floor(m.astype("float64") * 1000 + 0.5).astype("int64")
+        bits = (q @ S) > 0  # (rows, total)
+        weights = np.array(
+            [1 << (n_planes - 1 - p) for p in range(n_planes)], dtype="int64"
+        )
+        out = np.zeros((len(m), n_tables), dtype="int64")
+        for t in range(n_tables):
+            out[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+        return pd.Series(list(out))
+
+    return keys(F.col(vec_col))
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -146,29 +185,44 @@ def lsh_ann_topk(
     (table, bucket), dedup candidates, rank within query. Shuffles on
     the bucket key — the corpus never cross-joins; this is the 100 TB
     path. Recall ≈ 1-(1-p^n_planes)^n_tables, tunable per workload."""
-    q = queries.select(
+    qv = queries.select(
         F.col(query_id).alias("q_id"), quantize(F.col(vec_col)).alias("q_vec")
-    ).select(
-        "q_id",
-        "q_vec",
-        F.explode(lsh_bucket_keys(F.col("q_vec"), n_planes, dim, n_tables)).alias("bk"),
-    )
-    c = corpus.select(
+    ).withColumn("q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")))
+    cv = corpus.select(
         F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
-    ).select(
-        "c_id",
-        "c_vec",
-        F.explode(lsh_bucket_keys(F.col("c_vec"), n_planes, dim, n_tables)).alias("bk"),
+    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
+    # Bucket postings carry IDS ONLY — signatures come from the one-GEMM
+    # Arrow path; candidate dedup shuffles (q_id, c_id) pairs, never
+    # vectors. Vectors rejoin once for scoring: the query side is
+    # broadcast (bounded query set), the corpus side is one hash join.
+    qb = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
+            "tbl", "key"
+        ),
+    )
+    cb = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
+            "tbl", "key"
+        ),
+    )
+    candidates = (
+        cb.join(F.broadcast(qb), ["tbl", "key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
     )
     scored = (
-        c.join(q, c["bk"] == q["bk"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", "q_vec", "c_vec")
-        .dropDuplicates(["q_id", "c_id"])
+        candidates.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
         .select(
             "q_id",
             "c_id",
-            quantized_cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+            (
+                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
         )
     )
     return topk_per_group(
