@@ -1,0 +1,192 @@
+"""Analytics surface extensions: multi-dimensional grouping (CUBE),
+pivot, exact percentiles, correlated scalar subqueries via the Spark SQL
+entry point, and the TPC-H Q3-shaped join-agg-topk headline.
+
+These widen SURVEY.md §2.5 G9 (cube/grouping sets) and §3.3 (the SQL
+text entry point: reference README.md:199-205 runs its two analytical
+views through psql; here the same lifecycle runs through spark.sql over
+registered temp views).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.numeric import dec2, dsum
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# G9: CUBE over (status, priority). Sentinel 'ALL' via COALESCE keeps the
+# subtotal rows unambiguous (statuses are non-null in the data) and
+# engine-portable — no reliance on GROUPING_ID numbering.
+# ---------------------------------------------------------------------------
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("cube_status_priority", oracle=_CUBE_ORACLE, tags=("G9",))
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts per year × status. Spark's relational pivot with an
+# explicit value list (never the implicit distinct scan at scale); the
+# SQL twin is the classic conditional-aggregation spelling.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("pivot_year_status", oracle=_PIVOT_ORACLE, tags=("G9",))
+def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    p = (
+        o.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "order_year",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (type-7 linear interpolation in both engines).
+# l_quantity is integer-valued, so every interpolated quantile is exact
+# in binary — no cross-engine float divergence is possible.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       MEDIAN(l_quantity) AS med_qty,
+       QUANTILE_CONT(l_quantity, 0.25) AS q1_qty,
+       QUANTILE_CONT(l_quantity, 0.75) AS q3_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("quantiles_quantity", oracle=_QUANTILE_ORACLE, tags=("G1", "G9"))
+def quantiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", F.lit(0.25)).alias("q1_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q3_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subqueries through the SQL text entry point
+# (spark.sql over temp views — the reference's psql view lifecycle,
+# README.md:199-205). Customers above their nation's average balance;
+# the predicate is rewritten as bal*count > sum so both engines compare
+# exact decimals (no AVG rounding at the boundary).
+# ---------------------------------------------------------------------------
+
+_ABOVE_AVG_SQL = """
+SELECT c.c_custkey AS custkey, c.c_name AS name,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+FROM {customer} c
+WHERE CAST(c.c_acctbal AS DECIMAL(12,2))
+      * (SELECT COUNT(*) FROM {customer} c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) FROM {customer} c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "above_nation_avg_balance",
+    oracle=_ABOVE_AVG_SQL.format(customer="customer"),
+    tags=("J2", "G2"),
+)
+def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("__an_customer")
+    return spark.sql(_ABOVE_AVG_SQL.format(customer="__an_customer"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shaped shipping-priority headline: the canonical
+# fact⋈fact⋈dim join + filtered aggregation + top-k, decimal-exact.
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate ASC, orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("J1", "J2", "G1", "O3"), bench=True)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.col("revenue").desc(), F.col("orderdate").asc(), F.col("orderkey").asc())
+        .limit(10)
+    )

@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "etl_showcase_spark.plans.llm_vector",
     "etl_showcase_spark.plans.multimodal",
     "etl_showcase_spark.plans.ingest",
+    "etl_showcase_spark.plans.analytics",
 )
 
 
