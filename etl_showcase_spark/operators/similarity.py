@@ -230,6 +230,112 @@ def lsh_ann_topk(
     )
 
 
+def _nearest_centroids_udf(centroids, n_out: int):
+    """pandas_udf: vector -> its n_out nearest centroid ids (argmax of
+    x·c - |c|²/2, i.e. nearest in L2). `centroids` is a plain
+    (n_centroids × dim) list-of-lists closed over by value."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def nearest(vecs):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(centroids, dtype="float64")  # (nc, dim)
+        half = 0.5 * (C * C).sum(axis=1)
+        m = np.stack(vecs.to_numpy()).astype("float64")
+        score = m @ C.T - half  # (rows, nc)
+        top = np.argsort(-score, axis=1, kind="stable")[:, :n_out].astype("int32")
+        return pd.Series(list(top))
+
+    return nearest
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into n_centroids Voronoi
+    cells, search only the n_probe cells nearest each query.
+
+    Index build (all deterministic, so results are stable across runs):
+    1. seeds = the n_centroids corpus vectors with smallest xxhash64(id)
+       — an order-free distributed sample (TakeOrdered, no full sort);
+    2. one Lloyd refinement with EXACT integer sums: assign every vector
+       to its nearest seed (Arrow GEMM), then per-cell mean via
+       posexplode → groupBy(cell, component) — map-side partial sums
+       reduce the shuffle to n_centroids × dim rows regardless of
+       corpus size.
+
+    Search: corpus rows carry exactly ONE cell id, query probes explode
+    to n_probe cells and broadcast — so each (query, candidate) pair
+    arises at most once (no dedup shuffle, unlike OR-amplified LSH) and
+    scoring happens inside the probe join. Recall/cost is tuned by
+    (n_centroids, n_probe); cost ≈ n_probe/n_centroids of brute force.
+    """
+    cv = corpus.select(
+        F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
+    seeds = [
+        r["c_vec"]
+        for r in cv.select("c_vec")
+        .orderBy(F.xxhash64(F.col("c_id")))
+        .limit(n_centroids)
+        .collect()
+    ]
+    assign1 = _nearest_centroids_udf([[float(x) for x in s] for s in seeds], 1)
+    assigned = cv.withColumn("cell", assign1(F.col("c_vec")).getItem(0))
+    comp = assigned.select("cell", F.posexplode("c_vec").alias("i", "x"))
+    sums = (
+        comp.groupBy("cell", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dim = len(seeds[0])
+    cents = [[0.0] * dim for _ in range(n_centroids)]
+    for r in sums:
+        cents[r["cell"]][r["i"]] = r["s"] / r["n"]
+    # empty cells keep their seed so probing stays well-defined
+    filled = {r["cell"] for r in sums}
+    for c in range(n_centroids):
+        if c not in filled:
+            cents[c] = [float(x) for x in seeds[c]]
+
+    assign_final = _nearest_centroids_udf(cents, 1)
+    probe = _nearest_centroids_udf(cents, n_probe)
+    indexed = cv.withColumn("cell", assign_final(F.col("c_vec")).getItem(0))
+    qv = (
+        queries.select(
+            F.col(query_id).alias("q_id"), quantize(F.col(vec_col)).alias("q_vec")
+        )
+        .withColumn(
+            "q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double"))
+        )
+        .withColumn("cell", F.explode(probe(F.col("q_vec"))))
+    )
+    scored = (
+        indexed.join(F.broadcast(qv), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
+    )
+
+
 def knn_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,

@@ -151,3 +151,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(
         queries, e, "vec_id", "vec_id", "embedding", k=10, n_planes=4, dim=64, n_tables=8
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 scale path #2: IVF cluster-probe ANN (deterministic index build →
+# stable rows, but engine-specific clustering → rows-only; recall vs
+# brute force is property-tested in tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+
+
+@register("ann_ivf_topk", oracle=None, tags=("L3",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_ann_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_ann_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+    )

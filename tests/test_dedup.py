@@ -74,3 +74,24 @@ def test_lsh_ann_recall_vs_brute_force(spark):
     for r in approx.collect():
         if (r.q_id, r.c_id) in ej:
             assert abs(r.cosine - ej[(r.q_id, r.c_id)]) < 1e-12
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.similarity import ivf_ann_topk
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(queries, e, "vec_id", "vec_id", "embedding", k=10)
+    approx = ivf_ann_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+    )
+    exact_set = {(r.q_id, r.c_id) for r in exact.collect()}
+    approx_set = {(r.q_id, r.c_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    # determinism: a second build returns the identical result set
+    again = ivf_ann_topk(
+        queries, e, "vec_id", "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+    )
+    assert {(r.q_id, r.c_id) for r in again.collect()} == approx_set
