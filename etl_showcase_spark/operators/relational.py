@@ -139,3 +139,33 @@ def seed_insert(existing: DataFrame, seed: DataFrame, keys: Sequence[str]) -> Da
     keys = list(keys)
     fresh = seed.join(existing.select(*keys).distinct(), keys, "left_anti")
     return existing.unionByName(fresh.select(*existing.columns))
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join (SURVEY.md scale posture): a hot key on
+    the big `left` side lands in one shuffle partition and serializes
+    the stage; salting fans each key out over `salt` sub-partitions.
+
+    left rows get a deterministic salt from their full key hash plus a
+    spread component; the (small-relative) `right` side is replicated
+    `salt`× via explode. Join keys become (keys..., __salt), so the hot
+    key's rows spread across `salt` reducers. Results are identical to
+    the unsalted join — salting only changes the physical distribution.
+
+    AQE's skew-join split handles moderate skew automatically; this
+    operator is for the pathological case (one key = half the table)
+    where pre-spreading beats post-hoc splitting, and for non-AQE sinks
+    like bucketed writes.
+    """
+    keys = list(keys)
+    l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    r = right.withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
+    return l.join(r, keys + ["__salt"], how).drop("__salt")

@@ -99,6 +99,28 @@ def write_partitioned(
         df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    keys: Sequence[str],
+    n_buckets: int,
+) -> None:
+    """Bucketed managed table (the reference's btree-index access paths,
+    sql/create_weather_tables.sql:108-110, re-expressed as Spark's
+    storage-level clustering): rows are hash-clustered and sorted by
+    ``keys`` at write time, so a later equi-join or aggregate on those
+    keys reads co-located data and Catalyst drops the Exchange entirely
+    — the shuffle is paid once at write, amortized over every read.
+    """
+    (
+        df.write.bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     target_path: str,

@@ -83,3 +83,44 @@ def test_ingest_queries_smoke(spark):
     up = partitioned_upsert_orders(spark, SF_SMOKE)
     assert up.filter(F.col("n_updated") > 0).count() > 0
     assert http_fanout_weather(spark, SF_SMOKE).count() == 25
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    import shutil
+
+    from etl_showcase_spark.catalog import table as cat_table
+    from etl_showcase_spark.sources.io import write_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    o = cat_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = cat_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8)
+    write_bucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", ["o_orderkey"], 8)
+    # force the shuffle-based strategy (tiny test tables would broadcast)
+    # to prove bucketing removes the shuffle itself
+    j = (
+        spark.table("t_orders_b")
+        .hint("merge")
+        .join(spark.table("t_lineitem_b").hint("merge"), "o_orderkey")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert j.count() > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from etl_showcase_spark.operators.relational import salted_join
+    from etl_showcase_spark.catalog import table as cat_table
+
+    o = cat_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    c = cat_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name").withColumnRenamed("c_custkey", "o_custkey")
+    plain = o.join(c, "o_custkey")
+    salted = salted_join(o, c, ["o_custkey"], salt=8)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in salted.collect()}
+    assert a == b
