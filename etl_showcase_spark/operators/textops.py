@@ -124,3 +124,28 @@ def doc_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * 31 + h) % FINGERPRINT_MOD,
     )
+
+
+def sentence_udtf():
+    """Python UDTF (SURVEY.md §2.11): lateral sentence splitter —
+    one output row per period-delimited sentence with its word count.
+
+    Built as a factory so the class pickles by value (executor workers
+    never import this package). A UDTF is the right tool when one input
+    row yields a variable number of typed rows and the logic is easier
+    in Python than as explode(expr) — here it doubles as the §2.11
+    surface proof; the explode-based twin lives in the oracle SQL.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence string, n_words int")
+    class SplitSentences:
+        def eval(self, text):
+            if text is None:
+                return
+            for seg in text.split("."):
+                s = seg.strip()
+                if s:
+                    yield s, len(s.split())
+
+    return SplitSentences

@@ -228,3 +228,30 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 UDTF surface: lateral sentence split (one row per sentence).
+# The oracle reproduces the Python splitter with UNNEST(string_split).
+# ---------------------------------------------------------------------------
+
+_SENTENCE_ORACLE = r"""
+SELECT d.doc_id,
+       TRIM(s) AS sentence,
+       CAST(len(string_split_regex(TRIM(s), '\s+')) AS INT) AS n_words
+FROM documents d, UNNEST(string_split(d.text, '.')) AS t(s)
+WHERE LENGTH(TRIM(s)) > 0
+"""
+
+
+@register("sentence_split_udtf", oracle=_SENTENCE_ORACLE, tags=("A2", "F11"))
+def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SplitSentences = textops.sentence_udtf()
+    spark.udtf.register("split_sentences", SplitSentences)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence, s.n_words
+        FROM __udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    )
