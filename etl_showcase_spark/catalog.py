@@ -24,6 +24,38 @@ TABLES = (
     "embeddings",
 )
 
+# Pinned ingest schemas (SURVEY.md §1.3: "fixed, explicitly declared
+# schemas at every boundary", the reference's deliberate design point at
+# spark_jobs/transform_weather.py:34-57). Scans validate against these
+# instead of trusting whatever a writer left in the footer; a drifted
+# file fails loudly at analysis time, not deep inside a query.
+# `events` is absent: its ts is parquet TIMESTAMP(NANOS), readable only
+# through the nanosAsLong conf path below.
+SCHEMAS: dict[str, str] = {
+    "region": "r_regionkey int, r_name string",
+    "nation": "n_nationkey int, n_name string, n_regionkey int",
+    "customer": (
+        "c_custkey bigint, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ),
+    "supplier": "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    "part": (
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double"
+    ),
+    "orders": (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    ),
+    "lineitem": (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    ),
+    "documents": "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    "embeddings": "vec_id bigint, embedding array<float>, label int",
+}
+
 # Small dimensions that should always be broadcast in joins (the
 # dim_city / dim_weather_code role, reference sql/create_weather_tables.sql:42-82).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
@@ -52,6 +84,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name in SCHEMAS:
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
     else:
         df = spark.read.parquet(path)
     if name in FACT_TABLES:

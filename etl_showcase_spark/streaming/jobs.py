@@ -208,8 +208,13 @@ def stream_upsert_to_parquet(
     Each micro-batch merges on (window_start, event_type): rows for
     already-present keys are replaced, new keys appended — idempotent
     under batch replay, which is what checkpoint + availableNow give us.
+    The merge is partition-scoped (sources/io.merge_upsert_partitioned on
+    the window_start partition column): a micro-batch only ever rewrites
+    the day-partitions it touches, so sink cost tracks batch size, not
+    table size — the property that keeps a continuous pipeline viable at
+    100 TB of accumulated history.
     """
-    from ..operators.relational import merge_upsert
+    from ..sources.io import merge_upsert_partitioned, write_partitioned
 
     ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     agg = (
@@ -225,12 +230,13 @@ def stream_upsert_to_parquet(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         try:
-            target = s.read.parquet(target_dir)
-            merged = merge_upsert(target, batch_df, ["window_start", "event_type"])
+            s.read.parquet(target_dir).schema  # probe: does the target exist?
         except Exception:  # first batch: no target yet
-            merged = batch_df
-        merged.write.mode("overwrite").parquet(target_dir + "_tmp")
-        s.read.parquet(target_dir + "_tmp").write.mode("overwrite").parquet(target_dir)
+            write_partitioned(batch_df, target_dir, ["window_start"])
+            return
+        merge_upsert_partitioned(
+            s, target_dir, batch_df, ["window_start", "event_type"], "window_start"
+        )
 
     q = (
         agg.writeStream.foreachBatch(merge_batch)
