@@ -49,7 +49,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("P3", "P7", "G1-G8", "O1"), bench=True)
+@register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("S9", "P3", "P7", "G1", "G2", "G3", "G4", "G5", "G8", "F1", "F2", "O1"), bench=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(12,2)")

@@ -40,7 +40,7 @@ GROUP BY 1, 2, 3
 """
 
 
-@register("tumbling_daily_by_type", oracle=_TUMBLING_ORACLE, tags=("T2",), bench=True)
+@register("tumbling_daily_by_type", oracle=_TUMBLING_ORACLE, tags=("T1", "T2", "T5"), bench=True)
 def tumbling_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (

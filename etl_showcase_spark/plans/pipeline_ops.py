@@ -46,7 +46,7 @@ SELECT * FROM u
 """
 
 
-@register("merge_upsert_orders", oracle=_UPSERT_ORACLE, tags=("Q3", "J3", "U1"))
+@register("merge_upsert_orders", oracle=_UPSERT_ORACLE, tags=("Q3", "J3", "U1", "T7"))
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     target = o.select(
@@ -92,7 +92,7 @@ SELECT * FROM seed WHERE event_type NOT IN (SELECT event_type FROM existing)
 """
 
 
-@register("seed_insert_event_types", oracle=_SEED_ORACLE, tags=("Q6", "J3"))
+@register("seed_insert_event_types", oracle=_SEED_ORACLE, tags=("Q6", "J3", "S7"))
 def seed_insert_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = (
         table(spark, sf_dir, "events")
@@ -221,7 +221,7 @@ GROUP BY l_returnflag, qty_category
 @register(
     "weather_pipeline_recast",
     oracle=_WEATHER_RECAST_ORACLE,
-    tags=("P3", "P4", "P5", "G1", "G8"),
+    tags=("P3", "P4", "P5", "G1", "G8", "Q5"),
     bench=True,
 )
 def weather_pipeline_recast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -99,6 +99,30 @@ def write_partitioned(
         df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table_name: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+    batch_size: int = 10_000,
+) -> None:
+    """S5/S6: JDBC warehouse sink (the reference's write_to_postgres,
+    spark_jobs/transform_weather.py:166-174). The driver jar is declared
+    via spark.jars.packages at session build (S6); no database exists in
+    this container, so this is API surface with the scale knobs set:
+    batched inserts, and NEVER mode="overwrite" on a large target — the
+    reference's drop-and-recreate staging overwrite (:171) is replaced
+    by append + keyed upsert upstream (merge_upsert*), which is the only
+    load discipline that survives 100 TB.
+    """
+    (
+        df.write.option("batchsize", str(batch_size)).jdbc(
+            url, table_name, mode=mode, properties=properties or {}
+        )
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,
