@@ -87,6 +87,81 @@ def extract_byte_features(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.select("doc_id", media_col).mapInPandas(featurize, out_schema)
 
 
+def decode_media_batch(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Decode plumbing (the real production signature): Arrow batches of
+    (doc_id, media, format) stream through a Python worker; the decoder
+    emits a normalized sample array per payload. Only the deterministic
+    'raw' codec is implemented in this container — any real format hits
+    the NotImplementedError stub exactly where a JPEG/WAV decoder would
+    plug in. Batch shape, schema, and passthrough are production-real.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id LONG, samples ARRAY<DOUBLE>, n_samples INT"
+    fake_fmt = SUPPORTED_FAKE_FORMAT
+
+    def decode(batches):
+        for pdf in batches:
+            out_samples = []
+            out_n = []
+            for buf, fmt in zip(pdf[media_col], pdf["fmt"]):
+                if fmt != fake_fmt:  # the stub boundary
+                    raise NotImplementedError(
+                        f"decode for format {fmt!r} requires a media codec "
+                        "library not present in this environment"
+                    )
+                arr = np.frombuffer(buf, dtype=np.uint8).astype("float64") / 255.0
+                out_samples.append(arr.tolist())
+                out_n.append(len(arr))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "samples": out_samples,
+                    "n_samples": np.asarray(out_n, dtype="int32"),
+                }
+            )
+
+    return df.select(
+        "doc_id", media_col, F.col("media_meta.format").alias("fmt")
+    ).mapInPandas(decode, out_schema)
+
+
+def resize_media(df: DataFrame, out_size: int = 32, media_col: str = "media") -> DataFrame:
+    """Resize plumbing: nearest-neighbor resample of each payload to a
+    fixed out_size sample vector (the image-resize shape on a 1-D
+    signal). One vectorized numpy gather per Arrow batch; the index map
+    floor(i * n / out_size) is the standard nearest-neighbor kernel, so
+    swapping in a 2-D pixel array is a reshape away."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id LONG, resized ARRAY<DOUBLE>, orig_bytes INT"
+
+    def resize(batches):
+        for pdf in batches:
+            res = []
+            orig = []
+            for buf in pdf[media_col]:
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    res.append([0.0] * out_size)
+                else:
+                    idx = (np.arange(out_size) * n // out_size).clip(max=n - 1)
+                    res.append((arr[idx].astype("float64") / 255.0).tolist())
+                orig.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "resized": res,
+                    "orig_bytes": np.asarray(orig, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(resize, out_schema)
+
+
 def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling plumbing: chunk each payload into fixed-size
     "frames" and explode one row per sampled frame (the video

@@ -108,3 +108,33 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_media_columns(table(spark, sf_dir, "documents"))
     return extract_byte_features(d)
+
+
+# ---------------------------------------------------------------------------
+# Decode + resize plumbing (rows-only: byte-level outputs are asserted
+# exactly in tests/test_multimodal.py; the decode stub boundary is a
+# NotImplementedError for any non-'raw' codec).
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_decode_resize", oracle=None, tags=("L5",))
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_media_batch, resize_media
+
+    d = attach_media_columns(table(spark, sf_dir, "documents"))
+    decoded = decode_media_batch(d).select(
+        "doc_id", F.col("n_samples").alias("n_samples")
+    )
+    resized = resize_media(d, out_size=32)
+    return (
+        decoded.join(resized, "doc_id")
+        .select(
+            "doc_id",
+            "n_samples",
+            F.col("orig_bytes").alias("orig_bytes"),
+            F.size("resized").cast("int").alias("resized_dim"),
+            F.round(
+                F.aggregate("resized", F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("resized_sum"),
+        )
+    )

@@ -53,3 +53,51 @@ def test_decode_stub_contract():
     decode_media("raw")  # supported fake codec: no-op
     with pytest.raises(NotImplementedError):
         decode_media("jpeg")
+
+
+def test_decode_and_resize(spark):
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.multimodal import (
+        attach_media_columns,
+        decode_media_batch,
+        resize_media,
+    )
+    from .conftest import SF_SMOKE
+
+    d = attach_media_columns(table(spark, SF_SMOKE, "documents")).limit(50)
+    dec = decode_media_batch(d)
+    row = dec.orderBy("doc_id").first()
+    assert row.n_samples == len(row.samples) > 0
+    assert all(0.0 <= s <= 1.0 for s in row.samples)
+
+    rz = resize_media(d, out_size=16)
+    rows = rz.collect()
+    assert all(len(r.resized) == 16 for r in rows)
+    # nearest-neighbor: resized values are drawn from the original bytes
+    src = {r.doc_id: r.samples for r in dec.collect()}
+    for r in rows:
+        assert all(any(abs(v - s) < 1e-12 for s in src[r.doc_id]) for v in r.resized)
+
+
+def test_decode_stub_raises_for_unknown_codec(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.multimodal import (
+        attach_media_columns,
+        decode_media_batch,
+    )
+    from .conftest import SF_SMOKE
+
+    d = attach_media_columns(table(spark, SF_SMOKE, "documents")).limit(5)
+    bad = d.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.col("media_meta.n_bytes").alias("n_bytes"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        ),
+    )
+    with pytest.raises(Exception, match="NotImplementedError|decode for format"):
+        decode_media_batch(bad).collect()

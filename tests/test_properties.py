@@ -1,0 +1,85 @@
+"""Property-based invariants (hypothesis) for the load-bearing
+library operators — randomized inputs, algebraic assertions. The
+reference has no property testing (SURVEY.md §5.1); this is the
+"stronger, same spirit" upgrade promised in §5.3."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+KV = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(-1000, 1000)),
+    min_size=0,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(target=KV, updates=KV)
+@settings(**_SETTINGS)
+def test_merge_upsert_invariants(spark, target, updates):
+    from etl_showcase_spark.operators.relational import merge_upsert
+
+    # one row per key on each side (upsert precondition)
+    t = {k: v for k, v in target}
+    u = {k: v for k, v in updates}
+    tdf = spark.createDataFrame([(k, v) for k, v in t.items()] or [(None, None)], "k int, v int").filter("k is not null")
+    udf_ = spark.createDataFrame([(k, v) for k, v in u.items()] or [(None, None)], "k int, v int").filter("k is not null")
+    merged = {r.k: r.v for r in merge_upsert(tdf, udf_, ["k"]).collect()}
+    expected = {**t, **u}  # updates win
+    assert merged == expected
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=1, max_size=40), k=st.integers(1, 4))
+@settings(**_SETTINGS)
+def test_topk_per_group_matches_python(spark, rows, k):
+    from etl_showcase_spark.operators.relational import topk_per_group
+
+    df = spark.createDataFrame(rows, "g int, x int")
+    got = topk_per_group(
+        df, ["g"], [F.col("x").desc(), F.col("g").asc()], k, rank_col="rnk"
+    ).collect()
+    by_group: dict[int, list[int]] = {}
+    for g, x in rows:
+        by_group.setdefault(g, []).append(x)
+    expected = {
+        (g, x)
+        for g, xs in by_group.items()
+        for x in sorted(xs, reverse=True)[:k]
+    }
+    # ranks are 1..min(k, |group|) and every returned row is in the true top-k
+    # (ties broken arbitrarily among equal x, so compare value multisets)
+    got_vals: dict[int, list[int]] = {}
+    for r in got:
+        got_vals.setdefault(r.g, []).append(r.x)
+    for g, xs in by_group.items():
+        assert sorted(got_vals.get(g, []), reverse=True) == sorted(xs, reverse=True)[:k]
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_band_keys_agree_across_runs(spark, seed):
+    """The LSH banding must be a pure function of the text — same input
+    in a different row order yields the same candidate pair set."""
+    from etl_showcase_spark.operators.dedup import minhash_lsh_pairs
+
+    import random
+
+    rnd = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = [
+        (i, " ".join(rnd.choices(words, k=rnd.randint(6, 12))))
+        for i in range(12)
+    ]
+    a = spark.createDataFrame(docs, "doc_id long, text string")
+    b = spark.createDataFrame(list(reversed(docs)), "doc_id long, text string")
+    pa = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(a, "doc_id", "text", jaccard_threshold=0.1).collect()}
+    pb = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(b, "doc_id", "text", jaccard_threshold=0.1).collect()}
+    assert pa == pb
