@@ -190,3 +190,142 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderdate").asc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-shaped local-supplier volume: the full 6-relation star join
+# (region→nation→{customer,supplier}→orders→lineitem) with the
+# same-nation customer/supplier constraint — the canonical test of join
+# ordering + broadcast selection over the whole schema.
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1994-01-01'
+  AND o.o_orderdate < DATE '1995-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation ASC
+"""
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=_Q5_ORACLE,
+    tags=("J1", "J2", "G1", "G4", "O1"),
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/W4 depth: ntile quartiles + nth_value + cume_dist over customer
+# balances within each nation (full analytic-function battery with a
+# deterministic total order).
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey AS custkey,
+       c_nationkey AS nationkey,
+       NTILE(4) OVER w AS balance_quartile,
+       CAST(CAST(FIRST_VALUE(c_acctbal) OVER w AS DECIMAL(12,2)) AS DOUBLE) AS top_bal,
+       CAST(CAST(NTH_VALUE(c_acctbal, 2) OVER w AS DECIMAL(12,2)) AS DOUBLE) AS second_bal,
+       CUME_DIST() OVER w AS bal_cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("ntile_balance_quartiles", oracle=_NTILE_ORACLE, tags=("W3", "W4"))
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    w = Window.partitionBy("c_nationkey").orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+        dec2(F.first("c_acctbal").over(wf)).cast("double").alias("top_bal"),
+        dec2(F.nth_value("c_acctbal", 2).over(wf)).cast("double").alias("second_bal"),
+        F.cume_dist().over(w).alias("bal_cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F11 depth: edit-distance fuzzy match (levenshtein is built into both
+# engines) — nearest nation name for a probe list of misspellings.
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH probes AS (
+  SELECT * FROM (VALUES ('CHINNA'), ('JAPPAN'), ('FRANC'), ('BRAZL'), ('KENIA')) p(probe)
+),
+scored AS (
+  SELECT p.probe, n.n_name,
+         levenshtein(p.probe, n.n_name) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY p.probe
+                            ORDER BY levenshtein(p.probe, n.n_name) ASC,
+                                     n.n_name ASC) AS rn
+  FROM probes p CROSS JOIN nation n
+)
+SELECT probe, n_name AS best_match, dist
+FROM scored WHERE rn = 1
+"""
+
+
+@register("fuzzy_nation_match", oracle=_FUZZY_ORACLE, tags=("F11", "J8", "W1"))
+def fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import topk_per_group
+
+    n = table(spark, sf_dir, "nation")
+    probes = spark.createDataFrame(
+        [("CHINNA",), ("JAPPAN",), ("FRANC",), ("BRAZL",), ("KENIA",)], ["probe"]
+    )
+    scored = probes.crossJoin(F.broadcast(n.select("n_name"))).select(
+        "probe", "n_name", F.levenshtein("probe", "n_name").alias("dist")
+    )
+    best = topk_per_group(
+        scored, ["probe"], [F.col("dist").asc(), F.col("n_name").asc()], 1, rank_col="rn"
+    )
+    return best.select("probe", F.col("n_name").alias("best_match"), "dist")
