@@ -149,3 +149,39 @@ def sentence_udtf():
                     yield s, len(s.split())
 
     return SplitSentences
+
+
+def grouped_trend(df, key_col: str, ts_col: str, val_col: str):
+    """Grouped-map applyInPandas (SURVEY.md §2.11): per-key OLS slope of
+    value over time — one pandas frame per key, the API shape for
+    model-ish per-group computations (each group must fit one worker's
+    memory; keys are hash-distributed, so scale-out is by key count).
+
+    Deterministic: rows are sorted inside the group and the closed-form
+    OLS runs on float64 in a fixed order.
+    """
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col])
+        x = pdf[ts_col].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        y = pdf[val_col].to_numpy(dtype="float64")
+        n = len(x)
+        if n < 2 or np.ptp(x) == 0:
+            slope = 0.0
+        else:
+            xm, ym = x.mean(), y.mean()
+            slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "n_obs": [n],
+                "slope_per_hour": [slope * 3600.0],
+            }
+        )
+
+    return df.select(key_col, ts_col, val_col).groupBy(key_col).applyInPandas(
+        fit, "key long, n_obs long, slope_per_hour double"
+    )

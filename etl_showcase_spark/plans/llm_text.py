@@ -255,3 +255,16 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 grouped-map surface: per-user value trend via applyInPandas
+# (rows-only: float OLS order is engine-internal; exactness is asserted
+# against numpy in tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@register("user_value_trend", oracle=None, tags=("W3", "L4"))
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return textops.grouped_trend(ev, "user_id", "ts", "value")

@@ -101,3 +101,34 @@ def test_decode_stub_raises_for_unknown_codec(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|decode for format"):
         decode_media_batch(bad).collect()
+
+
+def test_grouped_trend_matches_numpy(spark):
+    import numpy as np
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.textops import grouped_trend
+    from .conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
+    got = {r.key: r for r in grouped_trend(ev, "user_id", "ts", "value").collect()}
+    sample = ev.filter("user_id % 37 = 0").toPandas()
+    for uid, grp in sample.groupby("user_id"):
+        x = grp["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        y = grp["value"].to_numpy(dtype="float64")
+        if len(x) < 2 or np.ptp(x) == 0:
+            continue
+        xm, ym = x.mean(), y.mean()
+        slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum() * 3600.0
+        assert got[uid].n_obs == len(x)
+        assert abs(got[uid].slope_per_hour - slope) < 1e-9 * max(1.0, abs(slope))
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    from pyspark.sql import functions as F
+    from etl_showcase_spark.catalog import table
+    from .conftest import SF_SMOKE
+
+    o = table(spark, SF_SMOKE, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.05)).first()[0]
+    assert abs(approx - exact) / exact < 0.15  # 3 sigma of rsd=0.05

@@ -59,3 +59,54 @@ def test_stream_upsert_sink_idempotent(spark):
     assert len(first) == len(second)
     expected = batch[["window_start", "event_type", "n_events"]]
     assert not compare_frames(second, expected)
+
+
+def test_multi_microbatch_replay_matches_batch(spark):
+    """Split events into several files and stream them one file per
+    trigger — windowed state must survive across micro-batches and the
+    final complete-mode result must equal the batch twin."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.functions.numeric import dsum
+
+    ev = table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    # 4 files split by hash → arrival interleaves event time (late data
+    # relative to earlier batches exercises watermark bookkeeping)
+    ev.withColumn("part", F.pmod(F.xxhash64("event_id"), F.lit(4))).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "100 days")  # nothing dropped: pure replay
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    qname = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, f"expected multiple micro-batches, got {n_batches}"
+    streamed = spark.table(qname).toPandas()
+    batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
