@@ -329,3 +329,59 @@ def fuzzy_nation_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["probe"], [F.col("dist").asc(), F.col("n_name").asc()], 1, rank_col="rn"
     )
     return best.select("probe", F.col("n_name").alias("best_match"), "dist")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume customers: aggregate-HAVING feeding a
+# semi join (J4) back into a 3-way join + rollup — the "filter by a
+# property of the group" pattern.
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(200 AS DECIMAL(12,2))
+)
+SELECT c.c_name AS name,
+       o.o_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY total_price DESC, orderkey ASC
+LIMIT 20
+"""
+
+
+@register("q18_large_volume_customers", oracle=_Q18_ORACLE, tags=("J4", "G1", "G4", "O3"))
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(200).cast("decimal(12,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            dec2("o_totalprice").cast("double").alias("total_price"),
+        )
+        .agg(F.sum(dec2("l_quantity")).cast("double").alias("total_qty"))
+        .select("name", "orderkey", "orderdate", "total_price", "total_qty")
+        .orderBy(F.col("total_price").desc(), F.col("orderkey").asc())
+        .limit(20)
+    )

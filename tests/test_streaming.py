@@ -110,3 +110,55 @@ def test_multi_microbatch_replay_matches_batch(spark):
     streamed = spark.table(qname).toPandas()
     batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
     assert not compare_frames(streamed, batch)
+
+
+def test_watermark_drops_late_data(spark):
+    """T5 semantics proof: in append mode with a tight watermark, rows
+    arriving in a later micro-batch with event times older than the
+    advanced watermark are dropped from their (closed) windows."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    import time
+    from datetime import datetime
+
+    # Three arrival batches (oldest file first). Spark applies the
+    # late-row filter with a one-batch-lagged watermark, so the drop
+    # needs the late row to arrive two batches after the event that
+    # advanced the watermark past its window.
+    batches = [
+        [(1, datetime(2026, 1, 1, 12), 10.0), (2, datetime(2026, 1, 3, 12), 20.0)],
+        [(4, datetime(2026, 1, 3, 13), 5.0)],
+        [(3, datetime(2026, 1, 1, 13), 99.0)],  # 2 days behind the watermark
+    ]
+    src = tempfile.mkdtemp(prefix="late_src_")
+    schema = "event_id long, ts timestamp, value double"
+    for i, rows_ in enumerate(batches):
+        spark.createDataFrame(rows_, schema).coalesce(1).write.parquet(f"{src}/f={i}")
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    qname = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")  # append only emits CLOSED windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3
+    rows = {r["w"].start.day: (r.n, r.total) for r in spark.table(qname).collect()}
+    # Jan 1 window closed when the watermark passed Jan 2; the late 99.0
+    # arriving afterwards must NOT be in it
+    assert rows.get(1) == (1, 10.0), rows
