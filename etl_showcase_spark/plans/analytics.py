@@ -361,6 +361,12 @@ LIMIT 20
 
 @register("q18_large_volume_customers", oracle=_Q18_ORACLE, tags=("J4", "G1", "G4", "O3"))
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single lineitem pass: because o_orderkey is a grouping key of the
+    # final rollup, the per-group quantity sum IS the per-order sum — so
+    # the HAVING filter and the output measure come from one aggregate,
+    # and the textbook plan's second lineitem scan + second aggregation
+    # (what the SQL spelling literally describes) disappears. The IN
+    # (semi join) is subsumed by the inner join on the filtered rollup.
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -368,20 +374,17 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(dec2("l_quantity")).alias("__q"))
         .filter(F.col("__q") > F.lit(200).cast("decimal(12,2)"))
-        .select("l_orderkey")
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-        .groupBy(
+        .select(
             F.col("c_name").alias("name"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").cast("date").alias("orderdate"),
             dec2("o_totalprice").cast("double").alias("total_price"),
+            F.col("__q").cast("double").alias("total_qty"),
         )
-        .agg(F.sum(dec2("l_quantity")).cast("double").alias("total_qty"))
-        .select("name", "orderkey", "orderdate", "total_price", "total_qty")
         .orderBy(F.col("total_price").desc(), F.col("orderkey").asc())
         .limit(20)
     )

@@ -187,3 +187,65 @@ def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("city")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-rollup maintenance (agg_monthly_weather,
+# sql/create_weather_tables.sql:118-131, kept fresh in O(delta)): build
+# the monthly rollup from pre-1997 history, fold the 1997+ delta in
+# incrementally, and return the result — which must equal the oracle's
+# from-scratch rollup exactly (algebraic decimal sums).
+# ---------------------------------------------------------------------------
+
+_INCR_ROLLUP_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(month FROM o_orderdate) AS order_month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_year, order_month
+"""
+
+
+def _monthly_partials(o) -> DataFrame:
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.sum(dec2("o_totalprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("incremental_monthly_rollup", oracle=_INCR_ROLLUP_ORACLE, tags=("G7", "Q3", "S4"))
+def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import incremental_rollup
+
+    o = table(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="rollup_")
+    base = _monthly_partials(o.filter(F.year("o_orderdate") < 1997))
+    write_partitioned(base, path, ["order_year"])
+    delta = _monthly_partials(o.filter(F.year("o_orderdate") >= 1997))
+    incremental_rollup(
+        spark,
+        path,
+        delta,
+        keys=["order_year", "order_month"],
+        sum_cols=["total_price"],
+        count_col="n_orders",
+        partition_col="order_year",
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "order_year",
+            "order_month",
+            F.col("total_price").cast("double").alias("total_price"),
+            "n_orders",
+        )
+        .orderBy("order_year", "order_month")
+    )

@@ -99,6 +99,52 @@ def write_partitioned(
         df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def incremental_rollup(
+    spark: SparkSession,
+    target_path: str,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str,
+    partition_col: str,
+) -> None:
+    """Incremental materialized-rollup maintenance: fold a delta of
+    partial aggregates into a persisted rollup without recomputing it
+    (the reference's agg_monthly_weather is rebuilt from scratch every
+    run, sql/create_weather_tables.sql:118-131 — O(history) per day; at
+    100 TB the only viable discipline is O(delta)).
+
+    `delta` must be pre-aggregated to the rollup grain with the same
+    sum/count columns (sums are algebraic, so partials merge by
+    addition). Only the partitions the delta touches are read, merged
+    (existing + delta, FULL OUTER on the grain keys, null-safe adds),
+    and dynamically overwritten. `partition_col` must be one of `keys`.
+    """
+    keys = list(keys)
+    assert partition_col in keys, "partition_col must be a grain key"
+    touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    existing = target.filter(F.col(partition_col).isin(touched))
+    e, d = existing.alias("e"), delta.alias("d")
+    # additions widen decimal types (p,s)+(p,s) -> (p+1,s); cast back to
+    # the target's declared types so every partition file stays
+    # schema-identical
+    ttypes = {f.name: f.dataType.simpleString() for f in target.schema.fields}
+    merged = e.join(d, keys, "full_outer").select(
+        *[F.coalesce(f"e.{k}", f"d.{k}").alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"e.{c}"), F.lit(0)) + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            )
+            .cast(ttypes[c])
+            .alias(c)
+            for c in [*sum_cols, count_col]
+        ],
+    )
+    with _dynamic_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
