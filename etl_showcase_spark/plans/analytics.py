@@ -388,3 +388,260 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("orderkey").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6-shaped revenue change: a pure scan-filter-aggregate with three
+# range predicates, all of which must reach the parquet reader as
+# PushedFilters (date + two numeric bands) — at 100 TB this query is
+# row-group pruning or nothing. Decimal product keeps the sum exact.
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_revenue_change", oracle=_Q6_ORACLE, tags=("P8", "P10", "G4"), bench=True)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    lo = F.lit("0.05").cast("decimal(12,2)")
+    hi = F.lit("0.07").cast("decimal(12,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            # bracketing raw-double band reaches the reader as a
+            # PushedFilter (row-group stats pruning); the decimal band is
+            # the exact predicate (the cast blocks its pushdown)
+            & F.col("l_discount").between(0.04, 0.08)
+            & dec2("l_discount").between(lo, hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-shaped returned-item report: who returned the most revenue
+# in a quarter. Two fact joins shuffle on their keys; customer carries
+# its grouping attributes through the aggregate (no re-join after), and
+# nation is a broadcast. Top-20 by revenue.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT c.c_custkey AS custkey,
+       c.c_name AS name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS acctbal,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY custkey, name, acctbal, nation
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("J1", "J2", "G1", "O3"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("custkey", "name", "revenue", "acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12-shaped late-shipment priority split (adapted: the testdata
+# lineitem has no commit/receipt dates or shipmode, so "late" = shipped
+# >60 days after the order date). Conditional two-way count per ship
+# year over the orders⋈lineitem join — the map-side CASE folds into the
+# partial aggregate, so the shuffle carries one row per year.
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+GROUP BY ship_year
+ORDER BY ship_year
+"""
+
+
+@register("q12_late_shipment_priority", oracle=_Q12_ORACLE, tags=("J2", "G6", "P10"))
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-shaped promo-revenue share per month: broadcast part into
+# lineitem, then one aggregate computes both the PROMO-only and the
+# total revenue (filtered-sum pattern); the share is an IEEE double
+# division both engines perform identically on the exact decimal sums.
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT EXTRACT(month FROM l.l_shipdate) AS ship_month,
+       CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+                   AS DOUBLE) AS DOUBLE) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+GROUP BY ship_month
+ORDER BY ship_month
+"""
+
+
+@register("q14_promo_share", oracle=_Q14_ORACLE, tags=("J1", "G6", "F9"))
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    one = F.lit(1).cast("decimal(12,2)")
+    rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum(rev).cast("double")
+            )
+            .cast("double")
+            .alias("promo_share")
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-shaped disjunctive-band revenue (adapted to the columns the
+# testdata part table has: brand + size bands × quantity bands). The
+# OR-of-ANDs predicate straddles the join — brand/size conjuncts push to
+# the part scan, quantity bounds (1..30 overall) push to lineitem, and
+# the residual disjunction evaluates post-join in codegen.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_bands", oracle=_Q19_ORACLE, tags=("J1", "P10", "G4"))
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .agg(
+            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
