@@ -60,47 +60,48 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows = num_hashes // bands
-    # Relational shape end-to-end, shuffle-frugal:
-    # - shingles are hashed to 64-bit BEFORE the explode, so every
-    #   downstream shuffle/join moves 8-byte longs, never 3-word
-    #   strings (Jaccard over the hashed sets equals string-set Jaccard
-    #   up to ~1e-11 collision probability);
-    # - one repartition by doc serves the (__id, g) dedup, the per-doc
-    #   signature aggregate, and the per-doc size count
-    #   (hashpartitioning(__id) satisfies all three clustering
-    #   requirements — no further exchanges).
-    postings = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.transform(
-                    shingles(tokens(F.col(text_col)), shingle_n),
-                    lambda s: F.xxhash64(s),
-                )
-            ).alias("g"),
-        )
-        .repartition(F.col("__id"))
-        .dropDuplicates(["__id", "g"])
-    )
-    # the num_hashes permutations are cheap universal hashes
-    # (a*h+b mod p) over the shingle hash — 31-bit domain keeps a*h
-    # within long range (no ANSI overflow)
+    # Shuffle-frugal shape: the signature stage is entirely per-row
+    # array math (no explode, no repartition, no aggregate) —
+    # shingles are hashed to 64-bit longs once, deduped with
+    # array_distinct inside the row, and each MinHash component is an
+    # array_min over a cheap universal hash (a*h+b mod p; 31-bit domain
+    # keeps a*h within long range — no ANSI overflow). Jaccard over the
+    # hashed sets equals string-set Jaccard up to ~1e-11 collision
+    # probability. The ONLY shuffles in the whole operator are the band
+    # bucket join and the two candidate↔array verification joins.
     p = 2_147_483_647
     rnd = _random.Random(0x5EED)
     coefs = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_hashes)]
-    hbase = F.pmod(F.col("g"), F.lit(p))
-    hashed = postings.select(
+
+    def _perm(a: int, b: int):
+        # closure factory: pyspark inspects lambda arity, so a/b can't
+        # ride along as default arguments
+        return lambda h: F.pmod(F.pmod(h, F.lit(p)) * F.lit(a) + F.lit(b), F.lit(p))
+
+    # repartition BEFORE the heavy per-row math: the signature stage is
+    # CPU-bound but byte-light, so both a single-row-group scan and
+    # AQE's size-based coalescing would serialize it; an explicit
+    # partition count (which AQE respects) keeps every core busy
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).repartition(
+        n_part, F.col("__id")
+    )
+    base = base.select(
         "__id",
+        F.array_distinct(
+            F.transform(
+                shingles(tokens(F.col("__t")), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__sh"),
+    )
+    sig = base.select(
+        "__id",
+        F.size("__sh").alias("__n"),
         *[
-            F.pmod(hbase * F.lit(a) + F.lit(b), F.lit(p)).alias(f"h{i}")
+            F.array_min(F.transform(F.col("__sh"), _perm(a, b))).alias(f"m{i}")
             for i, (a, b) in enumerate(coefs)
         ],
-    )
-    # signature + set size in one aggregate; sizes ride the band join so
-    # no separate size joins are needed later
-    sig = hashed.groupBy("__id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)],
-        F.count(F.lit(1)).alias("__n"),
     )
     banded = sig.select(
         "__id",
@@ -143,21 +144,22 @@ def minhash_lsh_pairs(
         )
         .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
     )
-    # Exact-Jaccard verification only on the candidate pairs, computed
-    # relationally from the posting sets (no array columns ride through
-    # the shuffles): |A∩B| via a posting-posting join restricted to the
-    # candidate pairs; |A| and |B| already rode along from the signature
-    # aggregate.
-    pa = postings.select(F.col("__id").alias("id_a"), F.col("g").alias("g"))
-    pb = postings.select(F.col("__id").alias("id_b"), F.col("g").alias("g"))
+    # Exact-Jaccard verification only on the candidate pairs: join the
+    # (small) candidate list back to the per-doc hashed-shingle arrays
+    # and intersect inside the row. The arrays never ride the 8-way
+    # band explode — only these two joins move them, keyed on doc id,
+    # and only for docs that actually appear in a candidate pair.
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
     inter = (
-        candidates.join(pa, "id_a")
-        .join(pb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_inter"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            "n_a",
+            "n_b",
         )
     )
     jac = F.col("n_inter").cast("double") / (
