@@ -88,7 +88,10 @@ def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(per_order, o.o_orderkey == per_order.l_orderkey)
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            # the join is 1:1 (both sides unique on the order key), so a
+            # plain count equals the oracle's COUNT(DISTINCT) without
+            # the two-phase distinct expansion
+            F.count(F.lit(1)).alias("n_orders"),
             F.sum("__rev").cast("double").alias("revenue"),
         )
     )
