@@ -208,3 +208,51 @@ def first_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_per_key(
         ev, ["user_id", "event_type"], [F.col("ts").asc(), F.col("event_id").asc()]
     ).select("user_id", "event_type", "ts", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# T8: stream-stream interval join twin — purchases matched to same-user
+# clicks in the preceding hour. The streaming version
+# (streaming/jobs.py:stream_click_purchase_join) is a dual-watermark
+# stream-stream inner join whose state eviction is bounded by the
+# 1-hour interval + watermark; this batch twin is the oracle surface.
+# ---------------------------------------------------------------------------
+
+_CLICK_PURCHASE_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id AS user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY purchase_id, click_id
+"""
+
+
+@register("click_purchase_interval_join", oracle=_CLICK_PURCHASE_ORACLE, tags=("J6", "T8"))
+def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+        .orderBy("purchase_id", "click_id")
+    )

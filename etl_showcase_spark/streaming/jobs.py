@@ -57,15 +57,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_available_now(result: DataFrame, name: str) -> DataFrame:
+def _run_available_now(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Run a streaming frame to completion into a memory sink, return
-    the materialized table (complete mode → final state)."""
+    the materialized table (complete mode → final state; append mode →
+    every emitted row, for join/non-aggregate outputs)."""
     spark = result.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
         .queryName(qname)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -246,3 +247,44 @@ def stream_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream-stream interval inner join — purchases matched to
+    same-user clicks in the preceding hour.
+
+    Both sides carry a watermark; with the join's time bound, Spark
+    derives the state-eviction horizon (a click older than watermark +
+    1 hour can never match a future purchase, so its state is dropped)
+    — bounded memory under continuous execution. Inner-join matches
+    emit as found, so append mode streams results without waiting for
+    window closure. Batch twin: plans/events.py
+    click_purchase_interval_join (the oracle surface).
+    """
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return _run_available_now(joined, "stream_ssjoin", mode="append")

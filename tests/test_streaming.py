@@ -162,3 +162,11 @@ def test_watermark_drops_late_data(spark):
     # Jan 1 window closed when the watermark passed Jan 2; the late 99.0
     # arriving afterwards must NOT be in it
     assert rows.get(1) == (1, 10.0), rows
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from etl_showcase_spark.plans.events import click_purchase_interval_join
+
+    streamed = jobs.stream_click_purchase_join(spark, SF_SMOKE).toPandas()
+    batch = click_purchase_interval_join(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
