@@ -249,3 +249,76 @@ def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year", "order_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10: columnar-interchange roundtrip over the two remaining Spark-native
+# file formats — supplier lands as schema-pinned CSV (the classic
+# extract-dump shape), customer as ORC (the other columnar format a
+# warehouse migration typically hands us) — then a join-aggregate proves
+# both landings are value-preserving. The oracle computes the same
+# relation straight from the original parquet.
+# ---------------------------------------------------------------------------
+
+_FORMATS_ORACLE = """
+WITH sc AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1
+),
+cc AS (
+  SELECT c_nationkey,
+         COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS customer_balance
+  FROM customer GROUP BY 1
+)
+SELECT n.n_name AS nation, sc.n_suppliers, cc.n_customers, cc.customer_balance
+FROM nation n
+JOIN sc ON sc.s_nationkey = n.n_nationkey
+JOIN cc ON cc.c_nationkey = n.n_nationkey
+ORDER BY nation
+"""
+
+_SUPPLIER_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_name", T.StringType()),
+        T.StructField("s_nationkey", T.LongType()),
+        T.StructField("s_acctbal", T.DoubleType()),
+    ]
+)
+
+
+@register("csv_orc_landing_roundtrip", oracle=_FORMATS_ORACLE, tags=("S10",))
+def csv_orc_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import read_csv
+
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+
+    csv_path = tempfile.mkdtemp(prefix="supplier_csv_")
+    s.write.mode("overwrite").option("header", "true").csv(csv_path)
+    s_back = read_csv(spark, csv_path, schema=_SUPPLIER_CSV_SCHEMA)
+
+    orc_path = tempfile.mkdtemp(prefix="customer_orc_")
+    c.write.mode("overwrite").orc(orc_path)
+    c_back = spark.read.orc(orc_path)
+
+    # aggregate each side to nation grain BEFORE joining — joining the
+    # raw sides would cross-product suppliers×customers within a nation
+    sc = s_back.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    cc = c_back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec2("c_acctbal")).cast("double").alias("customer_balance"),
+    )
+    return (
+        F.broadcast(n)
+        .join(sc, sc["s_nationkey"] == n["n_nationkey"])
+        .join(cc, cc["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "n_customers",
+            "customer_balance",
+        )
+        .orderBy("nation")
+    )

@@ -66,6 +66,26 @@ def read_json(
     return reader.json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """S10: CSV scan, schema-pinned by default (same discipline as the
+    JSON path — inference would cost a whole extra pass over the data).
+    CSV cannot carry Hive partition columns in the file body, so
+    partitioned CSV landings recover them from the directory layout
+    exactly like parquet/json."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 # ---------------------------------------------------------------------------
 # S4 + §4.4 fix: partitioned sinks with dynamic partition overwrite.
 # The reference overwrites whole staging tables per run
