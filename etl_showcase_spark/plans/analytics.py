@@ -645,3 +645,95 @@ def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-shaped order-priority check (adapted: "late" = some lineitem
+# shipped >60 days after the order date, since the testdata carries no
+# commit/receipt dates). The EXISTS is a left-semi join — the lineitem
+# side reduces to a distinct orderkey set before the shuffle.
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o.o_orderpriority AS priority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+)
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register("q4_order_priority_check", oracle=_Q4_ORACLE, tags=("J4", "G5"))
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # the correlation touches o_orderdate, so the predicate must ride
+    # the join condition (a plain semi join on orderkey would lose it)
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"].cast("date")
+                > F.date_add(o["o_orderdate"].cast("date"), 60)
+            ),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-shaped idle-rich-customers (adapted: no phone country codes
+# in the testdata): customers with above-global-average positive balance
+# and no orders at all — a scalar aggregate subquery feeding a filter,
+# then an anti join against the fact table, rolled up per nation.
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH threshold AS (
+  SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(c.c_acctbal AS DOUBLE) > (SELECT avg_bal FROM threshold)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+@register("q22_idle_rich_customers", oracle=_Q22_ORACLE, tags=("J3", "G2"))
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    # scalar subquery: both engines AVG over the identical double set,
+    # so the threshold is the same IEEE value; the driver-side collect
+    # is a 1-row action, not a distributed anti-pattern
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(F.col("c_acctbal").cast("double")))
+        .collect()[0][0]
+    )
+    return (
+        c.filter(F.col("c_acctbal").cast("double") > F.lit(avg_bal))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("total_balance"),
+        )
+        .orderBy("nation")
+    )
