@@ -1,0 +1,97 @@
+"""Training-data curation operators (SURVEY.md §2.13 extension): the
+selection/splitting/packing layer a large-scale training-data pipeline
+runs between dedup and tokenization.
+
+Determinism discipline: every sampling decision is a pure function of
+the row's key via md5 — no RNG state, no partition-order dependence —
+so samples are reproducible across runs, engines, and cluster sizes,
+and the DuckDB oracle can replay them exactly (md5 is identical
+everywhere). Comparing on the hex-string prefix keeps the predicate
+engine-portable: lexicographic order on hex equals numeric order on
+the underlying bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hash_key(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform sampling key: md5 hex of the row key (+
+    optional salt so independent samples don't correlate)."""
+    return F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt)))
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, keep_hex_below: str, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose hashed key falls below a hex threshold — e.g.
+    ``keep_hex_below="29"`` keeps ~16% (0x29/0x100). Sampling is
+    per-row and shuffle-free; the fraction is exact in expectation and
+    binomial in realization, like any hash sample."""
+    return df.filter(F.substring(hash_key(F.col(key_col), salt), 1, 2) < keep_hex_below)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    train_below: str = "cc",
+    val_below: str = "e6",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic 3-way split (defaults ≈ 80/10/10 via hex
+    thresholds 0xcc≈0.797, 0xe6≈0.898): adds a ``split`` column. A
+    document's split never changes as the corpus grows — the property
+    that prevents train/test leakage across pipeline re-runs."""
+    h = F.substring(hash_key(F.col(key_col), salt), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(h < train_below, "train").when(h < val_below, "val").otherwise("test"),
+    )
+
+
+def per_group_cap(
+    df: DataFrame, group_cols: list[str], key_col: str, cap: int, salt: str = ""
+) -> DataFrame:
+    """Class-balanced downsampling: at most ``cap`` rows per group,
+    chosen by hashed-key order (deterministic, unbiased within group).
+    One shuffle on the group key; the rank is a single window pass."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_key(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming sequence packing: assign documents (in deterministic
+    key order) to fixed token-budget bins — bin i covers the docs whose
+    exclusive running token total lies in [i*budget, (i+1)*budget).
+
+    A doc longer than ``budget`` occupies its bin(s) alone; packing is
+    contiguous, not best-fit (best-fit is inherently sequential — this
+    is the shape that distributes). With ``partition_cols`` the running
+    sum is per-partition (the scale path: a global ORDER BY window is a
+    single-reducer bottleneck; real pipelines pack within shards and
+    the bin id is (shard, local_bin)). Returns the input plus
+    ``bin_id``.
+    """
+    part = partition_cols or []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("bin_id", F.floor(prefix / F.lit(budget)).cast("long"))

@@ -1,0 +1,204 @@
+"""Training-data curation queries (SURVEY.md §2.13, tags L6/L7): the
+selection → split → balance → pack layer over `documents`, plus
+near-dup-cluster resolution via distributed connected components.
+
+Every sampling decision is an md5 function of the row key, so the
+DuckDB oracle replays each sample bit-exactly (no RNG, no
+partition-order dependence) — see operators/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.curation import (
+    deterministic_sample,
+    per_group_cap,
+    sequence_pack,
+    train_val_test_split,
+)
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# L6: deterministic hash sample — ~16% of documents (md5 prefix <
+# 0x29), rolled up per language. Reproducible across runs/engines.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_ORACLE = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|smpl'), 1, 2) < '29'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("deterministic_sample_docs", oracle=_SAMPLE_ORACLE, tags=("L6",))
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", "29", salt="smpl")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: stable train/val/test split (≈80/10/10) — a doc's split never
+# changes as the corpus grows (no leakage across re-runs).
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT CASE WHEN h < 'cc' THEN 'train' WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs
+FROM (
+  SELECT lang, substring(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 2) AS h
+  FROM documents
+)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register("train_val_test_split_counts", oracle=_SPLIT_ORACLE, tags=("L6",))
+def train_val_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6: class-balanced cap — at most 100 docs per language, selected by
+# hashed-key order; per-doc output so the oracle checks the exact
+# selected SET, not just counts.
+# ---------------------------------------------------------------------------
+
+_CAP_ORACLE = """
+SELECT lang, doc_id
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap'), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 100
+ORDER BY lang, doc_id
+"""
+
+
+@register("balanced_lang_cap", oracle=_CAP_ORACLE, tags=("L6",))
+def balanced_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        per_group_cap(d, ["lang"], "doc_id", 100, salt="cap")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7: sequence packing — documents packed into 8192-char bins per
+# language shard (running-prefix assignment; the per-shard window is
+# the scale path, a global ORDER BY would be a single-reducer
+# bottleneck). Bin profile per (lang, bin).
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+SELECT lang, bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         CAST(FLOOR(
+           COALESCE(SUM(n_chars) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 8192.0
+         ) AS BIGINT) AS bin_id
+  FROM documents
+)
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
+@register("sequence_packing_bins", oracle=_PACK_ORACLE, tags=("L7", "W4"))
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        sequence_pack(d, "doc_id", "n_chars", 8192, partition_cols=["lang"])
+        .groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang", "bin_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7: connected components over an edge list — near-dup pairs →
+# duplicate clusters. The edge set here is "consecutive same-user
+# events within 5 minutes", which makes each component a session — so
+# the generic iterative CC operator is oracle-checked against an
+# INDEPENDENT derivation (gap-based sessionization in SQL), the
+# strongest check an iterative algorithm can get.
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 5 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), s AS (
+  SELECT event_id, user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT MIN(event_id) AS component, COUNT(*) AS n_members
+FROM s
+GROUP BY user_id, sid
+ORDER BY component
+"""
+
+
+@register("session_components", oracle=_CC_ORACLE, tags=("L7", "W3"))
+def session_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.graph import connected_components
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_id").isNotNull()
+            & (F.unix_micros("ts") - F.unix_micros("prev_ts") <= 5 * 60 * 1_000_000)
+        )
+        .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
+    )
+    cc = connected_components(edges)
+    # isolated events (singleton sessions) have no edges — they are
+    # their own component
+    labeled = ev.join(cc, ev["event_id"] == cc["id"], "left").select(
+        "event_id", F.coalesce("component", "event_id").alias("component")
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("component")
+    )

@@ -48,6 +48,7 @@ _PLAN_MODULES = (
     "etl_showcase_spark.plans.multimodal",
     "etl_showcase_spark.plans.ingest",
     "etl_showcase_spark.plans.analytics",
+    "etl_showcase_spark.plans.curation",
 )
 
 
