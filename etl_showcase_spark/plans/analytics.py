@@ -737,3 +737,28 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# G10 sketch family beyond HLL: approx_percentile (GK sketch) and a
+# Datasketches HLL roundtrip (sketch_agg → estimate — the mergeable
+# form a 1000-executor rollup would persist). Sketch internals differ
+# per engine, so this is rows-only; tests/test_properties.py bounds the
+# HLL error against exact counts.
+# ---------------------------------------------------------------------------
+
+
+@register("sketch_quantiles_hll", oracle=None, tags=("G10",))
+def sketch_quantiles_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_quantity", F.lit(0.5)).alias("approx_median_qty"),
+            F.approx_percentile("l_quantity", F.lit(0.99)).alias("approx_p99_qty"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+                "approx_n_orders"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -247,3 +247,26 @@ def weather_pipeline_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("revenue").cast("decimal(14,4)")).cast("double").alias("total_revenue"),
         F.max("tax_filled").alias("max_tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P6/F3: wall-clock audit columns (processed_at/loaded_at injection,
+# reference spark_jobs/transform_weather.py:139,160 and NOW() at
+# dags/weather_etl_pipeline.py:180,190). Wall-clock values can't be
+# oracle-compared by design (SURVEY.md §7.4.5) — rows-only check; the
+# test asserts the audit columns are present, non-null, and constant
+# within a run (current_timestamp is fixed per query, not per row).
+# ---------------------------------------------------------------------------
+
+
+@register("audit_timestamp_injection", oracle=None, tags=("P6", "F3"))
+def audit_timestamp_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.current_timestamp().alias("processed_at"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
+            "processed_at_iso"
+        ),
+    )
