@@ -322,3 +322,65 @@ def csv_orc_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# S8: DDL entry point — idempotent CREATE TABLE IF NOT EXISTS + seeded
+# insert through spark.sql (the reference's create_tables task,
+# dags/weather_etl_pipeline.py:162-166 running
+# sql/create_weather_tables.sql:9-131), then a catalog-table read. Runs
+# the DDL TWICE to prove idempotence (the reference re-runs it every
+# DAG cycle). The oracle recomputes the same relation from parquet.
+# ---------------------------------------------------------------------------
+
+_DDL_ORACLE = """
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE EXTRACT(year FROM o_orderdate) = 1997
+GROUP BY status
+ORDER BY status
+"""
+
+
+@register("ddl_table_roundtrip", oracle=_DDL_ORACLE, tags=("S8",))
+def ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    # unique name + explicit fresh LOCATION: a managed table's files
+    # outlive the in-memory catalog entry across sessions, so a fixed
+    # name would hit LOCATION_ALREADY_EXISTS on the second process
+    tbl = f"orders_1997_ddl_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="ddl_tbl_")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {tbl} (
+          o_orderkey BIGINT,
+          o_orderstatus STRING,
+          o_totalprice DOUBLE,
+          o_orderdate DATE
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    # idempotent re-run: second DDL must be a no-op, like the
+    # reference's per-DAG-cycle CREATE TABLE IF NOT EXISTS
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tbl} (o_orderkey BIGINT) USING parquet"
+    )
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+        F.col("o_orderdate").cast("date"),
+    ).write.mode("overwrite").insertInto(tbl)
+    return (
+        spark.table(tbl)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("status")
+    )
