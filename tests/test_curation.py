@@ -64,3 +64,23 @@ def test_sequence_pack_respects_budget_boundaries(spark):
     df = spark.createDataFrame([(1, 60), (2, 60), (3, 60)], ["k", "tok"])
     bins = {r["k"]: r["bin_id"] for r in sequence_pack(df, "k", "tok", 100).collect()}
     assert bins == {1: 0, 2: 0, 3: 1}
+
+
+def test_partial_final_aggregation_g11(spark):
+    # G11: Catalyst splits every groupBy into partial (map-side) and
+    # final HashAggregate around one Exchange — assert the physical
+    # plan carries both, i.e. the shuffle moves pre-aggregated rows
+    import io
+    from contextlib import redirect_stdout
+
+    from etl_showcase_spark.plans.core import q1_pricing_summary
+
+    from .conftest import SF_SMOKE
+
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
