@@ -87,3 +87,38 @@ def gate(name: str, check: Callable[[Context], bool], message: str = "") -> Stag
             raise QualityGateError(message or f"quality gate failed: {name}")
 
     return Stage(name=name, fn=_run)
+
+
+def observe_quality(df, name: str, metrics: Mapping[str, Any]):
+    """Attach free-riding quality metrics to a DataFrame via Spark's
+    Observation API: the metrics are computed DURING the frame's next
+    action, not by a separate pass — the fix for the reference's
+    count()-logging recomputation (SURVEY.md §4.4: the raw JSON is
+    re-read up to 6× for logging actions).
+
+    Returns (observed_df, observation); read ``observation.get`` after
+    the action has run, e.g. inside a downstream gate stage.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *cols), obs
+
+
+def observation_gate(
+    name: str,
+    obs,
+    check: Callable[[Mapping[str, Any]], bool],
+    message: str = "",
+) -> Stage:
+    """Quality gate over observed metrics (Q2's post-load gate shape,
+    reference dags/weather_etl_pipeline.py:195-215, at zero extra
+    passes). Must be sequenced after the stage that runs the action."""
+
+    def _run(ctx: Context) -> None:
+        got = obs.get
+        if not check(got):
+            raise QualityGateError(message or f"observation gate failed: {name}: {got}")
+
+    return Stage(name=name, fn=_run)

@@ -1,12 +1,15 @@
 """Simulate the driver's verify: plain SparkSession (driver's own, untuned),
-import __spark_entry__, smoke entry(), run every queries() entry at sf0.01,
-compare with oracle_sql() via DuckDB."""
+import __spark_entry__, smoke entry(), run every queries() entry at sf0.01
+(override with SPARK_GRAFT_SF_DIR), compare with oracle_sql() via DuckDB."""
+import os
 import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
 import __spark_entry__ as ent
 from etl_showcase_spark.testing import compare_frames
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "UTC")
@@ -21,12 +24,12 @@ assert len(rows) > 0
 qs, osql = ent.queries(), ent.oracle_sql()
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 fails = 0
 for name, fn in sorted(qs.items()):
     try:
-        actual = fn(spark, "/root/testdata/sf0.01").toPandas()
+        actual = fn(spark, SF_DIR).toPandas()
         if name in osql:
             expected = con.execute(osql[name]).fetchdf()
             problems = compare_frames(actual, expected)

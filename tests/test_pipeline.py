@@ -102,3 +102,54 @@ def test_weather_shape_pipeline_end_to_end(spark):
     assert got.groupBy("city", "date").count().filter("count > 1").count() == 0
     # golden value: temp_range is non-negative by construction of the fake feed
     assert got.filter(F.col("temp_range") < 0).count() == 0
+
+
+def test_observation_gate_single_pass(spark, tmp_path):
+    """Quality metrics ride the write action via df.observe — the gate
+    reads them without any second pass over the data."""
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.pipeline import (
+        QualityGateError,
+        Stage,
+        observation_gate,
+        observe_quality,
+        run_pipeline,
+    )
+
+    df = spark.range(100).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+    )
+    observed, obs = observe_quality(
+        df,
+        "load_metrics",
+        {"n_rows": F.count(F.lit(1)), "n_null_v": F.count_if(F.col("v").isNull())},
+    )
+
+    out = str(tmp_path / "obs_out")
+
+    def load(ctx):
+        observed.write.mode("overwrite").parquet(out)
+
+    ctx, report = run_pipeline(
+        [
+            Stage("load", load),
+            observation_gate("rows_present", obs, lambda m: m["n_rows"] > 0),
+        ]
+    )
+    assert report.succeeded == ["load", "rows_present"]
+    assert obs.get == {"n_rows": 100, "n_null_v": 10}
+
+    # a failing gate raises QualityGateError with the metrics in hand
+    df2, obs2 = observe_quality(
+        spark.range(5), "empty_check", {"n": F.count_if(F.col("id") > 100)}
+    )
+    import pytest
+
+    with pytest.raises(QualityGateError):
+        run_pipeline(
+            [
+                Stage("act", lambda ctx: (df2.count(), None)[1]),
+                observation_gate("nonzero", obs2, lambda m: m["n"] > 0),
+            ]
+        )
