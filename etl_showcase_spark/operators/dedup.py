@@ -240,13 +240,19 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 12,
+    max_hamming: int = 3,
     block_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on each of the 4 16-bit
-    chunks (pigeonhole: any pair within hamming distance <= 3*chunks
-    shares at least one exact chunk), then verify the true Hamming
-    distance with bit_count. Returns (id_a, id_b, hamming)."""
+    """SimHash near-dup candidates: block on each of the 64/block_bits
+    chunks, then verify the true Hamming distance with bit_count.
+    Returns (id_a, id_b, hamming).
+
+    Recall guarantee (pigeonhole): with n_blocks chunks, a pair at
+    Hamming distance < n_blocks MUST share at least one exact chunk —
+    so max_hamming <= n_blocks-1 (the default, 3 of 4) gives recall 1.
+    A looser max_hamming still works but is probabilistic-recall AND
+    candidate-heavy: at sf0.1 the 138k hamming<=12 pairs are ~100× the
+    hamming<=3 set — exactly the blowup a 100 TB corpus can't afford."""
     sigs = df.select(
         F.col(id_col).alias("__id"), simhash64(tokens(F.col(text_col))).alias("__sig")
     )

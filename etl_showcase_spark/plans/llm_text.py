@@ -227,7 +227,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_neardup", oracle=None, tags=("L2",))
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=12)
+    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
