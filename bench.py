@@ -21,35 +21,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-
-def _bench_ann(spark, sf_dir):
-    """ANN at bench scale: same operator as ann_cosine_topk but a query
-    set that stays ~100 queries as the corpus grows."""
-    from etl_showcase_spark.catalog import table
-    from etl_showcase_spark.operators.similarity import brute_force_topk
-
-    e = table(spark, sf_dir, "embeddings")
-    n = e.count()
-    stride = max(50, n // 100)
-    queries = e.filter(F.col("vec_id") % stride == 0)
-    return brute_force_topk(queries, e, "vec_id", "vec_id", "embedding", k=10)
-
-
-def _bench_ann_lsh(spark, sf_dir):
-    from etl_showcase_spark.catalog import table
-    from etl_showcase_spark.operators.similarity import lsh_ann_topk
-
-    e = table(spark, sf_dir, "embeddings")
-    n = e.count()
-    stride = max(50, n // 100)
-    queries = e.filter(F.col("vec_id") % stride == 0)
-    return lsh_ann_topk(
-        queries, e, "vec_id", "vec_id", "embedding", k=10, n_planes=4, n_tables=8
-    )
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -66,10 +37,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # registered queries are already scale-aware (stride-capped ANN
+    # query sets, LSH-bucketed near-dup) — bench runs them as registered
     suite = {name: spec.build for name, spec in sorted(bench_specs().items())}
-    # scale-aware overrides (same operators, bounded query sets)
-    suite["ann_cosine_topk"] = _bench_ann
-    suite["ann_lsh_topk"] = _bench_ann_lsh
 
     # JVM/catalog warmup so the first query doesn't pay session startup,
     # plus one tiny mapInPandas so the Python worker pool + Arrow are
@@ -80,12 +50,13 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # best-of-2: the second run reuses compiled codegen and a settled
-    # heap, so min() reports steady-state query cost, not JIT/GC jitter
+    # best-of-3: later runs reuse compiled codegen and a settled heap,
+    # so min() reports steady-state query cost, not JIT/GC jitter (the
+    # pandas-UDF-heavy queries need two warm runs before settling)
     timings: dict[str, float] = {}
     for name, fn in suite.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -74,6 +74,7 @@ def sequence_pack(
     tokens_col: str,
     budget: int,
     partition_cols: list[str] | None = None,
+    global_ok: bool = False,
 ) -> DataFrame:
     """Streaming sequence packing: assign documents (in deterministic
     key order) to fixed token-budget bins — bin i covers the docs whose
@@ -81,12 +82,20 @@ def sequence_pack(
 
     A doc longer than ``budget`` occupies its bin(s) alone; packing is
     contiguous, not best-fit (best-fit is inherently sequential — this
-    is the shape that distributes). With ``partition_cols`` the running
-    sum is per-partition (the scale path: a global ORDER BY window is a
-    single-reducer bottleneck; real pipelines pack within shards and
-    the bin id is (shard, local_bin)). Returns the input plus
+    is the shape that distributes). The running sum is per
+    ``partition_cols`` shard (real pipelines pack within shards and the
+    bin id is (shard, local_bin)); ``partition_cols`` is REQUIRED
+    because an unpartitioned ORDER BY window funnels the entire corpus
+    through one reducer — callers who truly want that (tiny data only)
+    must say so with ``global_ok=True``. Returns the input plus
     ``bin_id``.
     """
+    if not partition_cols and not global_ok:
+        raise ValueError(
+            "sequence_pack without partition_cols is a single-reducer "
+            "global window — pass partition_cols (the scale path) or "
+            "explicitly opt in with global_ok=True for small data"
+        )
     part = partition_cols or []
     w = (
         Window.partitionBy(*part)

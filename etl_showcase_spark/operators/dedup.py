@@ -59,6 +59,12 @@ def minhash_lsh_pairs(
     no quadratic blowup; at 100 TB this is the only viable shape.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); a remainder would silently drop signature "
+            "components and change effective recall"
+        )
     rows = num_hashes // bands
     # Shuffle-frugal shape: the signature stage is entirely per-row
     # array math (no explode, no repartition, no aggregate) —
@@ -176,11 +182,21 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.05,
+    df_max: int | None = 100,
 ) -> DataFrame:
     """L2 exact variant: all pairs sharing >= 1 shingle, scored with
     exact Jaccard over distinct shingle sets (inverted-index join, not
     a cross join — candidate generation is |postings|², bounded by
-    shingle selectivity)."""
+    shingle selectivity).
+
+    df_max is the standard inverted-index frequency cut: a shingle
+    appearing in >= df_max docs contributes df² candidate pairs — one
+    viral boilerplate shingle at corpus scale is a quadratic hot key —
+    so such shingles are removed from the shingle space entirely
+    (posting list, set sizes, and intersections alike). The score is
+    then exact Jaccard over *discriminative* shingles, a deterministic
+    definition both engines replay identically. Pass None to disable
+    (exact classic Jaccard, small corpora only)."""
     # one repartition by doc serves the dedup, the size aggregate, and
     # the size join (all colocated on __id — no further exchanges)
     dedup = (
@@ -191,6 +207,16 @@ def ngram_jaccard_pairs(
         .repartition(F.col("__id"))
         .dropDuplicates(["__id", "g"])
     )
+    if df_max is not None:
+        # the blocklist (hot shingles only) is orders of magnitude
+        # smaller than the posting list — AQE broadcasts the anti join
+        hot = (
+            dedup.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") >= df_max)
+            .select("g")
+        )
+        dedup = dedup.join(hot, "g", "left_anti")
     sizes = dedup.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     postings = dedup.join(sizes, "__id")
     a, b = postings.alias("a"), postings.alias("b")

@@ -68,35 +68,53 @@ def asof_join(
     last-seen right values forward with last(ignorenulls). One shuffle
     on the key, no quadratic candidate pairs, skew-safe under AQE —
     this is the 100 TB-viable plan; a range join would blow up on hot keys.
+
+    All carried values come from ONE right row (they ride a single
+    struct), and ties among right rows sharing (key, ts) break by the
+    struct's own ordering — a deterministic total order, so the result
+    never depends on partition layout.
     """
+    from pyspark.sql import types as T
+
     on = list(on)
     lcols = [c for c in left.columns]
+    rfields = {f.name: f.dataType for f in right.schema.fields}
+    rv_type = T.StructType(
+        [T.StructField(v, rfields[v]) for v in right_vals]
+        + [T.StructField("__rts", rfields[right_ts])]
+    )
     tagged_l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__rv_{v}") for v in right_vals],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
+        F.lit(None).cast(rv_type).alias("__rv"),
     )
     tagged_r = right.select(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) if c not in on else F.col(c) for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(v).alias(f"__rv_{v}") for v in right_vals],
-        F.col(right_ts).alias("__rts"),
+        F.struct(
+            *[F.col(v) for v in right_vals], F.col(right_ts).alias("__rts")
+        ).alias("__rv"),
     )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__rv").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(
         *lcols,
         "__side",
-        *[F.last(F.col(f"__rv_{v}"), ignorenulls=True).over(w).alias(f"{v}{suffix}") for v in right_vals],
-        F.last(F.col("__rts"), ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
+        F.last(F.col("__rv"), ignorenulls=True).over(w).alias("__rvc"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *lcols,
+            *[F.col(f"__rvc.{v}").alias(f"{v}{suffix}") for v in right_vals],
+            F.col("__rvc.__rts").alias(f"{right_ts}{suffix}"),
+        )
+    )
 
 
 def band_join(
@@ -161,7 +179,20 @@ def salted_join(
     operator is for the pathological case (one key = half the table)
     where pre-spreading beats post-hoc splitting, and for non-AQE sinks
     like bucketed writes.
+
+    Only inner/left/left_semi/left_anti are supported: those are
+    identity-preserving under right-side replication (unmatched LEFT
+    rows appear once; replicated right rows only ever match). A
+    right/full outer join would emit each unmatched right row `salt`
+    times — silently wrong — so it raises instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; {how!r} would "
+            "duplicate unmatched right rows across salt replicas"
+        )
     keys = list(keys)
     l = left.withColumn(
         "__salt",

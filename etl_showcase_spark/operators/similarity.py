@@ -289,6 +289,10 @@ def ivf_ann_topk(
         .limit(n_centroids)
         .collect()
     ]
+    # corpora smaller than n_centroids yield fewer seeds — clamp so the
+    # empty-cell fill below never indexes past the seed list
+    n_centroids = min(n_centroids, len(seeds))
+    n_probe = min(n_probe, n_centroids)
     assign1 = _nearest_centroids_udf([[float(x) for x in s] for s in seeds], 1)
     assigned = cv.withColumn("cell", assign1(F.col("c_vec")).getItem(0))
     comp = assigned.select("cell", F.posexplode("c_vec").alias("i", "x"))
@@ -394,6 +398,78 @@ def knn_topk_arrow(
     return topk_per_group(
         pruned, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
     )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 6,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH blocking — the
+    100 TB path (replaces the all-pairs self-join, which is a cartesian
+    product; see neardup_pairs_by_cosine for the small-n exact baseline).
+
+    Plan shape: ids-only bucket postings (one GEMM Arrow pass per side),
+    self-join within (table, bucket) — 2^n_planes buckets per table
+    bound the per-key fanout — candidate-pair dedup on (id_a, id_b),
+    then vectors rejoin ONCE for the exact quantized-cosine verify.
+    No cross join anywhere; every shuffle is keyed.
+
+    Recall is the standard OR-amplified LSH bound
+    1-(1-p^n_planes)^n_tables with p = 1 - theta/pi: ~0.98 at cosine
+    0.9 (real near-dup territory) with the defaults. The bucketing is
+    fully deterministic (literal ±1 planes, exact integer dots), so an
+    independent engine reproduces the exact pair set — the DuckDB
+    oracle in plans/llm_vector.py mirrors it bit-for-bit.
+    """
+    v = df.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__vec")
+    ).withColumn("__nrm", F.sqrt(int_dot(F.col("__vec"), F.col("__vec")).cast("double")))
+    posting = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
+            "tbl", "key"
+        ),
+    )
+    pa = posting.select(F.col("__id").alias("id_a"), "tbl", "key")
+    pb = posting.select(F.col("__id").alias("id_b"), "tbl", "key")
+    cand = (
+        pa.join(pb, ["tbl", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        cand.join(
+            v.select(
+                F.col("__id").alias("id_a"),
+                F.col("__vec").alias("__va"),
+                F.col("__nrm").alias("__na"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col("__id").alias("id_b"),
+                F.col("__vec").alias("__vb"),
+                F.col("__nrm").alias("__nb"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                int_dot(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def neardup_pairs_by_cosine(

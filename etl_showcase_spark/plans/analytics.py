@@ -56,9 +56,9 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = """
 SELECT EXTRACT(year FROM o_orderdate) AS order_year,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
 FROM orders
 GROUP BY 1
 """
@@ -173,9 +173,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
     )
     one = F.lit(1).cast("decimal(12,2)")
+    # customer grows with scale factor — no broadcast hint; AQE picks
+    # broadcast at small SF and falls back to shuffle join at 100×
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_orderdate").cast("date").alias("orderdate"),
@@ -235,11 +237,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     one = F.lit(1).cast("decimal(12,2)")
+    # customer/supplier are sf-proportional: hint only the fixed-size
+    # nation/region dims and let AQE size the rest at runtime
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (li["l_suppkey"] == s["s_suppkey"])
             & (c["c_nationkey"] == s["s_nationkey"]),
         )
@@ -375,9 +379,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec2("l_quantity")).alias("__q"))
         .filter(F.col("__q") > F.lit(200).cast("decimal(12,2)"))
     )
+    # customer is sf-proportional — no broadcast hint, AQE decides
     return (
         o.join(big, o["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             F.col("c_name").alias("name"),
             F.col("o_orderkey").alias("orderkey"),
@@ -503,10 +508,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_ORACLE = """
 SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
@@ -570,8 +575,10 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast("decimal(12,2)")
     rev = dec2("l_extendedprice") * (one - dec2("l_discount"))
     zero = F.lit(0).cast("decimal(25,4)")
+    # part is sf-proportional and unfiltered here — no broadcast hint;
+    # AQE broadcasts while it fits and degrades to shuffle join at 100×
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(F.month("l_shipdate").cast("long").alias("ship_month"))
         .agg(
             (
@@ -634,9 +641,19 @@ def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             & q.between(20, 30)
         )
     )
+    # Per-side implications of the OR-of-ANDs, made explicit so they
+    # reach both parquet scans as pushed filters; the exact disjunction
+    # still evaluates post-join. part shrinks to 3 brands — small enough
+    # that AQE broadcasts it without a hard-coded hint.
+    p_side = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15))
+    )
     one = F.lit(1).cast("decimal(12,2)")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.filter(q.between(1, 30))
+        .join(p.filter(p_side), li["l_partkey"] == p["p_partkey"])
         .filter(band)
         .agg(
             F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))

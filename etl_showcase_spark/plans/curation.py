@@ -29,7 +29,7 @@ from ..registry import register
 _SAMPLE_ORACLE = """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR) || '|smpl'), 1, 2) < '29'
 GROUP BY lang
@@ -118,7 +118,7 @@ def balanced_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_ORACLE = """
 SELECT lang, bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT lang, n_chars,
          CAST(FLOOR(

@@ -155,7 +155,7 @@ WITH marked AS (
 SELECT user_id,
        COUNT(*) AS n_events,
        {sql_dsum("value", "total_value")},
-       SUM(is_new) AS n_sessions
+       CAST(SUM(is_new) AS BIGINT) AS n_sessions
 FROM marked
 GROUP BY user_id
 """

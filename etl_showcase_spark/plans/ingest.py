@@ -40,7 +40,7 @@ from ..sources.io import (
 _LANDING_ORACLE = """
 SELECT r.r_name AS region_name,
        COUNT(*) AS n_nations,
-       SUM(n.n_nationkey) AS key_sum,
+       CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum,
        MIN(n.n_name) AS first_nation
 FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
@@ -167,8 +167,11 @@ def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = http_fanout_source(endpoints)
     parsed = raw.select(F.from_json("payload", WEATHER_RAW_SCHEMA).alias("w"))
+    # extracted_at rides the flatten row-by-row exactly as in the
+    # reference (transform_weather.py:92,103)
     flat = parsed.select(
         F.col("w.city").alias("city"),
+        F.col("w.extracted_at").alias("extracted_at"),
         F.explode(
             F.arrays_zip(
                 F.col("w.daily.time").alias("time"),
@@ -177,13 +180,14 @@ def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w.daily.precipitation_sum").alias("prec"),
             )
         ).alias("d"),
-    ).select("city", "d.time", "d.tmax", "d.tmin", "d.prec")
+    ).select("city", "extracted_at", "d.time", "d.tmax", "d.tmin", "d.prec")
     return (
         flat.groupBy("city")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.round(F.avg("tmax"), 1).alias("avg_tmax"),
             F.round(F.sum("prec"), 1).alias("total_prec"),
+            F.max("extracted_at").alias("last_extracted_at"),
         )
         .orderBy("city")
     )

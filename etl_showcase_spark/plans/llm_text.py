@@ -182,6 +182,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2 exact: n-gram Jaccard near-dup pairs via inverted-index join.
 # ---------------------------------------------------------------------------
 
+# Mirrors ngram_jaccard_pairs(df_max=100): shingles in >= 100 docs are
+# removed from the shingle space (posting list, sizes, intersections)
+# before pairing — the inverted-index hot-key cut. At sf0.01 the max
+# document frequency is 7, so the cut is a no-op on values here while
+# keeping the registered plan's 100 TB shape honest.
 _JACCARD_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id,
@@ -190,24 +195,28 @@ WITH sh AS (
   FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
   WHERE LEN(toks) >= 3
 ),
-post AS (SELECT doc_id, LEN(grams) AS n, UNNEST(grams) AS g FROM sh),
+post0 AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+hot AS (SELECT g FROM post0 GROUP BY g HAVING COUNT(*) >= 100),
+post AS (SELECT p.doc_id, p.g FROM post0 p ANTI JOIN hot h ON p.g = h.g),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM post GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
-         COUNT(*) AS n_inter
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
   FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2
 )
-SELECT id_a, id_b,
-       CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-FROM inter
-WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.05
+SELECT i.id_a, i.id_b,
+       CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
+FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= 0.05
 """
 
 
 @register("ngram_jaccard_neardup", oracle=_JACCARD_ORACLE, tags=("L2",))
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.05)
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, threshold=0.05, df_max=100
+    )
 
 
 # ---------------------------------------------------------------------------

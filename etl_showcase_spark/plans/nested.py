@@ -152,7 +152,10 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLICE_ORACLE = """
 SELECT
   vec_id,
-  embedding[1:4] AS head4,
+  CAST(embedding[1:4][1] AS DOUBLE) AS head_1,
+  CAST(embedding[1:4][2] AS DOUBLE) AS head_2,
+  CAST(embedding[1:4][3] AS DOUBLE) AS head_3,
+  CAST(embedding[1:4][4] AS DOUBLE) AS head_4,
   LIST_CONTAINS(embedding, embedding[1]) AS contains_first
 FROM embeddings
 """
@@ -160,10 +163,20 @@ FROM embeddings
 
 @register("array_slice_contains", oracle=_SLICE_ORACLE, tags=("F12",))
 def array_slice_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slice + membership (F12b).
+
+    The sliced array is unpacked to scalar DOUBLE columns on BOTH sides:
+    the driver's canonicalizer sorts result frames in pandas, which
+    cannot hash raw list cells (round-1 CORRECTNESS error), and JSON
+    serialization of float32 differs between engines (DuckDB renders the
+    full double expansion, Spark the shortest float form). Scalar
+    columns only in oracle-checked output.
+    """
     e = table(spark, sf_dir, "embeddings")
+    sl = F.slice("embedding", 1, 4)
     return e.select(
         "vec_id",
-        F.slice("embedding", 1, 4).alias("head4"),
+        *[F.element_at(sl, i).cast("double").alias(f"head_{i}") for i in range(1, 5)],
         F.array_contains("embedding", F.element_at("embedding", 1)).alias(
             "contains_first"
         ),

@@ -21,6 +21,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    jdbc_packages: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -51,6 +52,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # S6: JDBC driver registration at session build, mirroring the
+    # reference's Postgres bootstrap (transform_weather.py:21-27,
+    # spark.jars.packages=org.postgresql:postgresql:42.6.0). Opt-in via
+    # argument or env because jar resolution needs network access —
+    # write_jdbc/read_jdbc (sources/io.py) require it against a real DB.
+    pkgs = jdbc_packages or os.environ.get("SPARK_GRAFT_JDBC_PACKAGES")
+    if pkgs:
+        builder = builder.config("spark.jars.packages", pkgs)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

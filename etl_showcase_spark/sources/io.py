@@ -31,6 +31,9 @@ WEATHER_RAW_SCHEMA = T.StructType(
         T.StructField("latitude", T.DoubleType()),
         T.StructField("longitude", T.DoubleType()),
         T.StructField("timezone", T.StringType()),
+        # extraction watermark carried from the raw payload
+        # (reference transform_weather.py:40 and flatten :92,103)
+        T.StructField("extracted_at", T.StringType()),
         T.StructField(
             "daily",
             T.StructType(
@@ -234,8 +237,14 @@ def merge_upsert_partitioned(
     existing = target.filter(F.col(partition_col).isin(touched))
     keep = existing.join(updates, on=list(keys), how="left_anti")
     merged = keep.unionByName(updates.select(*keep.columns))
-    # Write via a staged temp subtree? Not needed: dynamic overwrite is
-    # atomic per partition directory through the Hadoop commit protocol.
+    # CAVEAT — commit granularity: the Hadoop protocol commits each
+    # partition DIRECTORY independently, so a driver failure mid-commit
+    # can leave some touched partitions updated and others stale, with
+    # no staging copy to roll back to. Re-running the same batch heals
+    # it (the upsert is idempotent per key), but readers in that window
+    # see mixed versions. Production tables that need an atomic
+    # multi-partition swap should sit behind a table format with a
+    # transactional commit log rather than raw parquet directories.
     with _dynamic_overwrite(spark):
         (
             merged.write.mode("overwrite")
@@ -282,6 +291,7 @@ def _make_fake_fetch() -> Callable[[str], str]:
 
         return (
             '{"city":"%s","latitude":%s,"longitude":%s,"timezone":"UTC",'
+            '"extracted_at":"2026-01-04T00:00:00+00:00",'
             '"daily":{"time":["%s"],"temperature_2m_max":%s,'
             '"temperature_2m_min":%s,"precipitation_sum":%s,'
             '"windspeed_10m_max":%s,"weathercode":%s}}'

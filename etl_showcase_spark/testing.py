@@ -50,9 +50,45 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def driver_strictness_problems(
+    actual: pd.DataFrame, expected: pd.DataFrame
+) -> list[str]:
+    """Checks mirroring the grading driver's stricter behavior.
+
+    Round-1 lesson (CORRECTNESS_r01.json): the driver's value-hash is
+    dtype-sensitive (DuckDB HUGEINT → pandas float64 hash-mismatched a
+    bit-identical Spark bigint), and its canonicalizer sorts raw frames
+    in pandas, which dies on unhashable cells (lists/arrays/dicts).
+    These checks run on the RAW frames, before our own normalization.
+    """
+    problems: list[str] = []
+    shared = sorted(set(actual.columns) & set(expected.columns))
+    for c in shared:
+        ak, ek = actual[c].dtype.kind, expected[c].dtype.kind
+        num = {"i", "u", "f", "b"}
+        if ak != ek and (ak in num or ek in num):
+            problems.append(
+                f"column {c}: dtype kind mismatch spark={actual[c].dtype} "
+                f"oracle={expected[c].dtype} (driver hash is dtype-sensitive)"
+            )
+    for side, df in (("spark", actual), ("oracle", expected)):
+        for c in df.columns:
+            if df[c].dtype == object:
+                bad = df[c].map(
+                    lambda v: isinstance(v, (list, dict, np.ndarray))
+                )
+                if bad.any():
+                    problems.append(
+                        f"column {c} ({side}): unhashable nested values — "
+                        "the driver's pandas sort dies on these; serialize "
+                        "to scalars in oracle-checked output"
+                    )
+    return problems
+
+
 def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame) -> list[str]:
     """Return a list of human-readable mismatch descriptions (empty = pass)."""
-    problems: list[str] = []
+    problems: list[str] = driver_strictness_problems(actual, expected)
     a, e = canonicalize(actual), canonicalize(expected)
     if list(a.columns) != list(e.columns):
         return [f"column mismatch: spark={list(a.columns)} oracle={list(e.columns)}"]

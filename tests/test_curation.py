@@ -3,6 +3,7 @@ asserts — the reference's test pattern, tests/test_spark_transform.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_showcase_spark.operators.curation import (
@@ -62,8 +63,18 @@ def test_per_group_cap_exact(spark):
 def test_sequence_pack_respects_budget_boundaries(spark):
     # tokens 60,60,60 with budget 100: prefix sums 0,60,120 -> bins 0,0,1
     df = spark.createDataFrame([(1, 60), (2, 60), (3, 60)], ["k", "tok"])
-    bins = {r["k"]: r["bin_id"] for r in sequence_pack(df, "k", "tok", 100).collect()}
+    bins = {
+        r["k"]: r["bin_id"]
+        for r in sequence_pack(df, "k", "tok", 100, global_ok=True).collect()
+    }
     assert bins == {1: 0, 2: 0, 3: 1}
+
+
+def test_sequence_pack_requires_partitioning_or_opt_in(spark):
+    # the single-reducer global window must be an explicit choice
+    df = spark.createDataFrame([(1, 60)], ["k", "tok"])
+    with pytest.raises(ValueError, match="single-reducer"):
+        sequence_pack(df, "k", "tok", 100)
 
 
 def test_partial_final_aggregation_g11(spark):

@@ -1,0 +1,100 @@
+"""Static pipeline/plan integrity lint — the reference lints its DAG
+files for orchestration hygiene (reference
+tests/test_dag_integrity.py:13-105: docstrings, no import *, retries
+present, timeout configured); this is the same gate re-targeted at the
+Spark engine's plan modules and pipeline runner. Pure source checks, no
+SparkSession needed.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+PKG = Path(__file__).resolve().parents[1] / "etl_showcase_spark"
+
+
+def _py_files() -> list[Path]:
+    return [p for p in PKG.rglob("*.py") if p.name != "__init__.py"]
+
+
+def test_package_files_exist():
+    assert len(_py_files()) > 10
+
+
+def test_modules_have_docstrings():
+    for p in _py_files():
+        stripped = p.read_text().lstrip()
+        assert stripped.startswith(('"""', "'''", 'r"""')), (
+            f"{p.relative_to(PKG)} missing module docstring"
+        )
+
+
+def test_no_import_star():
+    for p in _py_files():
+        assert "import *" not in p.read_text(), (
+            f"{p.relative_to(PKG)} uses 'import *'"
+        )
+
+
+def test_pipeline_runner_has_retry_and_gate_semantics():
+    # the reference's default_args retries + hard-failing quality_check
+    # (dags/weather_etl_pipeline.py:38-41,195-215) map to Stage.retries
+    # and QualityGateError here — both must stay present
+    src = (PKG / "pipeline.py").read_text()
+    assert "retries" in src
+    assert "retry_delay" in src
+    assert "QualityGateError" in src
+
+
+def test_plans_do_no_datasized_driver_collects():
+    # driver-side .collect() in a plan module means the operator is not
+    # distributed. Allowlist: bounded scalars only (1-row scalar
+    # subquery in analytics.py — q22's global average).
+    allowed = {"analytics.py": 1}
+    for p in (PKG / "plans").glob("*.py"):
+        n = p.read_text().count(".collect()")
+        assert n <= allowed.get(p.name, 0), (
+            f"{p.name} has {n} .collect() calls — plans must stay lazy"
+        )
+
+
+def test_plans_take_sf_dir_not_hardcoded_paths():
+    # every query must read via its sf_dir argument so the driver can
+    # point it at any scale factor; a literal testdata path in code
+    # (not comments) would pin the scale
+    for p in (PKG / "plans").glob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            assert "/root/testdata" not in code, f"{p.name}:{i} hardcodes a data path"
+
+
+def test_every_registered_query_is_tagged_and_unique():
+    from etl_showcase_spark.registry import all_specs
+
+    specs = all_specs()
+    assert len(specs) >= 95
+    for name, spec in specs.items():
+        assert spec.tags, f"{name} has no SURVEY.md §2 tags"
+        assert spec.build is not None
+
+
+def test_oracle_sql_has_no_wall_clock():
+    # wall-clock in oracle-checked output can never hash-match
+    from etl_showcase_spark.registry import all_specs
+
+    for name, spec in all_specs().items():
+        if spec.oracle:
+            low = spec.oracle.lower()
+            assert "current_timestamp" not in low and "now()" not in low, (
+                f"{name} oracle contains wall-clock"
+            )
+
+
+def test_bench_set_is_oracle_or_property_checked():
+    from etl_showcase_spark.registry import all_specs, bench_specs
+
+    specs = all_specs()
+    for name in bench_specs():
+        assert name in specs

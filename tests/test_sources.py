@@ -124,3 +124,34 @@ def test_salted_join_matches_plain_join(spark):
     a = {tuple(r) for r in plain.collect()}
     b = {tuple(r) for r in salted.collect()}
     assert a == b
+
+
+def test_salted_join_left_and_anti_match_plain(spark):
+    from etl_showcase_spark.operators.relational import salted_join
+    from etl_showcase_spark.catalog import table as cat_table
+
+    o = cat_table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    # drop half the customers so left/anti actually exercise unmatched rows
+    c = (
+        cat_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey")
+    )
+    for how in ("left", "left_anti"):
+        plain = {tuple(r) for r in o.join(c, "o_custkey", how).collect()}
+        salted = {tuple(r) for r in salted_join(o, c, ["o_custkey"], how=how, salt=8).collect()}
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    import pytest
+
+    from etl_showcase_spark.operators.relational import salted_join
+    from etl_showcase_spark.catalog import table as cat_table
+
+    o = cat_table(spark, SF_SMOKE, "orders").select("o_custkey")
+    c = cat_table(spark, SF_SMOKE, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(o, c, ["o_custkey"], how=how)
