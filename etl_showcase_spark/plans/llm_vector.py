@@ -86,19 +86,27 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ND_PLANES, _ND_DIM, _ND_TABLES, _ND_THRESH = 6, 64, 8, 0.35
 
 
-def _neardup_lsh_oracle() -> str:
+def _lsh_posting_sql(n_planes: int, dim: int, n_tables: int, src: str = "v") -> str:
+    """UNION ALL of per-table bucket-key selects replaying
+    operators.similarity.lsh_bucket_keys_gemm bit-for-bit: same ±1
+    plane literals (_plane_signs), same exact integer dots, same
+    bit-packing — so DuckDB derives the identical (tbl, key) postings."""
     tables = []
-    for t in range(_ND_TABLES):
+    for t in range(n_tables):
         bits = []
-        for p in range(_ND_PLANES):
-            signs = _plane_signs(t * _ND_PLANES + p, _ND_DIM)
+        for p in range(n_planes):
+            signs = _plane_signs(t * n_planes + p, dim)
             arr = "[" + ",".join(str(s) for s in signs) + "]"
-            w = 1 << (_ND_PLANES - 1 - p)
+            w = 1 << (n_planes - 1 - p)
             bits.append(f"CAST(list_dot_product(qv, {arr}) > 0 AS BIGINT) * {w}")
         tables.append(
-            f"SELECT vec_id, {t} AS tbl, " + " + ".join(bits) + " AS key FROM v"
+            f"SELECT vec_id, {t} AS tbl, " + " + ".join(bits) + f" AS key FROM {src}"
         )
-    postings = "\n  UNION ALL\n  ".join(tables)
+    return "\n  UNION ALL\n  ".join(tables)
+
+
+def _neardup_lsh_oracle() -> str:
+    postings = _lsh_posting_sql(_ND_PLANES, _ND_DIM, _ND_TABLES)
     return f"""
 WITH v AS (
   SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings
@@ -201,18 +209,70 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L3 scale path: hyperplane-LSH bucketed ANN (engine-specific hashing →
-# rows-only; recall vs brute force is property-tested in tests/).
+# L3 scale path: hyperplane-LSH bucketed ANN. The bucketing is the same
+# deterministic integer math as the near-dup plan, so the oracle replays
+# it exactly: postings → within-bucket candidates → exact quantized
+# cosine → row_number top-10. Recall vs brute force is additionally
+# property-tested in tests/.
 # ---------------------------------------------------------------------------
 
+_ANN_LSH_PLANES, _ANN_LSH_TABLES = 4, 8
 
-@register("ann_lsh_topk", oracle=None, tags=("L3",), bench=True)
+
+def _ann_lsh_oracle() -> str:
+    postings = _lsh_posting_sql(_ANN_LSH_PLANES, _ND_DIM, _ANN_LSH_TABLES)
+    return f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+v AS (
+  SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv, SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM v
+),
+posting AS (
+  {postings}
+),
+qpost AS (
+  SELECT p.vec_id, p.tbl, p.key FROM posting p, s WHERE p.vec_id % s.stride = 0
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM qpost q
+  JOIN posting c ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         CAST(list_dot_product(x.qv, y.qv) AS DOUBLE) / (x.nrm * y.nrm) AS cosine
+  FROM cand
+  JOIN n x ON cand.q_id = x.vec_id
+  JOIN n y ON cand.c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+"""
+
+
+@register("ann_lsh_topk", oracle=_ann_lsh_oracle(), tags=("L3",), bench=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     stride = max(50, e.count() // 100)
     queries = e.filter(F.col("vec_id") % stride == 0)
     return lsh_ann_topk(
-        queries, e, "vec_id", "vec_id", "embedding", k=10, n_planes=4, dim=64, n_tables=8
+        queries,
+        e,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=10,
+        n_planes=_ANN_LSH_PLANES,
+        dim=_ND_DIM,
+        n_tables=_ANN_LSH_TABLES,
     )
 
 

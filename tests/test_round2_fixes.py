@@ -1,0 +1,127 @@
+"""Behavior locks for the round-2 review fixes: LSH-bucketed embedding
+near-dup precision/recall vs the all-pairs baseline, the n-gram
+document-frequency cut, as-of join tie-break determinism, IVF centroid
+clamping, and MinHash band-divisibility validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_showcase_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from etl_showcase_spark.operators.relational import asof_join
+from etl_showcase_spark.operators.similarity import (
+    lsh_neardup_pairs,
+    neardup_pairs_by_cosine,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_lsh_neardup_is_exact_subset_of_allpairs(spark):
+    from etl_showcase_spark.catalog import table
+
+    e = table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in neardup_pairs_by_cosine(e, "vec_id", "embedding", 0.35).collect()
+    }
+    bucketed = lsh_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, n_planes=6, dim=64, n_tables=8
+    ).collect()
+    # precision 1: every bucketed pair is a true pair with the identical
+    # exact cosine (the verify step is the same integer arithmetic)
+    for r in bucketed:
+        assert (r.id_a, r.id_b) in exact
+        assert abs(r.cosine - exact[(r.id_a, r.id_b)]) < 1e-12
+    # OR-amplified recall at a LOW threshold (0.35 → p≈0.61/plane) is
+    # modest by design; it must still find a non-trivial share
+    if exact:
+        recall = len(bucketed) / len(exact)
+        assert recall >= 0.15, f"LSH near-dup recall collapsed: {recall}"
+    # determinism: a second run returns the identical pair set
+    again = lsh_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, n_planes=6, dim=64, n_tables=8
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in again} == {(r.id_a, r.id_b) for r in bucketed}
+
+
+def test_ngram_df_cut_drops_hot_shingle_pairs(spark):
+    # 12 docs all share one viral boilerplate sentence; only two share
+    # additional discriminative content
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    extra = "completely unique discriminative content marker"
+    rows = [(i, boiler) for i in range(10)]
+    rows += [(10, boiler + " " + extra), (11, boiler + " " + extra)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    no_cut = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, df_max=None
+        ).collect()
+    }
+    cut = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5, df_max=12
+        ).collect()
+    }
+    # without the cut every boilerplate pair qualifies (quadratic blowup)
+    assert (0, 1) in no_cut and len(no_cut) >= 66
+    # the cut removes shingles present in >= 12 of the 12 docs — i.e.
+    # the boilerplate — leaving only the discriminative pair
+    assert cut == {(10, 11)}
+
+
+def test_asof_join_tiebreak_is_deterministic_and_row_consistent(spark):
+    # two right rows share (key, ts) with CONFLICTING value pairs; the
+    # carried (price, qty) must come from ONE row — the struct-max one —
+    # regardless of partitioning
+    left = spark.createDataFrame([("k", 10)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 5, 100, 1), ("k", 5, 50, 2)], ["key", "ts", "price", "qty"]
+    )
+    for parts in (1, 7):
+        out = asof_join(
+            left.repartition(parts),
+            right.repartition(parts),
+            ["key"],
+            "ts",
+            "ts",
+            ["price", "qty"],
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        # struct order: (price=100, qty=1) > (price=50, qty=2) → the
+        # 100/1 row wins as one unit (never 100/2 or 50/1)
+        assert (r.price_asof, r.qty_asof) == (100, 1)
+
+
+def test_ivf_clamps_centroids_to_corpus_size(spark):
+    from etl_showcase_spark.operators.similarity import ivf_ann_topk
+
+    vecs = [(i, [float(i), 1.0, 0.5, -0.25]) for i in range(5)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = ivf_ann_topk(
+        df, df, "vec_id", "vec_id", "embedding", k=2, n_centroids=16, n_probe=4
+    )
+    assert out.count() > 0  # 5-row corpus, 16 requested centroids: no IndexError
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=30, bands=8)
+
+
+def test_strict_comparator_flags_dtype_and_nested_cells():
+    import pandas as pd
+
+    from etl_showcase_spark.testing import compare_frames
+
+    a = pd.DataFrame({"x": [1, 2]})
+    b = pd.DataFrame({"x": [1.0, 2.0]})
+    assert any("dtype" in p for p in compare_frames(a, b))
+    c = pd.DataFrame({"y": [[1, 2], [3]]})
+    assert any("unhashable" in p for p in compare_frames(c, c.copy()))
