@@ -31,22 +31,45 @@ FULL_WIDTH = {
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    from etl_showcase_spark.registry import bench_specs
+    # --all audits every registered query (slower); default = bench set
+    audit_all = "--all" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    from etl_showcase_spark.registry import all_specs, bench_specs
     from etl_showcase_spark.session import get_spark
 
     spark = get_spark(
         app_name="plan-audit",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # default 100-char metadata truncation cuts ReadSchema mid-
+            # column and breaks width counting
+            "spark.sql.maxMetadataStringLength": "2000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name, spec in sorted(bench_specs().items()):
-        df = spec.build(spark, sf_dir)
+    specs = all_specs() if audit_all else bench_specs()
+    for name, spec in sorted(specs.items()):
+        try:
+            df = spec.build(spark, sf_dir)
+        except Exception as e:  # side-effecting builders may need a sink
+            print(f"{name:28s} SKIP ({type(e).__name__})")
+            continue
         plan = df._jdf.queryExecution().executedPlan().toString()
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        # cartesian check: only the documented all-pairs baselines and
+        # the bounded broadcast-NLJ top-k may cross-join
+        allowed_cartesian = {
+            "embedding_neardup_allpairs",  # small-n oracle baseline by design
+            "join_cross_pairs",  # J8: cross join IS the operator
+        }
+        if "CartesianProduct" in plan and name not in allowed_cartesian:
+            failures.append(name)
+            print(f"{name:28s} CARTESIAN PRODUCT in plan")
+            continue
+        scans = re.findall(r"ReadSchema: struct<([^>\n]*)>", plan)
         widths = [len(s.split(",")) for s in scans if s]
         pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
         # prune check: no scan may read every column of a wide table
