@@ -176,6 +176,105 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Cross-engine-verifiable MinHash-LSH twin of minhash_lsh_pairs.
+
+    Permutation i ranks shingles by md5(f"{i}|" + shingle); the
+    signature component is the MINIMUM hex digest (a string min — a
+    valid MinHash permutation because md5 ordering is a uniform pseudo-
+    random total order). Every step is reproducible in any engine with
+    md5, so the DuckDB oracle replays signatures, band keys, candidate
+    pairs, and the exact-Jaccard verify bit-for-bit — this is the
+    variant that PROVES the banded-LSH pipeline correct; the xxhash64
+    variant is the faster JVM-hash scale path with identical structure.
+
+    Same shuffle shape as minhash_lsh_pairs: per-row signature math,
+    band bucket join, candidate-only verification joins.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .repartition(n_part, F.col("__id"))
+        .select(
+            "__id",
+            F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") >= 1)
+    )
+    sig = base.select(
+        "__id",
+        F.size("__sh").alias("__n"),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
+                )
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    banded = sig.select(
+        "__id",
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left, right = banded.alias("l"), banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

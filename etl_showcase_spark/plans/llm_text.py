@@ -47,8 +47,20 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.select("rep_doc_id", "n_copies", "text")
 
 
-# rows-only twin exercising the operator form (keeps full rows)
-@register("dedup_exact_rows", oracle=None, tags=("L1",))
+# operator-form twin keeping full rows: one representative (lowest
+# doc_id) per exact text — all document columns are scalar, so the
+# DISTINCT-ON spelling oracle-checks the exact surviving row set
+_DEDUP_ROWS_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+@register("dedup_exact_rows", oracle=_DEDUP_ROWS_ORACLE, tags=("L1",))
 def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -230,6 +242,77 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 verifiability twin: md5-permutation MinHash-LSH. Unlike the
+# xxhash64 scale path above, every step (signature minima, band keys,
+# candidates, exact-Jaccard verify) is replayable in DuckDB, so the
+# banded-LSH pipeline itself gets a full hash-checked CORRECTNESS row.
+# ---------------------------------------------------------------------------
+
+_MH_HASHES, _MH_BANDS, _MH_THRESH = 16, 4, 0.3
+
+
+def _minhash_md5_oracle() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(grams, g -> md5('{i}|' || g))) AS m{i}"
+        for i in range(_MH_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, n, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(LEN(list_intersect(x.grams, y.grams)) AS DOUBLE)
+           / (LEN(x.grams) + LEN(y.grams) - LEN(list_intersect(x.grams, y.grams)))
+           AS jaccard
+  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {_MH_THRESH}
+"""
+
+
+@register("minhash_md5_neardup", oracle=_minhash_md5_oracle(), tags=("L2",))
+def minhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs_md5
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_md5(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_MH_THRESH,
     )
 
 

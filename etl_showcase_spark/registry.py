@@ -74,8 +74,9 @@ _R1_VERIFIED = frozenset({
     "seed_insert_event_types", "quality_validate_lineitem",
     "set_operations", "weather_pipeline_recast", "dedup_exact_text",
     "text_quality_stats", "token_counts",
-    # rows-only by design, row count recorded in r1:
-    "audit_timestamp_injection", "dedup_exact_rows",
+    # rows-only by design, row count recorded in r1
+    # (dedup_exact_rows since gained a real oracle, so it re-queues):
+    "audit_timestamp_injection",
 })
 
 

@@ -115,6 +115,26 @@ def test_minhash_rejects_indivisible_bands(spark):
         minhash_lsh_pairs(df, "doc_id", "text", num_hashes=30, bands=8)
 
 
+def test_minhash_md5_finds_planted_neardups(spark):
+    from etl_showcase_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    base = " ".join(words * 6)
+    mutated = " ".join((words * 6)[:-2] + ["zulu", "yankee"])
+    unrelated = " ".join(w + "q" for w in reversed(words * 6))
+    df = spark.createDataFrame(
+        [(1, base), (2, mutated), (3, unrelated), (4, base)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs_md5(
+        df, "doc_id", "text", num_hashes=16, bands=4, jaccard_threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found  # identical docs always collide in every band
+    assert all({r.id_a, r.id_b} != {1, 3} for r in pairs)  # unrelated never verified
+    for r in pairs:
+        assert r.jaccard >= 0.5
+
+
 def test_strict_comparator_flags_dtype_and_nested_cells():
     import pandas as pd
 
