@@ -708,9 +708,12 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-H Q22-shaped idle-rich-customers (adapted: no phone country codes
-# in the testdata): customers with above-global-average positive balance
-# and no orders at all — a scalar aggregate subquery feeding a filter,
-# then an anti join against the fact table, rolled up per nation.
+# in the testdata, and every customer has SOME order, so "idle" means
+# no order since 1998 — otherwise the anti join is vacuously empty and
+# the correctness row proves nothing): customers with above-global-
+# average positive balance and no recent orders — a scalar aggregate
+# subquery feeding a filter, then an anti join against the (filtered)
+# fact table, rolled up per nation.
 # ---------------------------------------------------------------------------
 
 _Q22_ORACLE = """
@@ -724,7 +727,9 @@ SELECT n.n_name AS nation,
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE CAST(c.c_acctbal AS DOUBLE) > (SELECT avg_bal FROM threshold)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND CAST(o.o_orderdate AS DATE) >= DATE '1998-01-01')
 GROUP BY nation
 ORDER BY nation
 """
@@ -735,17 +740,21 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     n = table(spark, sf_dir, "nation")
-    # scalar subquery: both engines AVG over the identical double set,
-    # so the threshold is the same IEEE value; the driver-side collect
-    # is a 1-row action, not a distributed anti-pattern
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg(F.avg(F.col("c_acctbal").cast("double")))
-        .collect()[0][0]
+    # scalar aggregate subquery as a broadcast cross join of the 1-row
+    # aggregate — fully lazy (no driver collect at plan-build time), one
+    # tiny broadcast regardless of scale; both engines AVG the identical
+    # double set so the threshold is the same IEEE value
+    threshold = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("double")).alias("__avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1998-01-01").cast("date")
     )
     return (
-        c.filter(F.col("c_acctbal").cast("double") > F.lit(avg_bal))
-        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal").cast("double") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
         .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
