@@ -135,6 +135,83 @@ def test_minhash_md5_finds_planted_neardups(spark):
         assert r.jaccard >= 0.5
 
 
+def test_lsh_expression_and_gemm_keys_agree(spark):
+    # the SQL oracle mirrors (_lsh_posting_sql) are derived from the
+    # expression-path definition; the registered plans use the Arrow
+    # GEMM path — this pins the two implementations to identical keys
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.similarity import (
+        lsh_bucket_keys,
+        lsh_bucket_keys_gemm,
+        quantize,
+    )
+
+    e = table(spark, SF_SMOKE, "embeddings").limit(60)
+    n_planes, dim, n_tables = 4, 64, 3
+    both = e.select(
+        "vec_id",
+        F.transform(
+            lsh_bucket_keys(quantize(F.col("embedding")), n_planes, dim, n_tables),
+            lambda s: s["key"],
+        ).alias("expr_keys"),
+        lsh_bucket_keys_gemm("embedding", n_planes, dim, n_tables).alias("gemm_keys"),
+    ).collect()
+    assert both
+    for r in both:
+        assert list(r.expr_keys) == list(r.gemm_keys), r.vec_id
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lefts=st.lists(
+            st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        ),
+        rights=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(0, 50),
+                st.integers(-5, 5),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+    )
+    def check(lefts, rights):
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)], ["key", "ts", "lid"]
+        )
+        rdf = spark.createDataFrame(rights, ["key", "ts", "val"])
+        got = {
+            (r.lid): (r.val_asof, r.ts_asof)
+            for r in asof_join(ldf, rdf, ["key"], "ts", "ts", ["val"]).collect()
+        }
+        # pandas reference: backward merge_asof per key, tie-broken to
+        # the struct-max (val, ts) among right rows sharing (key, ts) —
+        # the operator's documented deterministic choice
+        rp = (
+            pd.DataFrame(rights, columns=["key", "ts", "val"])
+            .sort_values(["key", "ts", "val"])
+            .groupby(["key", "ts"], as_index=False)
+            .last()
+        )
+        for i, (k, t) in enumerate(lefts):
+            cand = rp[(rp.key == k) & (rp.ts <= t)]
+            if len(cand):
+                best = cand.iloc[cand.ts.argmax()]
+                assert got[i] == (int(best.val), int(best.ts)), (i, k, t)
+            else:
+                assert got[i] == (None, None), (i, k, t)
+
+    check()
+
+
 def test_strict_comparator_flags_dtype_and_nested_cells():
     import pandas as pd
 
