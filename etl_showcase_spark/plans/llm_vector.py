@@ -63,12 +63,27 @@ WHERE rnk <= 10
 """
 
 
+def _strided_queries(e: DataFrame) -> DataFrame:
+    """Every stride-th vector, stride = max(50, n/100): a query set
+    bounded at ~100 rows however large the corpus grows. The stride is
+    a broadcast 1-row aggregate folded into the plan — no driver-side
+    count() job at build time, and the whole query stays lazy."""
+    stride = e.agg(
+        F.greatest(
+            F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long")
+        ).alias("__stride")
+    )
+    return (
+        e.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("__stride") == 0)
+        .drop("__stride")
+    )
+
+
 @register("ann_cosine_topk", oracle=_ANN_ORACLE, tags=("L3", "J8"), bench=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    stride = max(50, e.count() // 100)
-    queries = e.filter(F.col("vec_id") % stride == 0)
-    res = brute_force_topk(queries, e, "vec_id", "vec_id", "embedding", k=10)
+    res = brute_force_topk(_strided_queries(e), e, "vec_id", "vec_id", "embedding", k=10)
     return res.select("q_id", "c_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
 
 
@@ -261,10 +276,8 @@ WHERE rnk <= 10
 @register("ann_lsh_topk", oracle=_ann_lsh_oracle(), tags=("L3",), bench=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    stride = max(50, e.count() // 100)
-    queries = e.filter(F.col("vec_id") % stride == 0)
     return lsh_ann_topk(
-        queries,
+        _strided_queries(e),
         e,
         "vec_id",
         "vec_id",
@@ -288,8 +301,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_ann_topk
 
     e = table(spark, sf_dir, "embeddings")
-    stride = max(50, e.count() // 100)
-    queries = e.filter(F.col("vec_id") % stride == 0)
     return ivf_ann_topk(
-        queries, e, "vec_id", "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+        _strided_queries(e),
+        e,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=10,
+        n_centroids=16,
+        n_probe=4,
     )
