@@ -185,3 +185,46 @@ def grouped_trend(df, key_col: str, ts_col: str, val_col: str):
     return df.select(key_col, ts_col, val_col).groupBy(key_col).applyInPandas(
         fit, "key long, n_obs long, slope_per_hour double"
     )
+
+
+def grouped_rank_trend(df, key_col: str, ts_col: str, order_col: str, val_col: str):
+    """Grouped-map applyInPandas (SURVEY.md §2.11) with EXACT arithmetic:
+    per-key OLS slope of value over event rank 1..n (rows ordered by
+    (ts, order_col) — a deterministic total order).
+
+    The value column is 2-decimal clean, so it converts to integer
+    cents exactly; every OLS sum is then a Python bigint (no float
+    accumulation, no order sensitivity) and the single final division
+    is IEEE-identical in any engine — which is why this grouped-map
+    Python operator can be hash-checked against a DuckDB oracle, unlike
+    the float-accumulating time-based variant above (grouped_trend).
+    """
+
+    def fit(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_col, order_col])
+        # int(round(...)): numpy scalars would silently fall back to
+        # float accumulation; these must be Python bigints
+        cents = [int(round(float(v) * 100)) for v in pdf[val_col]]
+        n = len(cents)
+        sx = n * (n + 1) // 2
+        sxx = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(cents)
+        sxy = sum((i + 1) * c for i, c in enumerate(cents))
+        num = n * sxy - sx * sy  # exact (cents · rank)
+        den = n * sxx - sx * sx  # exact
+        slope = 0.0 if den == 0 else (num / den) / 100.0
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0]],
+                "n_obs": [n],
+                "slope_per_event": [slope],
+            }
+        )
+
+    return (
+        df.select(key_col, ts_col, order_col, val_col)
+        .groupBy(key_col)
+        .applyInPandas(fit, "key long, n_obs long, slope_per_event double")
+    )

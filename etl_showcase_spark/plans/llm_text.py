@@ -356,7 +356,36 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("user_value_trend", oracle=None, tags=("W3", "L4"))
+# Exact-rank spelling: value (2-dec clean → integer cents) regressed on
+# event rank with bigint sums, so even this PYTHON grouped-map operator
+# hash-matches a SQL oracle — the same closed form over
+# ROW_NUMBER/SUM in DuckDB. Both engines' single final division sees
+# the identical exactly-representable integers.
+_TREND_ORACLE = """
+WITH r AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(i) AS sx, SUM(i * i) AS sxx,
+         SUM(cents) AS sy, SUM(i * cents) AS sxy
+  FROM r GROUP BY user_id
+)
+SELECT user_id AS key,
+       CAST(n AS BIGINT) AS n_obs,
+       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+       END AS slope_per_event
+FROM s
+"""
+
+
+@register("user_value_trend", oracle=_TREND_ORACLE, tags=("W3", "L4"))
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return textops.grouped_trend(ev, "user_id", "ts", "value")
+    return textops.grouped_rank_trend(ev, "user_id", "ts", "event_id", "value")

@@ -102,12 +102,43 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# full feature vectors (rows-only; exact histogram values are asserted
-# in tests/test_multimodal.py)
-@register("multimodal_feature_vectors", oracle=None, tags=("L5",))
+# Full feature VALUES, hash-checked: the 16-bin high-nibble byte
+# histogram is integer counts + one double division per bin, and the
+# payloads are ASCII (byte == code point), so DuckDB reproduces every
+# component exactly from the text characters. The array unpacks to
+# scalar columns for the oracle (driver canonicalizer can't sort
+# list cells); exact array-form values are also pytest-asserted in
+# tests/test_multimodal.py.
+_VEC_ORACLE = """
+WITH b AS (
+  SELECT doc_id, CAST(FLOOR(unicode(c) / 16) AS INT) AS bin
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+  WHERE c <> ''
+),
+t AS (SELECT doc_id, LENGTH(text) AS total FROM documents)
+SELECT t.doc_id,
+       CAST(t.total AS INT) AS n_bytes,
+{cols}
+FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+GROUP BY t.doc_id, t.total
+""".format(
+    cols=",\n".join(
+        "       CAST(COUNT(*) FILTER (bin = {i}) AS DOUBLE)"
+        " / CAST(t.total AS DOUBLE) AS f{i}".format(i=i)
+        for i in range(16)
+    )
+)
+
+
+@register("multimodal_feature_vectors", oracle=_VEC_ORACLE, tags=("L5",))
 def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_media_columns(table(spark, sf_dir, "documents"))
-    return extract_byte_features(d)
+    feats = extract_byte_features(d)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(16)],
+    )
 
 
 # ---------------------------------------------------------------------------
