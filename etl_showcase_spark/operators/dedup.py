@@ -212,15 +212,18 @@ def minhash_lsh_pairs_md5(
         )
         .filter(F.size("__sh") >= 1)
     )
+    def _salted_digest(i: int):
+        # closure factory, NOT a default argument: a two-parameter
+        # lambda would make F.transform pass the array INDEX as the
+        # second argument, silently rebinding the salt
+        prefix = F.lit(f"{i}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     sig = base.select(
         "__id",
         F.size("__sh").alias("__n"),
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))
-                )
-            ).alias(f"m{i}")
+            F.array_min(F.transform(F.col("__sh"), _salted_digest(i))).alias(f"m{i}")
             for i in range(num_hashes)
         ],
     )

@@ -212,6 +212,63 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     check()
 
 
+def test_minhash_md5_matches_python_reference(spark):
+    # end-to-end salt/band regression guard: the operator's pair set
+    # must equal a from-scratch Python replay of the SAME algorithm
+    # (caught a real bug where a two-parameter transform lambda rebound
+    # the salt index to the array-position column — self-consistent
+    # inside Spark, divergent from any external replay)
+    import hashlib
+    import re
+    from itertools import combinations
+
+    from etl_showcase_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    num_hashes, bands, thr = 16, 4, 0.3
+    rows = num_hashes // bands
+
+    def grams_of(t):
+        toks = re.split(r"\s+", t.strip())
+        return list(dict.fromkeys(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )) if len(toks) >= 3 else []
+
+    sigs, gsets = {}, {}
+    for did, t in texts.items():
+        gs = grams_of(t)
+        if not gs:
+            continue
+        gsets[did] = set(gs)
+        sigs[did] = [
+            min(hashlib.md5(f"{i}|{g}".encode()).hexdigest() for g in gs)
+            for i in range(num_hashes)
+        ]
+    buckets = {}
+    for did, m in sigs.items():
+        for b in range(bands):
+            key = (b, hashlib.md5(",".join(m[b * rows : (b + 1) * rows]).encode()).hexdigest())
+            buckets.setdefault(key, []).append(did)
+    expected = set()
+    for members in buckets.values():
+        for a, b in combinations(sorted(members), 2):
+            inter = len(gsets[a] & gsets[b])
+            j = inter / (len(gsets[a]) + len(gsets[b]) - inter)
+            if j >= thr:
+                expected.add((a, b))
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_md5(
+            docs, "doc_id", "text",
+            num_hashes=num_hashes, bands=bands, shingle_n=3, jaccard_threshold=thr,
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_strict_comparator_flags_dtype_and_nested_cells():
     import pandas as pd
 
