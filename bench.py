@@ -54,25 +54,28 @@ def main() -> None:
     # so min() reports steady-state query cost, not JIT/GC jitter (the
     # pandas-UDF-heavy queries need two warm runs before settling)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in suite.items():
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # one broken query must not lose the suite
+            errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline-suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
