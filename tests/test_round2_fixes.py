@@ -269,6 +269,95 @@ def test_minhash_md5_matches_python_reference(spark):
     assert got == expected
 
 
+def test_simhash_matches_python_replay(spark):
+    # replay the bit-vote/sign/pack logic in Python from the same token
+    # hashes (xxhash64 itself is the trusted primitive, fetched from
+    # Spark) — catches any expression-tree drift in the 64-bit unroll
+    from etl_showcase_spark.operators.dedup import simhash64
+    from etl_showcase_spark.operators.textops import tokens
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    rows = d.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda w: F.xxhash64(w)).alias("hs"),
+        simhash64(tokens(F.col("text"))).alias("sig"),
+    ).collect()
+    assert rows
+    for r in rows:
+        sig = 0
+        for b in range(64):
+            vote = sum(1 if ((h >> b) & 1) == 1 else -1 for h in r.hs)
+            if vote > 0:
+                sig |= 1 << b
+        # Spark sig is a signed bigint; compare in unsigned space
+        assert sig & (2**64 - 1) == r.sig & (2**64 - 1), r.doc_id
+
+
+def test_ivf_matches_python_replay(spark):
+    # rebuild the whole IVF index + probe search in numpy from the same
+    # inputs (seed order comes from Spark's xxhash64, the trusted
+    # primitive); the operator's output must match exactly — guards the
+    # deterministic index build the rows-only driver check can't see
+    import numpy as np
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.similarity import ivf_ann_topk
+
+    n_centroids, n_probe, k = 8, 3, 5
+    e = table(spark, SF_SMOKE, "embeddings")
+    rows = e.select(
+        "vec_id", "embedding", F.xxhash64(F.col("vec_id")).alias("h")
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.asarray(r.embedding, dtype="float64") for r in rows])
+    Q = np.floor(V * 1000 + 0.5).astype("int64")
+    order = np.argsort([r.h for r in rows], kind="stable")
+    seeds = Q[order[:n_centroids]].astype("float64")
+
+    def nearest(mat, C, n_out):
+        half = 0.5 * (C * C).sum(axis=1)
+        score = mat @ C.T - half
+        return np.argsort(-score, axis=1, kind="stable")[:, :n_out]
+
+    cell1 = nearest(Q.astype("float64"), seeds, 1)[:, 0]
+    cents = seeds.copy()
+    for c in range(n_centroids):
+        mask = cell1 == c
+        if mask.any():
+            cents[c] = Q[mask].sum(axis=0) / mask.sum()
+    cell = nearest(Q.astype("float64"), cents, 1)[:, 0]
+
+    queries = [i for i, vid in enumerate(ids) if vid % 50 == 0]
+    expected = set()
+    for qi in queries:
+        probes = nearest(Q[qi : qi + 1].astype("float64"), cents, n_probe)[0]
+        cand = [j for j in range(len(ids)) if cell[j] in probes and j != qi]
+        nq = np.sqrt(float(Q[qi] @ Q[qi]))
+        scored = sorted(
+            (
+                (-float(Q[qi] @ Q[j]) / (nq * np.sqrt(float(Q[j] @ Q[j]))), ids[j])
+                for j in cand
+            ),
+        )[:k]
+        for neg_cos, cid in scored:
+            expected.add((ids[qi], cid))
+
+    got = {
+        (r.q_id, r.c_id)
+        for r in ivf_ann_topk(
+            e.filter(F.col("vec_id") % 50 == 0),
+            e,
+            "vec_id",
+            "vec_id",
+            "embedding",
+            k=k,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_strict_comparator_flags_dtype_and_nested_cells():
     import pandas as pd
 
