@@ -1,10 +1,10 @@
 """SparkSession builder with scale-appropriate defaults.
 
 Mirrors the reference's session bootstrap (reference
-spark_jobs/transform_weather.py:21-27) minus the JDBC jar, plus the
-tuning the reference lacked: AQE, dynamic partition overwrite, UTC
-session timezone (reference mixed naive UTC with America/New_York —
-SURVEY.md §7.4.5).
+spark_jobs/transform_weather.py:21-27) including opt-in JDBC driver
+registration, plus the tuning the reference lacked: AQE, dynamic
+partition overwrite, UTC session timezone (reference mixed naive UTC
+with America/New_York — SURVEY.md §7.4.5).
 """
 
 from __future__ import annotations

@@ -178,9 +178,10 @@ def write_jdbc(
 ) -> None:
     """S5/S6: JDBC warehouse sink (the reference's write_to_postgres,
     spark_jobs/transform_weather.py:166-174). The driver jar is declared
-    via spark.jars.packages at session build (S6); no database exists in
-    this container, so this is API surface with the scale knobs set:
-    batched inserts, and NEVER mode="overwrite" on a large target — the
+    via spark.jars.packages at session build (S6) for networked
+    databases; exercised end-to-end in-container against Spark's bundled
+    Derby embedded engine (tests/test_sources.py). Scale knobs: batched
+    inserts, and NEVER mode="overwrite" on a large target — the
     reference's drop-and-recreate staging overwrite (:171) is replaced
     by append + keyed upsert upstream (merge_upsert*), which is the only
     load discipline that survives 100 TB.
@@ -190,6 +191,42 @@ def write_jdbc(
             url, table_name, mode=mode, properties=properties or {}
         )
     )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_name: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S5: JDBC source. Without partitioning options the whole table
+    arrives through ONE connection on one task — fine for dims, wrong
+    for facts; pass (partition_column, lower/upper bound,
+    num_partitions) so executors open parallel range-partitioned
+    cursors, which is the only JDBC read shape that scales.
+
+    Exercised end-to-end against the Derby embedded database that ships
+    with Spark (tests/test_sources.py) — same API against Postgres with
+    the driver registered at session build (session.py jdbc_packages,
+    reference transform_weather.py:21-27).
+    """
+    reader = spark.read
+    opts = dict(properties or {})
+    if partition_column is not None:
+        return reader.jdbc(
+            url,
+            table_name,
+            column=partition_column,
+            lowerBound=lower_bound,
+            upperBound=upper_bound,
+            numPartitions=num_partitions or 8,
+            properties=opts,
+        )
+    return reader.jdbc(url, table_name, properties=opts)
 
 
 def write_bucketed(

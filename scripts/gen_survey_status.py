@@ -22,7 +22,9 @@ Every §2 operator ID mapped to its registered driver-contract queries
 (`__spark_entry__.queries()`); `*` marks rows-only checks (no SQL
 oracle — engine-specific hashing/streaming/Python ops, property-tested
 in `tests/` instead). Library surfaces without a query of their own:
-S5/S6 JDBC sink (`sources/io.py:write_jdbc`), S8 DDL/`saveAsTable`
+S5/S6 JDBC source+sink (`sources/io.py:read_jdbc`/`write_jdbc`,
+roundtrip-tested in-container against Spark's bundled Derby embedded
+database), S8 DDL/`saveAsTable`
 (`sources/io.py:write_bucketed`), Q4 retries (`pipeline.py`), T7
 exactly-once sink (`streaming/jobs.py:stream_upsert_to_parquet`,
 replay-tested), custom stateful operator
