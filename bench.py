@@ -62,9 +62,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
         except Exception as e:  # one broken query must not lose the suite
             errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
+        # keep any completed repetition's timing so a late failure can
+        # never make the headline total look FASTER than a healthy run
+        if best != float("inf"):
+            timings[name] = round(best, 3)
 
     out = {
         "metric": "headline-suite wall time",

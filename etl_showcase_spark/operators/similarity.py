@@ -290,7 +290,12 @@ def ivf_ann_topk(
         .collect()
     ]
     # corpora smaller than n_centroids yield fewer seeds — clamp so the
-    # empty-cell fill below never indexes past the seed list
+    # empty-cell fill below never indexes past the seed list; an empty
+    # corpus has no index to build and trivially no neighbors
+    if not seeds:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rnk int"
+        )
     n_centroids = min(n_centroids, len(seeds))
     n_probe = min(n_probe, n_centroids)
     assign1 = _nearest_centroids_udf([[float(x) for x in s] for s in seeds], 1)
@@ -480,10 +485,16 @@ def neardup_pairs_by_cosine(
 ) -> DataFrame:
     """L1-by-embedding: all pairs with quantized cosine >= threshold.
     Exact all-pairs form (the oracle-checkable baseline); swap in
-    lsh_ann_topk buckets for the approximate scale path."""
-    v = df.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__vec"))
+    lsh_neardup_pairs for the bucketed scale path. Norms are computed
+    once per ROW before pairing, so the O(n²) pair loop pays exactly
+    one integer dot product per pair."""
+    v = df.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__vec")
+    ).withColumn("__nrm", F.sqrt(int_dot(F.col("__vec"), F.col("__vec")).cast("double")))
     a, b = v.alias("a"), v.alias("b")
-    cos = quantized_cosine(F.col("a.__vec"), F.col("b.__vec"))
+    cos = int_dot(F.col("a.__vec"), F.col("b.__vec")).cast("double") / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     return (
         a.join(b, F.col("a.__id") < F.col("b.__id"))
         .select(

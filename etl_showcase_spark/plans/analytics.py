@@ -718,7 +718,7 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH threshold AS (
-  SELECT AVG(CAST(c_acctbal AS DOUBLE)) AS avg_bal
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0
 )
 SELECT n.n_name AS nation,
@@ -742,10 +742,13 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     # scalar aggregate subquery as a broadcast cross join of the 1-row
     # aggregate — fully lazy (no driver collect at plan-build time), one
-    # tiny broadcast regardless of scale; both engines AVG the identical
-    # double set so the threshold is the same IEEE value
+    # tiny broadcast regardless of scale. The threshold is an exact
+    # DECIMAL sum divided once — a double AVG would be summation-order
+    # dependent across partition layouts and engines
     threshold = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg(F.col("c_acctbal").cast("double")).alias("__avg_bal")
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "__avg_bal"
+        )
     )
     recent = o.filter(
         F.col("o_orderdate").cast("date") >= F.lit("1998-01-01").cast("date")

