@@ -120,11 +120,14 @@ def stream_dedup_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type", "ts", "event_id"
     )
-    spark_q = dedup.writeStream.format("memory")
-    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = spark_q.queryName(qname).outputMode("append").trigger(availableNow=True).start()
-    q.awaitTermination()
-    return ev.sparkSession.table(qname)
+    # Contract scope: the keyset equality with the batch twin holds for
+    # THIS single-file availableNow replay (one micro-batch sees all
+    # data). Under continuous multi-batch execution
+    # dropDuplicatesWithinWatermark re-emits keys whose state aged past
+    # the watermark — that is its documented semantics (bounded state in
+    # exchange for horizon-scoped dedup), not an equality with global
+    # batch dedup.
+    return _run_available_now(dedup, "stream_dedup", mode="append")
 
 
 def stream_user_profile_state(
@@ -169,7 +172,8 @@ def stream_user_profile_state(
                     n_sessions += 1
                 last_ns = int(t)
                 n += 1
-                cents += int(round(v * 100))
+                if v == v:  # null value -> NaN here; SUM skips nulls,
+                    cents += int(round(v * 100))  # so must the state
         state.update((n, cents, n_sessions, last_ns))
         yield pd.DataFrame(
             {
@@ -187,16 +191,15 @@ def stream_user_profile_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    qname = f"stream_profile_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(qname)
+    emitted = _run_available_now(out, "stream_profile", mode="update")
+    # the update-mode memory sink is an EMISSION LOG: one row per user
+    # per micro-batch that touched it. The current profile is the
+    # latest emission — n_events is strictly monotone per user, so
+    # "latest" has a deterministic order — which makes this correct for
+    # any number of micro-batches, not just the single-file replay.
+    from ..operators.relational import latest_per_key
+
+    return latest_per_key(emitted, ["user_id"], [F.col("n_events").desc()])
 
 
 def stream_upsert_to_parquet(
@@ -229,19 +232,27 @@ def stream_upsert_to_parquet(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         s = batch_df.sparkSession
         try:
             s.read.parquet(target_dir).schema  # probe: does the target exist?
-        except Exception:  # first batch: no target yet
+        except AnalysisException:  # first batch: no target yet — any
+            # OTHER read failure (permissions, corrupt footer) must
+            # fail the batch for retry, not masquerade as first-batch
             write_partitioned(batch_df, target_dir, ["window_start"])
             return
         merge_upsert_partitioned(
             s, target_dir, batch_df, ["window_start", "event_type"], "window_start"
         )
 
+    # update mode: each micro-batch delivers only the windows it
+    # CHANGED, so the merge genuinely touches O(batch) partitions and
+    # the watermark can evict closed-window state — complete mode would
+    # re-emit the whole table every batch and hold state forever
     q = (
         agg.writeStream.foreachBatch(merge_batch)
-        .outputMode("complete")
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
