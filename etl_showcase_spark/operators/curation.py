@@ -20,8 +20,13 @@ from pyspark.sql.window import Window
 
 def hash_key(key: Column, salt: str = "") -> Column:
     """Deterministic uniform sampling key: md5 hex of the row key (+
-    optional salt so independent samples don't correlate)."""
-    return F.md5(F.concat_ws("|", key.cast("string"), F.lit(salt)))
+    optional salt so independent samples don't correlate).
+
+    NULL keys hash to NULL (F.concat propagates null like SQL ``||``),
+    matching the DuckDB oracle spelling ``md5(key || '|salt')`` — a
+    null-skipping concat would collapse every null-key row onto ONE
+    hash and move them as a fully-correlated block."""
+    return F.md5(F.concat(key.cast("string"), F.lit(f"|{salt}")))
 
 
 def deterministic_sample(
@@ -30,7 +35,14 @@ def deterministic_sample(
     """Keep rows whose hashed key falls below a hex threshold — e.g.
     ``keep_hex_below="29"`` keeps ~16% (0x29/0x100). Sampling is
     per-row and shuffle-free; the fraction is exact in expectation and
-    binomial in realization, like any hash sample."""
+    binomial in realization, like any hash sample. Rows with NULL keys
+    are dropped (null comparison is never true), as in the SQL twin."""
+    if len(keep_hex_below) != 2 or keep_hex_below != keep_hex_below.lower():
+        raise ValueError(
+            f"keep_hex_below must be 2 lowercase hex chars (md5 output is "
+            f"lowercase; uppercase sorts before digits' letters and silently "
+            f"skews the fraction): got {keep_hex_below!r}"
+        )
     return df.filter(F.substring(hash_key(F.col(key_col), salt), 1, 2) < keep_hex_below)
 
 
@@ -56,8 +68,10 @@ def per_group_cap(
     df: DataFrame, group_cols: list[str], key_col: str, cap: int, salt: str = ""
 ) -> DataFrame:
     """Class-balanced downsampling: at most ``cap`` rows per group,
-    chosen by hashed-key order (deterministic, unbiased within group).
-    One shuffle on the group key; the rank is a single window pass."""
+    chosen by hashed-key order (deterministic, unbiased within group —
+    unique within the group: rows tying on BOTH hash and key are
+    identical in the sort and interchangeable). One shuffle on the
+    group key; the rank is a single window pass."""
     w = Window.partitionBy(*group_cols).orderBy(
         hash_key(F.col(key_col), salt), F.col(key_col)
     )
@@ -80,15 +94,22 @@ def sequence_pack(
     key order) to fixed token-budget bins — bin i covers the docs whose
     exclusive running token total lies in [i*budget, (i+1)*budget).
 
-    A doc longer than ``budget`` occupies its bin(s) alone; packing is
-    contiguous, not best-fit (best-fit is inherently sequential — this
-    is the shape that distributes). The running sum is per
-    ``partition_cols`` shard (real pipelines pack within shards and the
-    bin id is (shard, local_bin)); ``partition_cols`` is REQUIRED
-    because an unpartitioned ORDER BY window funnels the entire corpus
-    through one reducer — callers who truly want that (tiny data only)
-    must say so with ``global_ok=True``. Returns the input plus
-    ``bin_id``.
+    Packing is contiguous by exclusive running total, not best-fit
+    (best-fit is inherently sequential — this is the shape that
+    distributes): a doc is assigned to the bin its PREFIX total falls
+    in, so a doc straddling a boundary overflows its bin, and bin
+    content is bounded by budget + max single-doc length, not by budget
+    alone. Consumers needing a hard cap must split oversized docs
+    upstream. Determinism requires ``key_col`` to be unique within each
+    shard (duplicate keys tie in the sort; ``tokens_col`` is a
+    secondary tie-break so equal (key, tokens) rows — which are
+    interchangeable — can never flip bin assignments). The running sum
+    is per ``partition_cols`` shard (real pipelines pack within shards
+    and the bin id is (shard, local_bin)); ``partition_cols`` is
+    REQUIRED because an unpartitioned ORDER BY window funnels the
+    entire corpus through one reducer — callers who truly want that
+    (tiny data only) must say so with ``global_ok=True``. Returns the
+    input plus ``bin_id``.
     """
     if not partition_cols and not global_ok:
         raise ValueError(
@@ -99,8 +120,8 @@ def sequence_pack(
     part = partition_cols or []
     w = (
         Window.partitionBy(*part)
-        .orderBy(F.col(key_col))
+        .orderBy(F.col(key_col), F.col(tokens_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    return df.withColumn("bin_id", F.floor(prefix / F.lit(budget)).cast("long"))
+    return df.withColumn("bin_id", F.floor(prefix / F.lit(budget)))

@@ -32,6 +32,8 @@ def connected_components(
     check — the only driver-side value is the single changed-row count
     per round, never data.
     """
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -74,4 +76,15 @@ def connected_components(
         labels = doubled
         if changed == 0:
             break
+    else:
+        # exhausting the round budget without convergence means some
+        # component carries MULTIPLE labels — silently returning would
+        # hand the dedup pipeline several "canonical" representatives
+        # of one duplicate cluster
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — "
+            "O(log diameter) rounds suffice, so this graph's diameter "
+            "exceeds ~2^{max_iter}"
+        )
     return labels.select("id", F.col("label").alias("component"))

@@ -51,13 +51,15 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (DuckDB 1.0 has no BLOB substring, so the oracle derives each frame's
 # length arithmetically from the payload size — equivalent for any
-# payload, and the Spark side still exercises real binary slicing.)
+# payload, and the Spark side still exercises real binary slicing.
+# Empty payloads have zero frames on both sides.)
 _FRAMES_ORACLE = """
 WITH offs AS (
   SELECT doc_id,
          octet_length(encode(text)) AS n,
-         unnest(generate_series(1, GREATEST(octet_length(encode(text)), 1), 64)) AS i
+         unnest(generate_series(1, octet_length(encode(text)), 64)) AS i
   FROM documents
+  WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id,
        CAST(i AS INT) AS frame_offset,
