@@ -78,6 +78,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # session-wide by necessity: the conf is read at SCAN time, so
+        # restoring it after this call would break the returned (lazy)
+        # frame. Side effect: later parquet reads of other
+        # TIMESTAMP(NANOS) files in this session also get bigint nanos
+        # instead of an analysis error — acceptable for this engine's
+        # sessions, where events is the only nanos source.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
@@ -92,10 +98,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         import os
 
         slots = spark.sparkContext.defaultParallelism
-        try:  # free metadata check — never a Spark job
-            small = os.path.getsize(path) < slots * 8 * 1024 * 1024
-        except OSError:  # non-local path (real lake): many files, skip
-            small = False
+        # free metadata check — never a Spark job. Applies ONLY to a
+        # single local file: a directory-shaped dataset would report
+        # its inode size (~4KB) and misclassify a multi-GB table as
+        # small, injecting a full shuffle on every scan.
+        small = (
+            os.path.isfile(path)
+            and os.path.getsize(path) < slots * 8 * 1024 * 1024
+        )
         if small:
             df = df.repartition(slots)
     return df

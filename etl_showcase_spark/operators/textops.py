@@ -23,8 +23,11 @@ CHAR_MOD = 2_147_483_647
 
 
 def tokens(col: Column | str) -> Column:
+    # the empty-string filter matters: split(trim(''), '\s+') returns
+    # [''], which would count empty/whitespace-only documents as having
+    # ONE token and let them through min-token quality gates
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), TOKEN_RE)
+    return F.filter(F.split(F.trim(c), TOKEN_RE), lambda t: t != "")
 
 
 def shingles(tok: Column, n: int) -> Column:
@@ -58,7 +61,13 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         "n_chars": F.length(c),
         "n_tokens": n_tok,
         "n_distinct_tokens": F.size(F.array_distinct(tok)),
-        "avg_token_len": (F.length(c) - (n_tok - 1)).cast("double") / n_tok,
+        # true mean token length (sum of token lengths / count) — the
+        # chars-minus-separators shortcut assumed single-space
+        # separation and counted whitespace runs as token mass
+        "avg_token_len": F.aggregate(
+            tok, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double")
+        / n_tok,
         "distinct_ratio": F.size(F.array_distinct(tok)).cast("double") / n_tok,
         "stopword_hits": n_stop,
         "punct_marks": F.regexp_count(c, F.lit(r"[^\w\s]")),
@@ -156,6 +165,8 @@ def grouped_trend(df, key_col: str, ts_col: str, val_col: str):
     value over time — one pandas frame per key, the API shape for
     model-ish per-group computations (each group must fit one worker's
     memory; keys are hash-distributed, so scale-out is by key count).
+    The output schema declares ``key`` as bigint — key_col must be an
+    integral column (as must grouped_rank_trend's below).
 
     Deterministic: rows are sorted inside the group and the closed-form
     OLS runs on float64 in a fixed order.
@@ -204,17 +215,26 @@ def grouped_rank_trend(df, key_col: str, ts_col: str, order_col: str, val_col: s
         import pandas as pd
 
         pdf = pdf.sort_values([ts_col, order_col])
-        # int(round(...)): numpy scalars would silently fall back to
-        # float accumulation; these must be Python bigints
-        cents = [int(round(float(v) * 100)) for v in pdf[val_col]]
-        n = len(cents)
+        n = len(pdf)
         sx = n * (n + 1) // 2
         sxx = n * (n + 1) * (2 * n + 1) // 6
-        sy = sum(cents)
-        sxy = sum((i + 1) * c for i, c in enumerate(cents))
+        sy = 0
+        sxy = 0
+        for i, v in enumerate(pdf[val_col]):
+            if v != v:  # NULL arrives as NaN; SQL SUM skips it while
+                continue  # the row keeps its rank — mirror exactly
+            # int(round(...)): numpy scalars would silently fall back
+            # to float accumulation; these must be Python bigints
+            c = int(round(float(v) * 100))
+            sy += c
+            sxy += (i + 1) * c
         num = n * sxy - sx * sy  # exact (cents · rank)
         den = n * sxx - sx * sx  # exact
-        slope = 0.0 if den == 0 else (num / den) / 100.0
+        # float(num)/float(den), NOT num/den: the oracle casts each
+        # operand to DOUBLE before dividing, and for |num| > 2^53
+        # Python's correctly-rounded bigint division would differ in
+        # the last ulp from double÷double
+        slope = 0.0 if den == 0 else (float(num) / float(den)) / 100.0
         return pd.DataFrame(
             {
                 "key": [pdf[key_col].iloc[0]],

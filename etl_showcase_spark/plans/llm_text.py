@@ -24,8 +24,12 @@ from ..operators.dedup import (
 )
 from ..registry import register
 
-# DuckDB token expression mirroring textops.tokens (regex whitespace split).
-_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+# DuckDB token expression mirroring textops.tokens (regex whitespace
+# split, empty strings filtered — split of an empty string yields ['']
+# in both engines, which would count empty docs as one-token docs).
+_SQL_TOKS = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+)
 
 # ---------------------------------------------------------------------------
 # L1: exact dedup — representative (lowest doc_id) per distinct text.
@@ -78,7 +82,8 @@ SELECT
   LENGTH(text) AS n_chars_measured,
   CAST(LEN(toks) AS INT) AS n_tokens,
   CAST(LEN(list_distinct(toks)) AS INT) AS n_distinct_tokens,
-  CAST(LENGTH(text) - (LEN(toks) - 1) AS DOUBLE) / LEN(toks) AS avg_token_len,
+  CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+    / LEN(toks) AS avg_token_len,
   CAST(LEN(list_distinct(toks)) AS DOUBLE) / LEN(toks) AS distinct_ratio,
   CAST(LEN(list_intersect(list_distinct(toks),
        ['the','a','of','and','to','in'])) AS INT) AS stopword_hits,

@@ -13,7 +13,6 @@ overwrite instead of full-table rebuild.
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator, Sequence
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,15 +97,16 @@ def read_csv(
 # ---------------------------------------------------------------------------
 
 
-@contextmanager
-def _dynamic_overwrite(spark: SparkSession):
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+def _touched_partition_filter(col_name: str, touched: list):
+    """Null-safe membership test for partition pruning: ``isin`` never
+    matches NULL, so a plain isin(touched) would EXCLUDE existing rows
+    of the null partition from the merge while dynamic overwrite still
+    rewrites __HIVE_DEFAULT_PARTITION__ — silently deleting them."""
+    non_null = [t for t in touched if t is not None]
+    cond = F.col(col_name).isin(non_null) if non_null else F.lit(False)
+    if any(t is None for t in touched):
+        cond = cond | F.col(col_name).isNull()
+    return cond
 
 
 def write_partitioned(
@@ -117,9 +117,17 @@ def write_partitioned(
 ) -> None:
     """Hive-style partitioned sink (the raw/weather/{ds}/ landing shape,
     dags/weather_etl_pipeline.py:55-56). Overwrite touches only the
-    partitions present in ``df``."""
-    with _dynamic_overwrite(df.sparkSession):
-        df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+    partitions present in ``df``. The dynamic mode rides the WRITER as
+    an option — never session conf, which a concurrent writer's restore
+    could flip back to 'static' mid-plan and turn a partition-scoped
+    write into a full-path delete."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .format(fmt)
+        .save(path)
+    )
 
 
 def incremental_rollup(
@@ -147,7 +155,7 @@ def incremental_rollup(
     assert partition_col in keys, "partition_col must be a grain key"
     touched = [r[0] for r in delta.select(partition_col).distinct().collect()]
     target = spark.read.parquet(target_path)
-    existing = target.filter(F.col(partition_col).isin(touched))
+    existing = target.filter(_touched_partition_filter(partition_col, touched))
     e, d = existing.alias("e"), delta.alias("d")
     # additions widen decimal types (p,s)+(p,s) -> (p+1,s); cast back to
     # the target's declared types so every partition file stays
@@ -164,8 +172,12 @@ def incremental_rollup(
             for c in [*sum_cols, count_col]
         ],
     )
-    with _dynamic_overwrite(spark):
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
 
 
 def write_jdbc(
@@ -271,7 +283,7 @@ def merge_upsert_partitioned(
     """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     target = spark.read.parquet(target_path)
-    existing = target.filter(F.col(partition_col).isin(touched))
+    existing = target.filter(_touched_partition_filter(partition_col, touched))
     keep = existing.join(updates, on=list(keys), how="left_anti")
     merged = keep.unionByName(updates.select(*keep.columns))
     # CAVEAT — commit granularity: the Hadoop protocol commits each
@@ -282,12 +294,12 @@ def merge_upsert_partitioned(
     # see mixed versions. Production tables that need an atomic
     # multi-partition swap should sit behind a table format with a
     # transactional commit log rather than raw parquet directories.
-    with _dynamic_overwrite(spark):
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -367,8 +379,15 @@ def http_fanout_source(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             urls = pdf[url_col]
+            # a NULL url yields a NULL payload; fetching None would
+            # crash the stage after retries instead of skipping the row
             yield pd.DataFrame(
-                {"url": urls, "payload": [do_fetch(u) for u in urls]}
+                {
+                    "url": urls,
+                    "payload": [
+                        do_fetch(u) if u is not None else None for u in urls
+                    ],
+                }
             )
 
     return endpoints.mapInPandas(run, "url string, payload string")

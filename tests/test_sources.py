@@ -112,6 +112,29 @@ def test_bucketed_join_has_no_shuffle(spark):
     assert j.count() > 0
 
 
+def test_merge_upsert_preserves_null_partition(spark):
+    # isin() never matches NULL: without a null-safe touched-partition
+    # filter, existing rows in __HIVE_DEFAULT_PARTITION__ are excluded
+    # from the merge while dynamic overwrite still rewrites that
+    # directory — silent data loss
+    target_path = tempfile.mkdtemp(prefix="t_nullpart_")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", None), (3, "c", None)], ["k", "v", "p"]
+    )
+    write_partitioned(base, target_path, ["p"])
+    updates = spark.createDataFrame([(2, "B", None), (4, "d", "p1")], ["k", "v", "p"])
+    merge_upsert_partitioned(spark, target_path, updates, ["k"], "p")
+    got = {
+        (r.k, r.v, r.p) for r in spark.read.parquet(target_path).collect()
+    }
+    assert got == {
+        (1, "a", "p1"),
+        (2, "B", None),  # updated in the null partition
+        (3, "c", None),  # PRESERVED in the null partition
+        (4, "d", "p1"),
+    }
+
+
 def test_jdbc_roundtrip_embedded_derby(spark):
     # S5 end-to-end against a REAL database: the Derby embedded engine
     # ships in Spark's jars, so write_jdbc/read_jdbc run the actual
