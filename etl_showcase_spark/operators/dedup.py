@@ -68,11 +68,12 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     # Shuffle-frugal shape: the signature stage is entirely per-row
     # array math (no explode, no repartition, no aggregate) —
-    # shingles are hashed to 64-bit longs once, deduped with
+    # shingles are hashed to the 31-bit domain ONCE (pmod(xxhash64, p)
+    # hoisted out of the per-permutation lambdas), deduped with
     # array_distinct inside the row, and each MinHash component is an
-    # array_min over a cheap universal hash (a*h+b mod p; 31-bit domain
-    # keeps a*h within long range — no ANSI overflow). Jaccard over the
-    # hashed sets equals string-set Jaccard up to ~1e-11 collision
+    # array_min over a cheap universal hash (a*h+b mod p; h,a < p keeps
+    # a*h within long range — no ANSI overflow). Jaccard over the
+    # hashed sets equals string-set Jaccard up to ~1e-9 collision
     # probability. The ONLY shuffles in the whole operator are the band
     # bucket join and the two candidate↔array verification joins.
     p = 2_147_483_647
@@ -82,7 +83,7 @@ def minhash_lsh_pairs(
     def _perm(a: int, b: int):
         # closure factory: pyspark inspects lambda arity, so a/b can't
         # ride along as default arguments
-        return lambda h: F.pmod(F.pmod(h, F.lit(p)) * F.lit(a) + F.lit(b), F.lit(p))
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p))
 
     # repartition BEFORE the heavy per-row math: the signature stage is
     # CPU-bound but byte-light, so both a single-row-group scan and
@@ -97,7 +98,7 @@ def minhash_lsh_pairs(
         F.array_distinct(
             F.transform(
                 shingles(tokens(F.col("__t")), shingle_n),
-                lambda s: F.xxhash64(s),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
             )
         ).alias("__sh"),
     )
