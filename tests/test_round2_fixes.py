@@ -368,3 +368,59 @@ def test_strict_comparator_flags_dtype_and_nested_cells():
     assert any("dtype" in p for p in compare_frames(a, b))
     c = pd.DataFrame({"y": [[1, 2], [3]]})
     assert any("unhashable" in p for p in compare_frames(c, c.copy()))
+
+
+def test_registry_orders_unverified_queries_first(tmp_path, monkeypatch):
+    """The driver checks only the first 50 queries() entries, so names
+    without a green CORRECTNESS row from any prior round must sort
+    ahead of proven ones; a rows-only row keeps a query verified only
+    while it still has no oracle."""
+    import json
+
+    from etl_showcase_spark import registry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "hashed_ok": {"hash_match": True, "spark_rows": 3, "err": None},
+                "rows_only_still": {
+                    "hash_match": None,
+                    "spark_rows": 3,
+                    "err": "no_oracle",
+                },
+                "rows_only_gained_oracle": {
+                    "hash_match": None,
+                    "spark_rows": 3,
+                    "err": "no_oracle",
+                },
+                "failed_hash": {"hash_match": False, "spark_rows": 3, "err": None},
+            }
+        )
+    )
+    monkeypatch.setattr(registry, "_REPO_ROOT", tmp_path)
+    fake = {
+        "hashed_ok": "SELECT 1",
+        "rows_only_still": None,
+        "rows_only_gained_oracle": "SELECT 1",
+        "failed_hash": "SELECT 1",
+        "never_checked": "SELECT 1",
+    }
+    monkeypatch.setattr(
+        registry,
+        "_REGISTRY",
+        {
+            n: registry.QuerySpec(n, lambda s, d: None, oracle)
+            for n, oracle in fake.items()
+        },
+    )
+    monkeypatch.setattr(registry, "_ensure_loaded", lambda: None)
+    ordered = list(registry.all_specs())
+    unverified_first = ordered[:3]
+    # failed/never-checked/regained-oracle queries re-queue for a check
+    assert set(unverified_first) == {
+        "failed_hash",
+        "never_checked",
+        "rows_only_gained_oracle",
+    }
+    assert ordered[3:] in (["hashed_ok", "rows_only_still"],
+                           ["rows_only_still", "hashed_ok"])
