@@ -185,9 +185,12 @@ def session_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         ev.withColumn("prev_id", F.lag("event_id").over(w))
         .withColumn("prev_ts", F.lag("ts").over(w))
+        # Interval comparison, not unix_micros(): NTZ-safe (the driver's
+        # session reads naive parquet timestamps as TIMESTAMP_NTZ) and
+        # identical to the oracle's `ts - LAG(ts) <= INTERVAL 5 MINUTE`.
         .filter(
             F.col("prev_id").isNotNull()
-            & (F.unix_micros("ts") - F.unix_micros("prev_ts") <= 5 * 60 * 1_000_000)
+            & (F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 5 MINUTES"))
         )
         .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"))
     )

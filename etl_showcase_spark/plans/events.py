@@ -167,14 +167,16 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # Interval arithmetic (not unix_micros) so the predicate resolves for
+    # both TIMESTAMP and TIMESTAMP_NTZ reads of the parquet `ts` column —
+    # the driver's untuned session infers naive parquet timestamps as
+    # TIMESTAMP_NTZ (Spark 4 default), which unix_micros() rejects. This
+    # also exactly mirrors the oracle's `ts - LAG(ts) > INTERVAL` form.
     marked = ev.withColumn(
         "is_new",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-                > F.lit(30 * 60 * 1_000_000)
-            ),
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
             1,
         ).otherwise(0),
     )

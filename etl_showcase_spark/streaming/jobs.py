@@ -24,18 +24,20 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..functions.numeric import dsum
 
 # Explicit source schema (schema-pinned ingest, reference
-# spark_jobs/transform_weather.py:34-59). ts arrives as raw parquet
-# NANOS int64 (read via nanosAsLong) and is truncated to micros exactly
-# like the batch catalog does.
+# spark_jobs/transform_weather.py:34-59). ts is parquet
+# TIMESTAMP(MICROS); pinning TimestampType here keeps the streaming read
+# aligned with the batch catalog regardless of the session's
+# inferTimestampNTZ setting.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -45,16 +47,14 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The streaming file source requires a directory; select just the
     # events file out of the testdata dir with a glob filter.
-    raw = (
+    return (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_available_now(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
