@@ -40,6 +40,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # plans modules self-register on import
 _PLAN_MODULES = (
     "etl_showcase_spark.plans.analytics",
+    "etl_showcase_spark.plans.tpch_extra",
     "etl_showcase_spark.plans.llm_vector",
     "etl_showcase_spark.plans.llm_text",
     "etl_showcase_spark.plans.curation",
