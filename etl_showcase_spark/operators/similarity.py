@@ -184,46 +184,46 @@ def lsh_ann_topk(
     n_tables independent hash tables (OR-amplification), join within
     (table, bucket), dedup candidates, rank within query. Shuffles on
     the bucket key — the corpus never cross-joins; this is the 100 TB
-    path. Recall ≈ 1-(1-p^n_planes)^n_tables, tunable per workload."""
-    qv = queries.select(
-        F.col(query_id).alias("q_id"), quantize(F.col(vec_col)).alias("q_vec")
-    ).withColumn("q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")))
-    cv = corpus.select(
-        F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
-    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
-    # Bucket postings carry IDS ONLY — signatures come from the one-GEMM
-    # Arrow path; candidate dedup shuffles (q_id, c_id) pairs, never
-    # vectors. Vectors rejoin once for scoring: the query side is
-    # broadcast (bounded query set), the corpus side is one hash join.
-    qb = queries.select(
+    path. Recall ≈ 1-(1-p^n_planes)^n_tables, tunable per workload.
+
+    Asymmetric sides, by design: the QUERY side is bounded (O(1) in
+    corpus size) so its postings carry the quantized vector + norm on
+    the broadcast itself — one pass computes signatures, vectors and
+    norms together, and scoring needs no second query-side join. The
+    CORPUS side — the one that grows with data — stays ids-only through
+    candidate dedup; corpus vectors rejoin exactly once, by id, for the
+    exact-cosine scoring."""
+    q_all = queries.select(
         F.col(query_id).alias("q_id"),
+        quantize(F.col(vec_col)).alias("q_vec"),
         F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
             "tbl", "key"
         ),
-    )
+    ).withColumn("q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")))
     cb = corpus.select(
         F.col(corpus_id).alias("c_id"),
         F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
             "tbl", "key"
         ),
     )
+    cv = corpus.select(
+        F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
+    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
+    # dedup keeps the carried (q_vec, q_nrm) — every duplicate row holds
+    # identical values for them, so the kept row is value-deterministic
     candidates = (
-        cb.join(F.broadcast(qb), ["tbl", "key"])
+        cb.join(F.broadcast(q_all), ["tbl", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
+        .select("q_id", "c_id", "q_vec", "q_nrm")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = (
-        candidates.join(F.broadcast(qv), "q_id")
-        .join(cv, "c_id")
-        .select(
-            "q_id",
-            "c_id",
-            (
-                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
-                / (F.col("q_nrm") * F.col("c_nrm"))
-            ).alias("cosine"),
-        )
+    scored = candidates.join(cv, "c_id").select(
+        "q_id",
+        "c_id",
+        (
+            int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+            / (F.col("q_nrm") * F.col("c_nrm"))
+        ).alias("cosine"),
     )
     return topk_per_group(
         scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
