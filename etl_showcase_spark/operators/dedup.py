@@ -390,6 +390,88 @@ def simhash64(tok: Column) -> Column:
     return sig
 
 
+def simhash32_md5(tok: Column) -> Column:
+    """Oracle-replayable 32-bit SimHash: per-token hash = first 8 hex
+    chars of md5 (the engine-portable hash — Spark F.md5 == DuckDB
+    md5), per bit sum +1/-1 votes across tokens, keep the sign. The
+    md5 twin of simhash64 (which uses xxhash64, JVM-only)."""
+    hashes = F.transform(
+        tok, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+
+    def _vote_fn(bit: int):
+        # closure factory: pyspark inspects lambda arity, so the bit
+        # index can't ride along as a default argument
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("bigint")
+    for b in range(32):  # unrolled: shift amounts must be literals
+        vote = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote_fn(b))
+        sig = sig.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return sig
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """simhash_neardup_pairs' verifiability twin on the 32-bit md5
+    signature: block on each of the 32/block_bits chunks, verify true
+    Hamming with bit_count. Same pigeonhole recall guarantee
+    (max_hamming <= n_blocks-1 → recall 1); every step is replayable
+    in ANSI SQL, so this variant carries the hash-checked CORRECTNESS
+    row for the SimHash pipeline. Returns (id_a, id_b, hamming)."""
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        simhash32_md5(tokens(F.col(text_col))).alias("__sig"),
+    )
+    n_blocks = 32 // block_bits
+    mask = (1 << block_bits) - 1
+    blocked = sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("__sig", i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sig", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    hamming = F.bit_count(F.col("l.__sig").bitwiseXOR(F.col("r.__sig")))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,

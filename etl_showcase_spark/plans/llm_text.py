@@ -328,6 +328,69 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2 verifiability twin: 32-bit md5 SimHash. Per-token hash = first 8
+# hex chars of md5 parsed as an integer — identical in Spark (conv) and
+# DuckDB ('0x'||… cast) — so bit votes, signatures, pigeonhole
+# blocking, and bit_count verify all replay in SQL and the SimHash
+# pipeline gets a full hash-checked CORRECTNESS row (the xxhash64
+# simhash_neardup above stays the JVM scale path, rows-only).
+# 16-bit blocks keep the bucket keyspace at 65536 per block — the same
+# bounded-bucket discipline as the 64-bit path; with 2 blocks the
+# pigeonhole radius is hamming <= 1.
+# ---------------------------------------------------------------------------
+
+_SH_BLOCK_BITS, _SH_MAX_HAMMING = 16, 1
+
+
+def _simhash_md5_oracle() -> str:
+    tok_hash = "('0x' || substr(md5(tok), 1, 8))::BIGINT"
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(32)
+    )
+    n_blocks = 32 // _SH_BLOCK_BITS
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    block_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sig, {i} AS blk, (sig >> {i * _SH_BLOCK_BITS}) & {mask} AS key"
+        " FROM sig"
+        for i in range(n_blocks)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_transform({_SQL_TOKS}, tok -> {tok_hash}) AS hs
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, {sig_terms} AS sig FROM t
+),
+blocked AS (
+  {block_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {_SH_MAX_HAMMING}
+"""
+
+
+@register("simhash_md5_neardup", oracle=_simhash_md5_oracle(), tags=("L2",))
+def simhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_md5_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_md5_pairs(
+        d,
+        "doc_id",
+        "text",
+        max_hamming=_SH_MAX_HAMMING,
+        block_bits=_SH_BLOCK_BITS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.11 UDTF surface: lateral sentence split (one row per sentence).
 # The oracle reproduces the Python splitter with UNNEST(string_split).
 # ---------------------------------------------------------------------------
