@@ -74,6 +74,84 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     }
 
 
+# PII-ish surface patterns (count-only scrub signals; engine-portable
+# regex subset — character classes + bounded quantifiers only).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+DIGIT_RUN_RE = r"[0-9]{6,}"
+
+
+def pii_pattern_counts(col: Column | str) -> dict[str, Column]:
+    """Per-document counts of scrub-worthy surface patterns (emails,
+    URLs, long digit runs) — the cheap first pass of a PII pipeline;
+    counts drive routing to the (expensive) redaction stage."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_urls": F.regexp_count(c, F.lit(URL_RE)),
+        "n_digit_runs": F.regexp_count(c, F.lit(DIGIT_RUN_RE)),
+    }
+
+
+def repetition_ratio(col: Column | str, n: int = 2) -> Column:
+    """Duplicate word-n-gram fraction, 1 - distinct/total (the
+    Gopher-style repetition signal: boilerplate and looped generations
+    score high). NULL for documents too short to have an n-gram."""
+    grams = shingles(tokens(col), n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+
+
+# Gopher-style quality gate bounds (word count, mean word length,
+# symbol ratio) — published pre-training filter heuristics.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+
+def gopher_quality_flags(col: Column | str) -> dict[str, Column]:
+    """Per-document pass/fail flags for the classic quality-filter
+    rules, plus the composite keep decision. Flags are INT 0/1 (not
+    boolean) so oracle hash comparison is dtype-stable."""
+    c = F.col(col) if isinstance(col, str) else col
+    tok = tokens(c)
+    n_tok = F.size(tok)
+    mean_len = F.when(
+        n_tok > 0,
+        F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok.cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    n_chars = F.length(c)
+    symbol_ratio = F.when(
+        n_chars > 0,
+        F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double") / n_chars.cast("double"),
+    ).otherwise(F.lit(None).cast("double"))
+    f_words = (
+        (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS)
+    ).cast("int")
+    f_mean = (
+        mean_len.isNotNull()
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    ).cast("int")
+    f_symbol = (
+        symbol_ratio.isNotNull() & (symbol_ratio < GOPHER_MAX_SYMBOL_RATIO)
+    ).cast("int")
+    return {
+        "n_tokens": n_tok,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "flag_word_count": f_words,
+        "flag_mean_word_len": f_mean,
+        "flag_symbol_ratio": f_symbol,
+        "keep": (f_words.cast("boolean") & f_mean.cast("boolean") & f_symbol.cast("boolean")).cast("int"),
+    }
+
+
 # Tiny per-language marker profiles (n-gram-heuristic language ID).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "is"),

@@ -391,6 +391,120 @@ def simhash_md5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4/L6 curation-quality depth: Gopher-style quality gate, n-gram
+# repetition signal, PII pattern counts — the published pre-training
+# filter heuristics, each oracle-exact (integer counts, guarded
+# divisions that are NULL in both engines for degenerate docs).
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio,
+       CAST(n_tokens >= {textops.GOPHER_MIN_WORDS}
+            AND n_tokens <= {textops.GOPHER_MAX_WORDS} AS INT) AS flag_word_count,
+       CAST(mean_word_len IS NOT NULL
+            AND mean_word_len >= {textops.GOPHER_MIN_MEAN_LEN}
+            AND mean_word_len <= {textops.GOPHER_MAX_MEAN_LEN} AS INT)
+         AS flag_mean_word_len,
+       CAST(symbol_ratio IS NOT NULL
+            AND symbol_ratio < {textops.GOPHER_MAX_SYMBOL_RATIO} AS INT)
+         AS flag_symbol_ratio,
+       CAST(n_tokens >= {textops.GOPHER_MIN_WORDS}
+            AND n_tokens <= {textops.GOPHER_MAX_WORDS}
+            AND mean_word_len IS NOT NULL
+            AND mean_word_len >= {textops.GOPHER_MIN_MEAN_LEN}
+            AND mean_word_len <= {textops.GOPHER_MAX_MEAN_LEN}
+            AND symbol_ratio IS NOT NULL
+            AND symbol_ratio < {textops.GOPHER_MAX_SYMBOL_RATIO} AS INT) AS keep
+FROM m
+"""
+
+
+@register("gopher_quality_gate", oracle=_GOPHER_ORACLE, tags=("L4", "L6", "P10"))
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        flags["n_tokens"].cast("int").alias("n_tokens"),
+        flags["mean_word_len"].alias("mean_word_len"),
+        flags["symbol_ratio"].alias("symbol_ratio"),
+        flags["flag_word_count"].alias("flag_word_count"),
+        flags["flag_mean_word_len"].alias("flag_mean_word_len"),
+        flags["flag_symbol_ratio"].alias("flag_symbol_ratio"),
+        flags["keep"].alias("keep"),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN LEN(toks) >= 2
+              THEN list_transform(range(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(LEN(grams) AS INT) AS n_grams,
+       CASE WHEN LEN(grams) > 0
+            THEN 1.0 - CAST(LEN(list_distinct(grams)) AS DOUBLE) / LEN(grams)
+            END AS repetition_ratio
+FROM g
+"""
+
+
+@register("repetition_2gram_ratio", oracle=_REPETITION_ORACLE, tags=("L4",))
+def repetition_2gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = textops.shingles(textops.tokens(F.col("text")), 2)
+    return d.select(
+        "doc_id",
+        F.size(grams).cast("int").alias("n_grams"),
+        textops.repetition_ratio(F.col("text"), 2).alias("repetition_ratio"),
+    )
+
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{textops.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(LEN(regexp_extract_all(text, '{textops.URL_RE}')) AS INT) AS n_urls,
+       CAST(LEN(regexp_extract_all(text, '{textops.DIGIT_RUN_RE}')) AS INT)
+         AS n_digit_runs
+FROM documents
+"""
+
+
+@register("pii_pattern_counts", oracle=_PII_ORACLE, tags=("L4", "F11"))
+def pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = textops.pii_pattern_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["n_emails"].cast("int").alias("n_emails"),
+        counts["n_urls"].cast("int").alias("n_urls"),
+        counts["n_digit_runs"].cast("int").alias("n_digit_runs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.11 UDTF surface: lateral sentence split (one row per sentence).
 # The oracle reproduces the Python splitter with UNNEST(string_split).
 # ---------------------------------------------------------------------------
