@@ -345,6 +345,73 @@ def ivf_ann_topk(
     )
 
 
+def gemm_exact_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact quantized-cosine top-k via Arrow GEMM — brute_force_topk's
+    result, the GEMM way: the bounded query set is collected once
+    (O(1) in corpus size, same driver-metadata budget as IVF's seeds),
+    quantized to int64 and broadcast; each corpus Arrow batch does ONE
+    integer matmul and emits only its local candidates; a final
+    per-query top-k reduces across batches.
+
+    Oracle-grade exactness: dots are int64 (exact), cosine is
+    dot→double / (sqrt·sqrt) — the identical IEEE op sequence as
+    quantized_cosine and the DuckDB twin. Per-batch pruning keeps
+    every row TIED with the (k+1)-th score, so the global
+    (cosine desc, id asc) ranking is exact even across ties — the
+    boundary a plain argpartition cut would get wrong."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpd = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    if not len(qpd):
+        return spark.createDataFrame([], "q_id long, c_id long, cosine double, rnk int")
+    q_ids = qpd["q_id"].to_numpy()
+    q_int = np.floor(np.stack(qpd["v"].to_numpy()).astype("float64") * 1000 + 0.5).astype(
+        "int64"
+    )
+    q_nrm = np.sqrt((q_int * q_int).sum(axis=1).astype("float64"))
+    bq = spark.sparkContext.broadcast((q_ids, q_int, q_nrm))
+    keep = k + 1  # self-matches are filtered after scoring
+
+    def score_batches(batches):
+        ids, Q, qn = bq.value
+        for pdf in batches:
+            c_ids = pdf["c_id"].to_numpy()
+            c_int = np.floor(
+                np.stack(pdf["v"].to_numpy()).astype("float64") * 1000 + 0.5
+            ).astype("int64")
+            c_nrm = np.sqrt((c_int * c_int).sum(axis=1).astype("float64"))
+            sims = (c_int @ Q.T).astype("float64") / (c_nrm[:, None] * qn[None, :])
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                if len(col) > keep:
+                    thr = np.partition(col, len(col) - keep)[len(col) - keep]
+                    idx = np.flatnonzero(col >= thr)
+                else:
+                    idx = np.arange(len(col))
+                yield pd.DataFrame(
+                    {"q_id": ids[j], "c_id": c_ids[idx], "cosine": col[idx]}
+                )
+
+    scored = corpus.select(
+        F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(score_batches, "q_id long, c_id long, cosine double")
+    pruned = scored.filter(F.col("q_id") != F.col("c_id"))
+    return topk_per_group(
+        pruned, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
+    )
+
+
 def knn_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,

@@ -82,8 +82,15 @@ def _strided_queries(e: DataFrame) -> DataFrame:
 
 @register("ann_cosine_topk", oracle=_ANN_ORACLE, tags=("L3", "J8"), bench=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GEMM path: one integer matmul per Arrow batch instead of a JVM
+    # per-pair aggregate fold — identical results (exact int64 dots,
+    # same IEEE cosine op sequence), ~|corpus|×|queries| fewer
+    # expression evaluations. brute_force_topk remains the all-JVM
+    # spelling for callers that must stay collect-free.
+    from ..operators.similarity import gemm_exact_topk
+
     e = table(spark, sf_dir, "embeddings")
-    res = brute_force_topk(_strided_queries(e), e, "vec_id", "vec_id", "embedding", k=10)
+    res = gemm_exact_topk(_strided_queries(e), e, "vec_id", "vec_id", "embedding", k=10)
     return res.select("q_id", "c_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
 
 
