@@ -154,6 +154,8 @@ def lsh_bucket_keys_gemm(
         import numpy as np
         import pandas as pd
 
+        if not len(vecs):  # zero-row Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         S = np.array(planes, dtype="int64").T  # (dim, total)
         m = np.stack(vecs.to_numpy())
         q = np.floor(m.astype("float64") * 1000 + 0.5).astype("int64")
@@ -241,6 +243,8 @@ def _nearest_centroids_udf(centroids, n_out: int):
         import numpy as np
         import pandas as pd
 
+        if not len(vecs):  # zero-row Arrow batch: np.stack would raise
+            return pd.Series([], dtype="object")
         C = np.array(centroids, dtype="float64")  # (nc, dim)
         half = 0.5 * (C * C).sum(axis=1)
         m = np.stack(vecs.to_numpy()).astype("float64")
@@ -386,6 +390,8 @@ def gemm_exact_topk(
     def score_batches(batches):
         ids, Q, qn = bq.value
         for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack would raise
+                continue
             c_ids = pdf["c_id"].to_numpy()
             c_int = np.floor(
                 np.stack(pdf["v"].to_numpy()).astype("float64") * 1000 + 0.5
@@ -447,6 +453,8 @@ def knn_topk_arrow(
     def score_batches(batches):
         ids, mat = bq.value
         for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack would raise
+                continue
             c_ids = pdf["c_id"].to_numpy()
             cm = np.stack(pdf["v"].to_numpy()).astype("float64")
             cm /= np.linalg.norm(cm, axis=1, keepdims=True)
