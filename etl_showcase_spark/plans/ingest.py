@@ -158,14 +158,10 @@ def partitioned_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("http_fanout_weather", oracle=None, tags=("S3", "A1", "A2", "A3"))
-def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = table(spark, sf_dir, "nation")
-    endpoints = n.select(
-        F.concat(F.lit("https://api.example.com/v1/forecast?city="), F.col("n_name"))
-        .alias("url")
-    )
-    raw = http_fanout_source(endpoints)
+def _weather_rollup(raw: DataFrame) -> DataFrame:
+    """Shared parse → flatten → aggregate tail of the HTTP extract
+    dataflow (transform_weather.py:64-113), applied to any (url,
+    payload) source frame."""
     parsed = raw.select(F.from_json("payload", WEATHER_RAW_SCHEMA).alias("w"))
     # extracted_at rides the flatten row-by-row exactly as in the
     # reference (transform_weather.py:92,103)
@@ -191,6 +187,35 @@ def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("city")
     )
+
+
+_ENDPOINT_PREFIX = "https://api.example.com/v1/forecast?city="
+
+
+@register("http_fanout_weather", oracle=None, tags=("S3", "A1", "A2", "A3"))
+def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    endpoints = n.select(
+        F.concat(F.lit(_ENDPOINT_PREFIX), F.col("n_name")).alias("url")
+    )
+    return _weather_rollup(http_fanout_source(endpoints))
+
+
+@register("http_fanout_pyds", oracle=None, tags=("S3", "A1", "A2", "A3"))
+def http_fanout_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 via the Spark 4 Python Data Source API: same endpoints, same
+    payloads, same rollup as http_fanout_weather, but the fan-out is a
+    real partitioned scan (one input partition per endpoint — task
+    retry and speculation per URL). Equivalence with the mapInPandas
+    path is pytest-asserted; rows-only here (an HTTP source isn't
+    SQL-expressible)."""
+    from ..sources.io import http_pyds_source
+
+    urls = [
+        _ENDPOINT_PREFIX + r["n_name"]
+        for r in table(spark, sf_dir, "nation").select("n_name").collect()
+    ]
+    return _weather_rollup(http_pyds_source(spark, sorted(urls)))
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,39 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F10c: the Spark 4 VARIANT type — parse_json into the binary
+# semi-structured encoding, then typed variant_get path extraction.
+# Same answers as the string-path functions above, but the parse
+# happens once per row and every extraction reads the compact encoded
+# form (the open-format answer to shredding JSON at 100 TB: no
+# per-extraction re-parse, and column stats/pushdown apply to the
+# extracted columns). Oracle: identical typed extractions in DuckDB
+# JSON — VARIANT is an encoding choice, not a semantics change.
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+  json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events
+"""
+
+
+@register("variant_props_extract", oracle=_VARIANT_ORACLE, tags=("F10", "S1"))
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        (F.variant_get(v, "$.k", "int") * 2).alias("k_doubled"),
+        F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F10b: full from_json parse with explicit schema — the schema-pinned
 # ingest discipline (transform_weather.py:34-59) applied to props.
 # ---------------------------------------------------------------------------

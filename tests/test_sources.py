@@ -72,6 +72,28 @@ def test_http_fanout_deterministic_and_parseable(spark):
     assert {r.city for r in parsed} == {f"C{i}" for i in range(6)}
 
 
+def test_http_pyds_matches_mapinpandas_path(spark):
+    """The Python Data Source spelling of the HTTP fan-out must produce
+    exactly the mapInPandas spelling's rows — same endpoints, same
+    deterministic fetch, different execution surface."""
+    from etl_showcase_spark.plans.ingest import http_fanout_pyds, http_fanout_weather
+
+    from .conftest import SF_SMOKE
+
+    a = [tuple(r) for r in http_fanout_weather(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in http_fanout_pyds(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_http_pyds_one_partition_per_endpoint(spark):
+    from etl_showcase_spark.sources.io import http_pyds_source
+
+    urls = [f"https://api.example.com/v1/forecast?city=C{i}" for i in range(6)]
+    raw = http_pyds_source(spark, urls)
+    assert raw.rdd.getNumPartitions() == 6
+    assert {r.url for r in raw.collect()} == set(urls)
+
+
 def test_ingest_queries_smoke(spark):
     from etl_showcase_spark.plans.ingest import (
         http_fanout_weather,
