@@ -791,3 +791,78 @@ def sketch_quantiles_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 recursive CTE: a month date-spine LEFT-joined to order counts
+# — the gap-filling analytics pattern (months with zero orders appear
+# with n_orders = 0, which no plain GROUP BY can produce). The spine is
+# 80 rows of driver-free recursion; the join is an equi-join on the
+# month-truncated order date, so the fact side shuffles on a
+# low-cardinality bounded key at any scale factor.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(m) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM spine WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT spine.m AS month_start,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM spine
+LEFT JOIN {orders} o ON DATE_TRUNC('MONTH', o.o_orderdate) = spine.m
+GROUP BY spine.m
+ORDER BY month_start
+"""
+
+
+@register(
+    "recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL.format(orders="orders"),
+    tags=("J5", "G5", "F9"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__rec_orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL.format(orders="__rec_orders"))
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT/melt: wide measure columns to long (measure, value) rows —
+# the inverse of the G9 pivot, one narrow shuffle per measure group.
+# Oracle is the engine-portable UNION ALL spelling.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+)
+GROUP BY measure
+ORDER BY measure
+"""
+
+
+@register("unpivot_measures", oracle=_UNPIVOT_ORACLE, tags=("G9", "U1"))
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    long = li.select("l_quantity", "l_extendedprice", "l_discount").melt(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .orderBy("measure")
+    )

@@ -209,13 +209,12 @@ def http_fanout_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     retry and speculation per URL). Equivalence with the mapInPandas
     path is pytest-asserted; rows-only here (an HTTP source isn't
     SQL-expressible)."""
-    from ..sources.io import http_pyds_source
+    from ..sources.io import http_pyds_source_for
 
-    urls = [
-        _ENDPOINT_PREFIX + r["n_name"]
-        for r in table(spark, sf_dir, "nation").select("n_name").collect()
-    ]
-    return _weather_rollup(http_pyds_source(spark, sorted(urls)))
+    endpoints = table(spark, sf_dir, "nation").select(
+        F.concat(F.lit(_ENDPOINT_PREFIX), F.col("n_name")).alias("url")
+    )
+    return _weather_rollup(http_pyds_source_for(endpoints))
 
 
 # ---------------------------------------------------------------------------

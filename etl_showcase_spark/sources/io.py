@@ -449,3 +449,19 @@ def http_pyds_source(
     return (
         spark.read.format("weather_http").option("urls", "\n".join(urls)).load()
     )
+
+
+def http_pyds_source_for(
+    endpoints: DataFrame,
+    url_col: str = "url",
+    fetch: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """http_pyds_source from an endpoints frame. Collecting the
+    endpoint list is bounded driver metadata — O(dims), the same
+    budget as IVF's seed sample (operators/similarity.py) — and it is
+    what lets the source plan one input partition per URL. Plans stay
+    lazy: this collect lives in the source layer, mirroring how any
+    file source lists its files driver-side before planning splits."""
+    spark = endpoints.sparkSession
+    urls = sorted(r[url_col] for r in endpoints.select(url_col).collect())
+    return http_pyds_source(spark, urls, fetch)
