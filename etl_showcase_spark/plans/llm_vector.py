@@ -318,3 +318,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         n_probe=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 analytics: per-label centroid components — the distributed mean
+# vector, in long (label, dim, mean) form. posexplode → groupBy is one
+# map-side-combined shuffle of (label × dim) rows regardless of corpus
+# size; integer sums keep the mean exact (sum_int → double / count, the
+# same IEEE division in both engines). Long form avoids cross-engine
+# array reassembly ordering concerns entirely.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+SELECT label,
+       CAST(u.i - 1 AS INT) AS dim,
+       CAST(SUM(q[u.i]) AS DOUBLE) / COUNT(*) AS mean_component
+FROM (SELECT label, {_SQL_QUANT} AS q FROM embeddings),
+     LATERAL (SELECT UNNEST(range(1, LEN(q) + 1)) AS i) u
+GROUP BY 1, 2
+ORDER BY label, dim
+"""
+
+
+@register("label_centroids", oracle=_CENTROID_ORACLE, tags=("L3", "G1", "A2"))
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode(quantize(F.col("embedding"))).alias("dim", "x")
+    )
+    return (
+        comp.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg((F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean_component"))
+        .orderBy("label", "dim")
+    )
