@@ -57,6 +57,113 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_replay_stream(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 2000
+) -> DataFrame:
+    """A Kafka-stand-in streaming source via the Spark 4 Python Data
+    Source streaming API: replays the events table in deterministic
+    (ts, event_id)-ordered micro-batches of ``batch_rows`` rows, with
+    row-position offsets — so every streaming job gets reproducible
+    multi-batch execution without a broker. The simple-reader API reads
+    driver-side (right for a replay/test source; a partitioned
+    DataSourceStreamReader is the high-throughput variant).
+
+    Classes are function-local so cloudpickle ships them by value
+    (same worker-import constraint as http_pyds_source)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/events.parquet"
+
+    class _ReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "2000"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._path,
+                    columns=["event_id", "ts", "user_id", "event_type", "value"],
+                )
+                self._tbl = t.take(
+                    pc.sort_indices(
+                        t,
+                        sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+                    )
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            # a materialized list iterator, not a generator: Spark
+            # pickles the batch into its prefetch cache and generators
+            # don't pickle
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter(
+                [
+                    (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+                    for r in sl
+                ]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _ReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "events_replay"
+
+        def schema(self) -> str:
+            return (
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+
+        def simpleStreamReader(self, schema):
+            return _ReplayReader(self.options)
+
+    spark.dataSource.register(_ReplaySource)
+    return (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_tumbling_from_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 over the custom replay source: the SAME tumbling plan as
+    stream_tumbling_daily, but fed by events_replay_stream's genuinely
+    multi-batch micro-batches — the state store merges windows across
+    batches instead of seeing all data at once. Must equal the batch
+    twin (asserted in tests/test_streaming.py)."""
+    ev = events_replay_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_available_now(agg, "stream_replay_tumbling")
+
+
 def _run_available_now(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Run a streaming frame to completion into a memory sink, return
     the materialized table (complete mode → final state; append mode →

@@ -22,6 +22,16 @@ def test_stream_tumbling_matches_batch(spark):
     assert not compare_frames(streamed, batch)
 
 
+def test_replay_source_tumbling_matches_batch(spark):
+    """The custom Python Data Source replay stream must drive the
+    tumbling plan to the same result as the file-source stream and the
+    batch twin — across GENUINELY multiple micro-batches (batch_rows
+    2000 < |events|), so cross-batch state merge is exercised."""
+    streamed = jobs.stream_tumbling_from_replay(spark, SF_SMOKE).toPandas()
+    batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
+
+
 def test_stream_sessions_match_batch(spark):
     streamed = jobs.stream_session_windows(spark, SF_SMOKE).toPandas()
     batch = session_windows_30m(spark, SF_SMOKE).toPandas()
