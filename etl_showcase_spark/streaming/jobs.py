@@ -309,6 +309,62 @@ def stream_user_profile_state(
     return latest_per_key(emitted, ["user_id"], [F.col("n_events").desc()])
 
 
+def stream_user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event counts via Spark 4's transformWithState
+    API (StatefulProcessor + typed ValueState) — the successor surface
+    to applyInPandasWithState, with per-state-variable TTL and timers.
+
+    GATED: the Python worker side of transformWithState needs
+    google.protobuf, which this container lacks — raises ImportError
+    with remediation instead of failing deep inside a stage. The
+    calling convention (RocksDB provider + StatefulProcessor handle)
+    is exercised wherever protobuf is installed;
+    stream_user_profile_state remains the in-container custom-stateful
+    path."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithState requires google.protobuf on the Python "
+            "workers (pip install protobuf); use stream_user_profile_state "
+            "for the applyInPandasWithState equivalent"
+        ) from e
+    from pyspark.sql.streaming import StatefulProcessor
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _CountProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self):
+            pass
+
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        _CountProcessor(),
+        outputStructType="user_id long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    emitted = _run_available_now(out, "stream_tws_counts", mode="update")
+    from ..operators.relational import latest_per_key
+
+    return latest_per_key(emitted, ["user_id"], [F.col("n_events").desc()])
+
+
 def stream_upsert_to_parquet(
     spark: SparkSession, sf_dir: str, target_dir: str, checkpoint_dir: str
 ) -> None:
