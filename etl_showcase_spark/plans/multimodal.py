@@ -171,3 +171,50 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resized_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 × L7: shard packing by byte budget — media payloads packed into
+# 64 KiB shards per source (the training-data sharding step that turns
+# billions of small media blobs into bounded-size archive shards).
+# Same contiguous prefix-total assignment as sequence_packing_bins,
+# driven by the payload byte length.
+# ---------------------------------------------------------------------------
+
+_MEDIA_PACK_ORACLE = """
+SELECT source, shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes
+FROM (
+  SELECT source,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(FLOOR(
+           COALESCE(SUM(octet_length(encode(text))) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 65536.0
+         ) AS BIGINT) AS shard_id
+  FROM documents
+)
+GROUP BY source, shard_id
+ORDER BY source, shard_id
+"""
+
+
+@register("multimodal_shard_packing", oracle=_MEDIA_PACK_ORACLE, tags=("L5", "L7"))
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import sequence_pack
+
+    d = attach_media_columns(table(spark, sf_dir, "documents"))
+    sized = d.select(
+        "doc_id", "source", F.col("media_meta.n_bytes").alias("n_bytes")
+    )
+    return (
+        sequence_pack(sized, "doc_id", "n_bytes", 65536, partition_cols=["source"])
+        .groupBy("source", F.col("bin_id").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        )
+        .orderBy("source", "shard_id")
+    )
