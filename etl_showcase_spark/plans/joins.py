@@ -257,3 +257,55 @@ def join_cross_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_name").alias("region_name"),
         F.col("o_orderstatus").alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J7 value-carrying variant: each purchase joined as-of to the user's
+# LATEST prior (or same-instant) view, carrying that view's id and
+# value. Exercises the union-sort operator's struct-carried payload
+# path (join_asof_signup carries no values). Oracle ties break exactly
+# like the operator: max ts, then max event_id — the struct's own
+# total order.
+# ---------------------------------------------------------------------------
+
+_ASOF_VIEW_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       (SELECT v.event_id FROM events v
+         WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_id_asof,
+       (SELECT v.value FROM events v
+         WHERE v.event_type = 'view' AND v.user_id = p.user_id AND v.ts <= p.ts
+         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value_asof
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+@register("join_asof_last_view", oracle=_ASOF_VIEW_ORACLE, tags=("J7",))
+def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("view_value"),
+    )
+    return (
+        asof_join(
+            purchases,
+            views,
+            on=["user_id"],
+            left_ts="purchase_ts",
+            right_ts="ts",
+            right_vals=["view_id", "view_value"],
+        )
+        .select("purchase_id", "user_id", "view_id_asof", "view_value_asof")
+        .orderBy("purchase_id")
+    )
