@@ -412,3 +412,50 @@ def ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 extension: XML landing roundtrip (Spark 4's built-in XML source,
+# the spark-xml module folded into core). Region dim writes to an XML
+# landing zone with explicit row tags and reads back schema-pinned —
+# the legacy-feed ingest shape (XML is still the interchange format of
+# exactly the enterprise systems a lakehouse lands from). Oracle
+# recomputes the same relation from parquet: the roundtrip must be
+# lossless.
+# ---------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+ORDER BY region
+"""
+
+
+@register("xml_landing_roundtrip", oracle=_XML_ORACLE, tags=("S10",))
+def xml_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+
+    xml_path = tempfile.mkdtemp(prefix="region_xml_")
+    (
+        r.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "regions")
+        .option("rowTag", "region")
+        .save(xml_path)
+    )
+    r_back = (
+        spark.read.format("xml")
+        .schema("r_regionkey INT, r_name STRING")
+        .option("rowTag", "region")
+        .load(xml_path)
+    )
+    return (
+        F.broadcast(r_back)
+        .join(n, n["n_regionkey"] == r_back["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("region")
+    )
