@@ -429,9 +429,14 @@ def http_pyds_source(
             self._urls = [u for u in options.get("urls", "").split("\n") if u]
 
         def partitions(self):
-            return [_Endpoint(u) for u in self._urls]
+            # at least one (sentinel) partition: Spark's Python data
+            # source requires a non-empty partition plan even when the
+            # endpoint list is empty
+            return [_Endpoint(u) for u in self._urls] or [_Endpoint(None)]
 
         def read(self, partition):
+            if partition.url is None:  # sentinel: no endpoints
+                return
             yield (partition.url, do_fetch(partition.url))
 
     class _HttpSource(DataSource):

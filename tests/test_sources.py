@@ -85,6 +85,27 @@ def test_http_pyds_matches_mapinpandas_path(spark):
     assert a == b and len(a) > 0
 
 
+def test_http_pyds_empty_endpoint_list(spark):
+    # zero endpoints must yield an empty frame, not a worker crash:
+    # the reader plans a sentinel partition (Spark's Python data source
+    # rejects an empty partition plan)
+    from etl_showcase_spark.sources.io import http_pyds_source
+
+    assert http_pyds_source(spark, []).collect() == []
+
+
+def test_gemm_topk_empty_query_set(spark):
+    from etl_showcase_spark.operators.similarity import gemm_exact_topk
+
+    q = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    c = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = gemm_exact_topk(q, c, "vec_id", "vec_id", "embedding", 5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["q_id", "c_id", "cosine", "rnk"]
+
+
 def test_http_pyds_one_partition_per_endpoint(spark):
     from etl_showcase_spark.sources.io import http_pyds_source
 
