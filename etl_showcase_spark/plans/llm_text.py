@@ -4,9 +4,12 @@ language ID, token counting, fingerprinting.
 
 Oracle notes: token arithmetic (counts, Jaccard from exact integer
 intersections, polynomial fingerprints mod 2^31-1 / 1e9+7) is integer-
-exact in both engines; only MinHash/SimHash (xxhash64-based) are
-engine-specific and get rows-only checks plus property tests in
-tests/test_dedup.py.
+exact in both engines. The xxhash64-based MinHash/SimHash scale paths
+are engine-specific (rows-only checks + property tests in
+tests/test_dedup.py); each has an md5-permutation twin
+(minhash_md5_neardup, simhash_md5_neardup) whose full pipeline —
+signatures, banding/blocking, verify — replays in DuckDB SQL and
+carries the hash-checked CORRECTNESS row.
 """
 
 from __future__ import annotations
