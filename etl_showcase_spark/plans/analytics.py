@@ -213,8 +213,8 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n   ON s.s_nationkey = n.n_nationkey
 JOIN region r   ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= DATE '1994-01-01'
-  AND o.o_orderdate < DATE '1995-01-01'
+  AND o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1996-01-01'
 GROUP BY n.n_name
 ORDER BY revenue DESC, nation ASC
 """
@@ -228,9 +228,11 @@ ORDER BY revenue DESC, nation ASC
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
+    # 1995 window: the testdata's order dates start 1995-01-01, so the
+    # canonical 1994 window would make the whole query vacuous
     o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("date"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
     )
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
