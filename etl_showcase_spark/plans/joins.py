@@ -102,10 +102,15 @@ def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (dags/weather_etl_pipeline.py:174-190) as existence predicates.
 # ---------------------------------------------------------------------------
 
+# scoped to URGENT orders: in this testdata every customer has at
+# least one order, so the unscoped NOT EXISTS would be vacuous (0 rows
+# proves nothing about the anti join)
 _ANTI_ORACLE = """
-SELECT c.c_mktsegment AS segment, COUNT(*) AS n_without_orders
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_without_urgent
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 GROUP BY c.c_mktsegment
 """
 
@@ -113,11 +118,13 @@ GROUP BY c.c_mktsegment
 @register("join_anti_no_orders", oracle=_ANTI_ORACLE, tags=("J3",))
 def join_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+        .agg(F.count(F.lit(1)).alias("n_without_urgent"))
     )
 
 
