@@ -574,3 +574,70 @@ FROM s
 def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return textops.grouped_rank_trend(ev, "user_id", "ts", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# §2.11 cogrouped-map surface: per-user funnel stats via
+# cogroup().applyInPandas — purchases and views of the same user land
+# in ONE Python call as two aligned pandas frames (the two-sided
+# custom-merge surface grouped-map can't express without a pre-join).
+# All outputs are exact integer counts, so even this Python operator
+# hash-matches a SQL oracle (FULL OUTER per-user aggregates).
+# ---------------------------------------------------------------------------
+
+_COGROUP_ORACLE = """
+WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+pu AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY 1),
+vu AS (SELECT user_id, COUNT(*) AS n_views, MIN(ts) AS min_vts FROM v GROUP BY 1),
+m AS (
+  SELECT p.user_id, COUNT(*) AS n_matched
+  FROM p JOIN vu ON vu.user_id = p.user_id
+  WHERE p.ts >= vu.min_vts
+  GROUP BY 1
+)
+SELECT COALESCE(pu.user_id, vu.user_id) AS user_id,
+       CAST(COALESCE(pu.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(vu.n_views, 0) AS BIGINT) AS n_views,
+       CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched
+FROM pu
+FULL JOIN vu ON pu.user_id = vu.user_id
+LEFT JOIN m ON m.user_id = COALESCE(pu.user_id, vu.user_id)
+ORDER BY user_id
+"""
+
+
+@register("cogroup_user_funnel", oracle=_COGROUP_ORACLE, tags=("W3", "G5"))
+def cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+
+    def funnel(key, p_pdf, v_pdf):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        n_p, n_v = len(p_pdf), len(v_pdf)
+        # a purchase is "matched" iff ANY view of the same user is at or
+        # before it — equivalently p.ts >= min(view ts); exact integer
+        n_matched = (
+            int((p_pdf["ts"] >= v_pdf["ts"].min()).sum()) if n_p and n_v else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [n_p],
+                "n_views": [n_v],
+                "n_matched": [n_matched],
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(v.groupBy("user_id"))
+        .applyInPandas(
+            funnel,
+            "user_id long, n_purchases long, n_views long, n_matched long",
+        )
+        .orderBy("user_id")
+    )
