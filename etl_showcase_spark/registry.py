@@ -15,7 +15,9 @@ Oracle-parity ground rules (SURVEY.md §7.4):
 
 from __future__ import annotations
 
+import hashlib
 import importlib
+import inspect
 import json
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -61,8 +63,33 @@ _PLAN_MODULES = (
 # ones go last and soak up any leftover check budget. A query counts as
 # verified if some round hash-matched it, or recorded a rows-only row
 # while the query still has no oracle (if it has since GAINED an oracle,
-# it re-queues for a real hash check).
+# it re-queues for a real hash check) — AND the code the driver checked
+# is the code in the tree: VERIFIED_FINGERPRINTS.json pins the
+# (build source + oracle SQL) md5 each green row attests to, so a query
+# edited after its green row loses verified status and re-queues at the
+# front of the check order (scripts/update_fingerprints.py re-blesses
+# fingerprints from the latest round's rows at round start).
 _REPO_ROOT = Path(__file__).resolve().parent.parent
+_FINGERPRINT_PATH = _REPO_ROOT / "VERIFIED_FINGERPRINTS.json"
+
+
+def query_fingerprint(spec: QuerySpec) -> str:
+    """md5 of the build function's source + its oracle SQL — the content
+    identity a driver CORRECTNESS row attests to."""
+    try:
+        src = inspect.getsource(spec.build)
+    except (OSError, TypeError):  # builtins / exec'd source: fall back
+        src = repr(spec.build)
+    blob = src + "\n--oracle--\n" + (spec.oracle or "<no-oracle>")
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _stored_fingerprints() -> dict[str, str]:
+    try:
+        data = json.loads(_FINGERPRINT_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
 
 
 def _driver_verified() -> dict[str, bool]:
@@ -103,6 +130,9 @@ def _ensure_loaded() -> None:
         importlib.import_module(mod)
 
 
+_SPECS_CACHE: dict[str, QuerySpec] | None = None
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """All registered specs, not-yet-driver-verified queries first.
 
@@ -110,13 +140,24 @@ def all_specs() -> dict[str, QuerySpec]:
     queries with no green CORRECTNESS row from any prior round sort
     ahead of proven ones and fill the check budget. Registration order
     is preserved within each group (sorted() is stable), keeping the
-    priority modules of _PLAN_MODULES first among the unproven.
+    priority modules of _PLAN_MODULES first among the unproven. The
+    ordering is computed once per process (the inputs — round files,
+    fingerprint file, registry — are fixed for a process lifetime), so
+    repeated calls can't reshuffle the driver's check order mid-run.
     """
+    global _SPECS_CACHE
+    if _SPECS_CACHE is not None:
+        return _SPECS_CACHE
     _ensure_loaded()
     seen = _driver_verified()
+    pinned = _stored_fingerprints()
 
     def _is_verified(name: str) -> bool:
         if name not in seen:
+            return False
+        # a green row only counts for the exact code it was computed
+        # against; any edit to the build fn or oracle re-queues
+        if pinned.get(name) != query_fingerprint(_REGISTRY[name]):
             return False
         if seen[name]:
             return True
@@ -125,7 +166,8 @@ def all_specs() -> dict[str, QuerySpec]:
         return _REGISTRY[name].oracle is None
 
     ordered = sorted(_REGISTRY, key=_is_verified)
-    return {n: _REGISTRY[n] for n in ordered}
+    _SPECS_CACHE = {n: _REGISTRY[n] for n in ordered}
+    return _SPECS_CACHE
 
 
 def queries() -> dict[str, QueryFn]:

@@ -95,3 +95,53 @@ def test_bench_set_is_oracle_or_property_checked():
     specs = all_specs()
     for name in bench_specs():
         assert name in specs
+
+
+def test_all_specs_is_cached_and_stable():
+    # the driver reads queries() order to pick its 50-query check
+    # budget; repeated calls must never reshuffle it mid-run
+    from etl_showcase_spark import registry
+
+    first = registry.all_specs()
+    assert list(first) == list(registry.all_specs())
+    assert registry.all_specs() is first  # one computation per process
+
+
+def test_unproven_order_is_registration_order(monkeypatch):
+    # within the unproven group the sort is stable, so with NO blessed
+    # fingerprints the order is exactly registration order — protects
+    # the driver's check budget from accidental reshuffles
+    from etl_showcase_spark import registry
+
+    registry.all_specs()  # ensure plans are loaded
+    monkeypatch.setattr(registry, "_stored_fingerprints", dict)
+    monkeypatch.setattr(registry, "_SPECS_CACHE", None)
+    assert list(registry.all_specs()) == list(registry._REGISTRY)
+
+
+def test_edited_query_loses_verified_status(monkeypatch):
+    # the round-3 loophole: a query edited after its green CORRECTNESS
+    # row must RE-QUEUE (sort to the front), not coast on the stale row
+    from etl_showcase_spark import registry
+
+    baseline = registry.all_specs()
+    pinned = registry._stored_fingerprints()
+    assert pinned, "VERIFIED_FINGERPRINTS.json missing or empty"
+    # fingerprints must attest to the code actually in the tree
+    stale = {
+        n: fp
+        for n, fp in pinned.items()
+        if n in baseline and fp != registry.query_fingerprint(baseline[n])
+    }
+    assert not stale, f"blessed fingerprints don't match tree: {sorted(stale)}"
+
+    victim = max(pinned)  # any blessed query; max() = deterministic pick
+    poisoned = dict(pinned)
+    poisoned[victim] = "0" * 32  # simulate an edit after the green row
+    monkeypatch.setattr(registry, "_stored_fingerprints", lambda: poisoned)
+    monkeypatch.setattr(registry, "_SPECS_CACHE", None)
+    reordered = list(registry.all_specs())
+    n_unproven = sum(1 for n in baseline if n not in pinned) + 1
+    assert reordered.index(victim) < n_unproven, (
+        f"{victim} kept verified status despite a content change"
+    )
