@@ -316,7 +316,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         k=10,
         n_centroids=16,
-        n_probe=4,
+        # the synthetic embeddings are near-uniform (no real cluster
+        # structure), so recall needs a wide probe: 8/16 cells holds
+        # recall@10 >= 0.7 (gated in tests/test_oracle_parity.py). On a
+        # genuinely clustered corpus the usual 1/4 probe fraction
+        # recovers the same recall at half the scan cost.
+        n_probe=8,
     )
 
 
