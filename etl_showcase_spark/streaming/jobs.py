@@ -134,6 +134,11 @@ def events_replay_stream(
         def simpleStreamReader(self, schema):
             return _ReplayReader(self.options)
 
+    # re-registering "events_replay" is harmless — ALL per-call
+    # variation (path, batch_rows) rides reader options, and the class
+    # carries no closure state, so every registration binds identical
+    # behavior (unlike http_pyds_source, whose fetch closure forces a
+    # unique name per fetcher)
     spark.dataSource.register(_ReplaySource)
     return (
         spark.readStream.format("events_replay")
@@ -314,13 +319,14 @@ def stream_user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     API (StatefulProcessor + typed ValueState) — the successor surface
     to applyInPandasWithState, with per-state-variable TTL and timers.
 
-    GATED: the Python worker side of transformWithState needs
-    google.protobuf, which this container lacks — raises ImportError
-    with remediation instead of failing deep inside a stage. The
-    calling convention (RocksDB provider + StatefulProcessor handle)
-    is exercised wherever protobuf is installed;
-    stream_user_profile_state remains the in-container custom-stateful
-    path."""
+    NOT RUNNABLE IN THIS CONTAINER (and therefore not a claimed
+    capability — see README): the Python worker side of
+    transformWithState needs google.protobuf, which this environment
+    lacks and cannot install. Raises ImportError with remediation
+    instead of failing deep inside a stage. The calling convention
+    (RocksDB provider + StatefulProcessor handle) is exercised wherever
+    protobuf is installed; stream_user_profile_state remains the
+    supported custom-stateful path."""
     try:
         import google.protobuf.descriptor  # noqa: F401
     except ImportError as e:
@@ -331,35 +337,50 @@ def stream_user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) from e
     from pyspark.sql.streaming import StatefulProcessor
 
+    # transformWithState requires the RocksDB provider, but the session
+    # (possibly the driver's) is not ours to reconfigure permanently:
+    # restore the prior provider before returning the (materialized)
+    # result so later streaming queries keep their configured store
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
-    class _CountProcessor(StatefulProcessor):
-        def init(self, handle):
-            self._count = handle.getValueState("count", "n long")
+    try:
 
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
+        class _CountProcessor(StatefulProcessor):
+            def init(self, handle):
+                self._count = handle.getValueState("count", "n long")
 
-            n = self._count.get()[0] if self._count.exists() else 0
-            for pdf in rows:
-                n += len(pdf)
-            self._count.update((n,))
-            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+            def handleInputRows(self, key, rows, timerValues):
+                import pandas as pd
 
-        def close(self):
-            pass
+                n = self._count.get()[0] if self._count.exists() else 0
+                for pdf in rows:
+                    n += len(pdf)
+                self._count.update((n,))
+                yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
-    ev = read_events_stream(spark, sf_dir)
-    out = ev.groupBy("user_id").transformWithStateInPandas(
-        _CountProcessor(),
-        outputStructType="user_id long, n_events long",
-        outputMode="Update",
-        timeMode="None",
-    )
-    emitted = _run_available_now(out, "stream_tws_counts", mode="update")
+            def close(self):
+                pass
+
+        ev = read_events_stream(spark, sf_dir)
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            _CountProcessor(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        # _run_available_now blocks until the memory sink holds every
+        # emission, so the state store is done by the time we restore
+        emitted = _run_available_now(out, "stream_tws_counts", mode="update")
+    finally:
+        if prior is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prior)
     from ..operators.relational import latest_per_key
 
     return latest_per_key(emitted, ["user_id"], [F.col("n_events").desc()])
