@@ -105,14 +105,29 @@ def minhash_lsh_pairs(
         # verify assigns every pair touching them jaccard NULL/0 < any
         # threshold — the emitted pair set is identical
         out = np.full((len(sh), n_h), p, dtype="int64")
-        if lens.sum():
-            flat = np.concatenate(
-                [np.asarray(x, dtype="int64") for x in sh.to_numpy() if len(x)]
-            )
+        # The (shingles × num_hashes) broadcast product is the only
+        # superlinear intermediate in the whole operator: an unchunked
+        # Arrow batch of shingle-heavy docs could materialize GBs per
+        # core. Cap it at ~4M int64 cells (32 MB) by processing runs of
+        # documents whose combined product stays under the cap — a doc
+        # too big for the cap alone still runs, just by itself.
+        cap = 1 << 22
+        arrs = sh.to_numpy()
+        nonempty = np.flatnonzero(lens)
+        start = 0
+        while start < len(nonempty):
+            end, tot = start, 0
+            while end < len(nonempty) and (
+                tot == 0 or (tot + lens[nonempty[end]]) * n_h <= cap
+            ):
+                tot += lens[nonempty[end]]
+                end += 1
+            idx = nonempty[start:end]
+            flat = np.concatenate([np.asarray(arrs[i], dtype="int64") for i in idx])
             hashed = (flat[:, None] * a[None, :] + b[None, :]) % p
-            nonempty = np.flatnonzero(lens)
-            bounds = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
-            out[nonempty] = np.minimum.reduceat(hashed, bounds, axis=0)
+            bounds = np.concatenate([[0], np.cumsum(lens[idx])[:-1]])
+            out[idx] = np.minimum.reduceat(hashed, bounds, axis=0)
+            start = end
         return pd.Series(list(out))
 
     # repartition BEFORE the heavy per-row math: the signature stage is

@@ -362,6 +362,22 @@ def _make_fake_fetch() -> Callable[[str], str]:
 
 _fake_fetch = _make_fake_fetch()
 
+# fetch callable -> registered Python Data Source format name. Strong
+# refs on purpose: id() reuse after GC must not alias two fetchers to
+# one name. Identity (not equality) keyed — each distinct callable gets
+# its own format name, so re-registering a name always re-binds the
+# SAME fetch and last-registration-wins becomes harmless.
+_PYDS_FETCH_NAMES: list[tuple[Callable[[str], str], str]] = []
+
+
+def _pyds_name_for(do_fetch: Callable[[str], str]) -> str:
+    for f, n in _PYDS_FETCH_NAMES:
+        if f is do_fetch:
+            return n
+    n = f"weather_http_{len(_PYDS_FETCH_NAMES)}"
+    _PYDS_FETCH_NAMES.append((do_fetch, n))
+    return n
+
 
 def http_fanout_source(
     endpoints: DataFrame,
@@ -411,6 +427,11 @@ def http_pyds_source(
     cloudpickle ships them BY VALUE to executor workers (the grading
     driver runs from a cwd where this package isn't importable
     worker-side).
+
+    The registered format NAME is unique per fetch callable (the fetch
+    rides the class closure, and Spark's registry is
+    last-registration-wins: a fixed name would let a lazily-executed
+    frame bind to whichever fetcher registered last).
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -418,7 +439,8 @@ def http_pyds_source(
         InputPartition,
     )
 
-    do_fetch = fetch or _make_fake_fetch()
+    do_fetch = fetch or _fake_fetch
+    name = _pyds_name_for(do_fetch)
 
     class _Endpoint(InputPartition):
         def __init__(self, url: str):
@@ -442,7 +464,7 @@ def http_pyds_source(
     class _HttpSource(DataSource):
         @classmethod
         def name(cls) -> str:
-            return "weather_http"
+            return name
 
         def schema(self) -> str:
             return "url string, payload string"
@@ -451,9 +473,7 @@ def http_pyds_source(
             return _HttpReader(self.options)
 
     spark.dataSource.register(_HttpSource)
-    return (
-        spark.read.format("weather_http").option("urls", "\n".join(urls)).load()
-    )
+    return spark.read.format(name).option("urls", "\n".join(urls)).load()
 
 
 def http_pyds_source_for(
