@@ -98,9 +98,57 @@ def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J3/J4: anti + semi joins — the two halves of the reference upsert
-# (dags/weather_etl_pipeline.py:174-190) as existence predicates.
+# J2 at rest: the same fact × fact join over BUCKETED storage. Both
+# facts are hash-clustered and sorted by their order key at write time
+# (sources/io.write_bucketed), so the per-order pre-aggregation AND the
+# sort-merge join read co-located, pre-sorted data — zero Exchange (and
+# zero Sort) on the join key at read time. This is the shape that
+# removes the worst headline shuffle at 100 TB: the order-key shuffle
+# is paid ONCE when the table lands, amortized over every subsequent
+# join/aggregate on that key. scripts/audit_plans.py asserts the
+# no-order-key-Exchange property on the physical plan.
 # ---------------------------------------------------------------------------
+
+
+@register("join_fact_revenue_bucketed", oracle=_SMJ_ORACLE, tags=("J2", "G1", "S8"))
+def join_fact_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = _bucketed_fact_tables(spark, sf_dir)
+    one = F.lit(1).cast("decimal(12,2)")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))).alias("__rev")
+    )
+    return (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("__rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def _bucketed_fact_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Land orders + lineitem as bucketed managed tables and return
+    them as DataFrames whose scan carries the bucket distribution.
+    Always rewritten (overwrite): the source parquet can change between
+    runs, and serving a stale bucketed copy would be silently wrong —
+    in a real deployment the landing job owns this write and readers
+    only ever spark.table() it. Table names embed the sf tag so scale
+    factors never alias. 8 buckets matches the test scale; at cluster
+    scale the bucket count is sized so one bucket ≈ one executor-core's
+    worth of data — the code path is identical."""
+    from ..sources.io import write_bucketed
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
+    for tbl, name, key in (
+        ("orders", names[0], "o_orderkey"),
+        ("lineitem", names[1], "l_orderkey"),
+    ):
+        write_bucketed(table(spark, sf_dir, tbl), name, [key], 8)
+    return spark.table(names[0]), spark.table(names[1])
 
 # scoped to URGENT orders: in this testdata every customer has at
 # least one order, so the unscoped NOT EXISTS would be vacuous (0 rows

@@ -144,33 +144,23 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode + resize plumbing (rows-only: byte-level outputs are asserted
-# exactly in tests/test_multimodal.py; the decode stub boundary is a
-# NotImplementedError for any non-'raw' codec).
+# Decode + resize over a REAL format: deterministic binary P6 PPM
+# payloads (a byte-valid netpbm file per document) through an actual
+# header parser, pixel reshape, and 2-D nearest-neighbor resize —
+# fused into one mapInPandas stage so full-resolution pixels never
+# leave the worker. Rows-only (pixel gathers don't replay in SQL);
+# tests/test_multimodal.py re-decodes payloads with an independent
+# pure-Python reference and the parity gate asserts the dimension
+# invariants (n_samples == width*height*3, resized_dim == 32*32*3).
 # ---------------------------------------------------------------------------
 
 
 @register("multimodal_decode_resize", oracle=None, tags=("L5",))
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import decode_media_batch, resize_media
+    from ..operators.multimodal import attach_ppm_media, decode_resize_ppm
 
-    d = attach_media_columns(table(spark, sf_dir, "documents"))
-    decoded = decode_media_batch(d).select(
-        "doc_id", F.col("n_samples").alias("n_samples")
-    )
-    resized = resize_media(d, out_size=32)
-    return (
-        decoded.join(resized, "doc_id")
-        .select(
-            "doc_id",
-            "n_samples",
-            F.col("orig_bytes").alias("orig_bytes"),
-            F.size("resized").cast("int").alias("resized_dim"),
-            F.round(
-                F.aggregate("resized", F.lit(0.0), lambda a, x: a + x), 6
-            ).alias("resized_sum"),
-        )
-    )
+    d = attach_ppm_media(table(spark, sf_dir, "documents"))
+    return decode_resize_ppm(d, out_size=32)
 
 
 # ---------------------------------------------------------------------------

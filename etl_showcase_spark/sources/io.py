@@ -253,7 +253,21 @@ def write_bucketed(
     ``keys`` at write time, so a later equi-join or aggregate on those
     keys reads co-located data and Catalyst drops the Exchange entirely
     — the shuffle is paid once at write, amortized over every read.
+
+    True overwrite across SESSIONS: a fresh session's in-memory catalog
+    doesn't know about a managed-table directory a previous session
+    left in the warehouse, and saveAsTable refuses to reuse the
+    location — so drop the catalog entry AND delete the leftover
+    location (Hadoop FS API: correct on any filesystem) before writing.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, name.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
     (
         df.write.bucketBy(n_buckets, *keys)
         .sortBy(*keys)

@@ -72,6 +72,22 @@ def main() -> int:
             failures.append(name)
             print(f"{name:28s} CARTESIAN PRODUCT in plan")
             continue
+        if name == "join_fact_revenue_bucketed":
+            # the point of the bucketed twin: both fact scans carry the
+            # bucket distribution, so NO Exchange may touch the order
+            # key — the only allowed shuffle is the tiny priority
+            # rollup. (The audit session leaves broadcast on; a
+            # BroadcastExchange of the orders side is not an order-key
+            # repartition and passes.)
+            bad = [
+                ln
+                for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln and "orderkey" in ln
+            ]
+            if "Bucketed: true" not in plan or bad:
+                failures.append(name)
+                print(f"{name:28s} BUCKETING NOT USED ({bad or 'no bucketed scan'})")
+                continue
         scans = re.findall(r"ReadSchema: struct<([^>\n]*)>", plan)
         widths = [len(s.split(",")) for s in scans if s]
         pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))

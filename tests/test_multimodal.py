@@ -103,6 +103,73 @@ def test_decode_stub_raises_for_unknown_codec(spark):
         decode_media_batch(bad).collect()
 
 
+def _reference_ppm_decode_resize(buf: bytes, out_size: int):
+    """Independent pure-Python PPM reference (no numpy, no shared code
+    with the operator): parse header, gather nearest-neighbor pixels
+    with plain loops. Deliberately dumb — its only virtue is that it
+    cannot share a bug with the vectorized implementation."""
+    assert buf[:2] == b"P6"
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while chr(buf[pos]).isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            pos = buf.index(b"\n", pos)
+            continue
+        start = pos
+        while not chr(buf[pos]).isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    w, h, maxval = tokens
+    assert maxval == 255
+    pix = buf[pos + 1 :]
+    assert len(pix) == w * h * 3
+    total = 0.0
+    for rr in range(out_size):
+        sr = min(rr * h // out_size, h - 1)
+        for cc in range(out_size):
+            sc = min(cc * w // out_size, w - 1)
+            base = (sr * w + sc) * 3
+            total += (pix[base] + pix[base + 1] + pix[base + 2]) / 255.0
+    return w, h, round(total, 6)
+
+
+def test_ppm_decode_resize_matches_reference(spark):
+    from etl_showcase_spark.operators.multimodal import (
+        attach_ppm_media,
+        decode_resize_ppm,
+    )
+
+    d = attach_ppm_media(table(spark, SF_SMOKE, "documents")).limit(25)
+    payloads = {r.doc_id: bytes(r.media) for r in d.collect()}
+    got = {r.doc_id: r for r in decode_resize_ppm(d, out_size=16).collect()}
+    assert got.keys() == payloads.keys()
+    for doc_id, buf in payloads.items():
+        w, h, ref_sum = _reference_ppm_decode_resize(buf, 16)
+        r = got[doc_id]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_samples == w * h * 3
+        assert r.resized_dim == 16 * 16 * 3
+        assert abs(r.resized_sum - ref_sum) < 1e-6
+
+
+def test_ppm_decode_rejects_corrupt_payloads():
+    import pytest as _pytest
+
+    from etl_showcase_spark.operators.multimodal import _parse_ppm
+
+    w, h = 4, 3
+    good = b"P6\n# c\n4 3\n255\n" + bytes(range(w * h * 3))
+    pw, ph, pix = _parse_ppm(good)
+    assert (pw, ph) == (w, h) and pix.shape == (h, w, 3)
+    with _pytest.raises(ValueError, match="not a P6"):
+        _parse_ppm(b"P5\n4 3\n255\n" + bytes(36))
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n4 3\n255\n" + bytes(10))
+    with _pytest.raises(ValueError, match="maxval"):
+        _parse_ppm(b"P6\n4 3\n65535\n" + bytes(72))
+
+
 def test_grouped_trend_matches_numpy(spark):
     import numpy as np
     from etl_showcase_spark.catalog import table

@@ -82,10 +82,14 @@ def _inv_simhash_neardup(spark, pdf):
 
 
 def _inv_multimodal_decode_resize(spark, pdf):
-    assert (pdf["n_samples"] > 0).all()
-    assert (pdf["orig_bytes"] > 0).all()
-    assert (pdf["resized_dim"] > 0).all()
-    assert pdf["resized_sum"].notna().all()
+    # real PPM decode: dimensions are genuinely parsed from the payload
+    # header and must satisfy the pixel-count identity exactly
+    assert (pdf["width"] > 0).all() and (pdf["height"] > 0).all()
+    assert (pdf["n_samples"] == pdf["width"] * pdf["height"] * 3).all()
+    assert (pdf["resized_dim"] == 32 * 32 * 3).all()
+    # every payload tiles non-empty text, so no all-black resize
+    assert (pdf["resized_sum"] > 0).all()
+    assert (pdf["resized_sum"] <= 32 * 32 * 3).all()
 
 
 def _inv_http_fanout(spark, pdf):

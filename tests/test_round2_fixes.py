@@ -414,6 +414,21 @@ def test_registry_orders_unverified_queries_first(tmp_path, monkeypatch):
         },
     )
     monkeypatch.setattr(registry, "_ensure_loaded", lambda: None)
+    monkeypatch.setattr(registry, "_SPECS_CACHE", None)
+    # bless current fingerprints for the queries whose rows should
+    # count as verified (the fingerprint layer re-queues any name
+    # whose blessed fingerprint is absent or stale)
+    (tmp_path / "VERIFIED_FINGERPRINTS.json").write_text(
+        json.dumps(
+            {
+                n: registry.query_fingerprint(registry._REGISTRY[n])
+                for n in ("hashed_ok", "rows_only_still", "rows_only_gained_oracle")
+            }
+        )
+    )
+    monkeypatch.setattr(
+        registry, "_FINGERPRINT_PATH", tmp_path / "VERIFIED_FINGERPRINTS.json"
+    )
     ordered = list(registry.all_specs())
     unverified_first = ordered[:3]
     # failed/never-checked/regained-oracle queries re-queue for a check
