@@ -150,6 +150,48 @@ def _bucketed_fact_tables(
         write_bucketed(table(spark, sf_dir, tbl), name, [key], 8)
     return spark.table(names[0]), spark.table(names[1])
 
+
+# ---------------------------------------------------------------------------
+# J2 under skew: the same fact-side equi-join through the salting
+# operator (operators/relational.salted_join) — each left key spreads
+# over 16 sub-partitions, the right side replicates 16×, and results
+# are IDENTICAL to the plain join (the oracle proves it: plain SQL, no
+# salt). This is the pre-spread answer for pathological hot keys that
+# AQE's post-hoc skew split can't save (one key = half the table), and
+# for non-AQE sinks like bucketed writes.
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT
+  c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("join_skew_salted", oracle=_SALTED_ORACLE, tags=("J2",))
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import salted_join
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, ["custkey"], salt=16)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
 # scoped to URGENT orders: in this testdata every customer has at
 # least one order, so the unscoped NOT EXISTS would be vacuous (0 rows
 # proves nothing about the anti join)

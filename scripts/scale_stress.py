@@ -135,6 +135,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--keep", action="store_true", help="keep the scratch lake")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="also write the report as a JSON artifact (e.g. BENCH_sf1.json)",
+    )
+    ap.add_argument(
+        "--reuse-lake",
+        action="store_true",
+        help="skip the build if the scratch lake for this --mult already exists "
+        "(only safe when the base testdata hasn't changed since it was built)",
+    )
     args = ap.parse_args()
 
     from etl_showcase_spark.session import get_spark
@@ -143,10 +154,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out_dir = os.path.join(SCRATCH, f"mult{args.mult}")
-    print(f"building {args.mult}x lake at {out_dir} ...", flush=True)
-    t0 = time.perf_counter()
-    build_lake(spark, args.mult, out_dir)
-    print(f"lake built in {time.perf_counter() - t0:.1f}s", flush=True)
+    if args.reuse_lake and os.path.isdir(f"{out_dir}/lineitem.parquet"):
+        print(f"reusing existing lake at {out_dir}", flush=True)
+    else:
+        print(f"building {args.mult}x lake at {out_dir} ...", flush=True)
+        t0 = time.perf_counter()
+        build_lake(spark, args.mult, out_dir)
+        print(f"lake built in {time.perf_counter() - t0:.1f}s", flush=True)
     for t in ("lineitem", "documents", "embeddings"):
         key = _PK_STEP_COLS[t][0]
         base_df = spark.read.parquet(f"{BASE}/{t}.parquet")
@@ -171,7 +185,23 @@ def main() -> None:
             f"x{args.mult}_s": big.get(name),
             "alpha": round(math.log(g / b) / math.log(args.mult), 2),
         }
-    print(json.dumps({"mult": args.mult, "queries": report}, indent=2))
+    payload = {
+        "mult": args.mult,
+        "base_sf_dir": BASE,
+        "note": (
+            "synthetic headroom point: sf0.1 testdata replicated --mult times "
+            "with disjoint key spaces (no sf1 parquet exists in /root/testdata); "
+            "alpha is the per-query scaling exponent time ~ volume^alpha"
+        ),
+        "total_base_s": round(sum(base.values()), 3),
+        f"total_x{args.mult}_s": round(sum(v for v in big.values() if v), 3),
+        "queries": report,
+    }
+    print(json.dumps(payload, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(payload, f, indent=2)
+            f.write("\n")
     if not args.keep:
         shutil.rmtree(out_dir, ignore_errors=True)
     spark.stop()
