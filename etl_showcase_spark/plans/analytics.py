@@ -868,3 +868,64 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3-adjacent warehouse op: SCD Type-2 dimension history ([EXT] — the
+# slowly-changing-dimension build every warehouse load runs; the
+# reference's upsert (dags/weather_etl_pipeline.py ON CONFLICT) only
+# keeps the LATEST row — this derives the full validity-interval
+# history from the change log). Source: each customer's daily order
+# priority (last order wins within a day) treated as an attribute
+# change stream; output one row per priority CHANGE with
+# [effective_from, effective_to] and an is_current flag.
+# Two windows over one customer-keyed shuffle: a lag() to drop
+# no-change days, a lead() to close intervals. At 100 TB both windows
+# share the same partitioning — one Exchange total, no self-join (the
+# naive interval build joins changes to changes; lead() is free here).
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH snap AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+         MAX_BY(o_orderpriority, o_orderkey) AS priority
+  FROM orders GROUP BY 1, 2
+),
+chg AS (
+  SELECT custkey, d, priority,
+         LAG(priority) OVER (PARTITION BY custkey ORDER BY d) AS prev_p
+  FROM snap
+),
+hist AS (
+  SELECT custkey, priority, d AS effective_from,
+         LEAD(d) OVER (PARTITION BY custkey ORDER BY d) - 1 AS next_from
+  FROM chg WHERE prev_p IS NULL OR prev_p <> priority
+)
+SELECT custkey, priority, effective_from,
+       next_from AS effective_to,
+       next_from IS NULL AS is_current
+FROM hist
+"""
+
+
+@register("scd2_priority_history", oracle=_SCD2_ORACLE, tags=("Q3", "W3"))
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    snap = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.max_by("o_orderpriority", "o_orderkey").alias("priority"))
+    w = Window.partitionBy("custkey").orderBy("d")
+    chg = snap.withColumn("prev_p", F.lag("priority").over(w)).filter(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("priority"))
+    )
+    hist = chg.withColumn("next_from", F.date_sub(F.lead("d").over(w), 1))
+    return hist.select(
+        "custkey",
+        "priority",
+        F.col("d").alias("effective_from"),
+        F.col("next_from").alias("effective_to"),
+        F.col("next_from").isNull().alias("is_current"),
+    )

@@ -641,3 +641,191 @@ def cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2+L7 end-to-end fuzzy dedup: pairs -> clusters -> canonical doc.
+# The step every corpus-dedup pipeline runs after near-dup pair mining
+# (no reference analog — [EXT] LLM-curation surface): MinHash-LSH
+# candidate pairs become duplicate CLUSTERS via distributed connected
+# components, and each cluster keeps its lowest doc_id as the canonical
+# representative. The md5 MinHash variant is used so the WHOLE chain —
+# signatures, banding, verify, transitive closure — replays in DuckDB
+# (closure via recursive CTE; Spark runs pointer-doubling label
+# propagation, operators/graph.py). At 100 TB: pair mining is the
+# banded-LSH keyed shuffle, components is O(log diameter) keyed-shuffle
+# rounds (dup clusters are shallow — diameter rarely exceeds a few
+# hops), and the final join is doc_id-keyed; no all-pairs stage exists.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE
+pairs AS ({_minhash_md5_oracle()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+            AS BIGINT) AS cluster_size
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+@register("neardup_cluster_canonical", oracle=_CLUSTER_ORACLE, tags=("L2", "L7"))
+def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import minhash_lsh_pairs_md5
+    from ..operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_md5(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_MH_THRESH,
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    labeled = d.select("doc_id").join(cc, d["doc_id"] == cc["id"], "left").select(
+        "doc_id",
+        # singletons (no near-dup pair) are their own cluster
+        F.coalesce("component", "doc_id").cast("bigint").alias("cluster_id"),
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 decontamination: train/test n-gram overlap ([EXT] — the benchmark-
+# contamination check every pre-training pipeline runs before shipping
+# a corpus). The corpus is split deterministically by md5(doc_id)
+# (~25% "test", the held-out side); a TRAIN document is contaminated if
+# it shares any word 8-gram with ANY test document. Both the split and
+# the n-gram join replay exactly in DuckDB. At 100 TB: distinct-gram
+# postings on both sides, one gram-keyed shuffle join, doc-keyed count
+# — same inverted-index shape as the n-gram Jaccard path (hot grams
+# are bounded by the 8-gram length; no all-pairs doc join exists).
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+
+_DECON_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_DECON_N - 2}),
+             i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS gram
+  FROM tok WHERE LEN(toks) >= {_DECON_N}
+),
+split AS (
+  SELECT doc_id, gram,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
+  FROM g
+),
+test_g AS (SELECT DISTINCT gram FROM split WHERE is_test)
+SELECT s.doc_id, CAST(COUNT(DISTINCT s.gram) AS BIGINT) AS n_shared_grams
+FROM split s JOIN test_g t ON s.gram = t.gram
+WHERE NOT s.is_test
+GROUP BY s.doc_id
+"""
+
+
+@register("decontaminate_train_test", oracle=_DECON_ORACLE, tags=("L4", "L2"))
+def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textops.shingles(textops.tokens("text"), _DECON_N))
+        ).alias("gram"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+            "is_test"
+        ),
+    )
+    test_grams = grams.filter("is_test").select("gram").distinct()
+    return (
+        grams.filter(~F.col("is_test"))
+        .join(test_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 keyword extraction: top-5 TF-IDF terms per source ([EXT] — corpus
+# characterization / domain labeling). Aggregated TF-IDF: score(term,
+# source) = tf * ln(N_docs / df), rounded to 6 decimals so the one
+# transcendental (ln — libm vs JVM may differ in the last ulp) can't
+# break cross-engine hashing; tf/df/N are exact integers. At 100 TB:
+# two keyed aggregations (term-df, source×term-tf), the N_docs scalar
+# is a broadcast 1-row aggregate, top-k is a per-source window over
+# the already-aggregated (small) term table.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, UNNEST({_SQL_TOKS}) AS term FROM documents),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tok),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+scored AS (
+  SELECT tf.source, tf.term,
+         ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+             PARTITION BY tf.source
+             ORDER BY tf.tf * LN(n.n_docs / df.df) DESC, tf.term
+         ) AS rk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT source, term, tfidf, CAST(rk AS INT) AS rk
+FROM scored WHERE rk <= 5
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("L4",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(textops.tokens("text")).alias("term")
+    )
+    n = tok.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    df_t = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("raw", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("raw"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            F.round("raw", 6).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
