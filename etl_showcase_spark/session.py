@@ -16,6 +16,35 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def runtime_filter_conf(test_scale: bool = False) -> dict[str, str]:
+    """Runtime bloom-filter join pruning — the 100 TB fact-join knob.
+
+    When a selectively-filtered dimension shuffle-joins a huge fact
+    table, Spark can build a bloom filter from the dim's join keys at
+    runtime and push ``might_contain(xxhash64(key))`` into the fact
+    scan, dropping non-matching rows BEFORE the fact side's shuffle —
+    the shuffle that dominates a 100 TB star join. Broadcast joins
+    don't need it (the hash table itself filters); it pays off exactly
+    when both sides are too big to broadcast, which is the at-scale
+    regime. Defaults (creation side <= 10 MB built, application side
+    >= 10 GB scanned) are sized for clusters; ``test_scale=True``
+    zeroes the application-side threshold so the injected plan is
+    visible and assertable on the local[32] test data (see
+    scripts/audit_plans.py and tests/test_pipeline_integrity.py).
+    """
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # cap the filter build so a mis-sized creation side can't stall
+        # the driver: 100 MB of creation-side data at most
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    if test_scale:
+        conf[
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ] = "0"
+    return conf
+
+
 def get_spark(
     app_name: str = "etl-showcase-spark",
     master: str | None = None,

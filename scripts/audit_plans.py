@@ -102,12 +102,56 @@ def main() -> int:
             f"{name:28s} scans={len(scans)} widths={widths} "
             f"pushed={pushed} {status}"
         )
+    if not probe_runtime_bloom(spark, sf_dir):
+        failures.append("runtime_bloom_probe")
+        print("runtime_bloom_probe          NO might_contain IN FACT SCAN")
+    else:
+        print("runtime_bloom_probe          ok (bloom filter injected)")
     spark.stop()
     if failures:
         print(f"AUDIT FAILURES: {failures}")
         return 1
     print("AUDIT: all plans pruned")
     return 0
+
+
+def probe_runtime_bloom(spark, sf_dir: str) -> bool:
+    """Assert Spark injects a runtime bloom filter into the fact scan
+    for the at-scale star-join shape (selective dim, shuffle join —
+    session.runtime_filter_conf documents the knobs). Test-scale
+    thresholds + a forced shuffle join make the 100 TB plan visible on
+    local data; confs are restored afterwards."""
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.session import runtime_filter_conf
+
+    tuned = dict(runtime_filter_conf(test_scale=True))
+    tuned["spark.sql.autoBroadcastJoinThreshold"] = "-1"  # at-scale: no BHJ
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy()
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        return "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 if __name__ == "__main__":

@@ -145,3 +145,21 @@ def test_edited_query_loses_verified_status(monkeypatch):
     assert reordered.index(victim) < n_unproven, (
         f"{victim} kept verified status despite a content change"
     )
+
+
+def test_runtime_bloom_filter_injected(spark):
+    # the 100 TB star-join knob (session.runtime_filter_conf): with a
+    # selective dim and a forced shuffle join, Spark must push a
+    # might_contain(xxhash64(key)) runtime filter into the fact scan
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from audit_plans import probe_runtime_bloom
+
+    from .conftest import SF_ORACLE
+
+    assert probe_runtime_bloom(spark, SF_ORACLE)

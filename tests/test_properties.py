@@ -83,3 +83,91 @@ def test_minhash_band_keys_agree_across_runs(spark, seed):
     pa = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(a, "doc_id", "text", jaccard_threshold=0.1).collect()}
     pb = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(b, "doc_id", "text", jaccard_threshold=0.1).collect()}
     assert pa == pb
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from etl_showcase_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    # pure-Python union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        root = find(n)
+        comp_min[root] = min(comp_min.get(root, n), n)
+    for n in nodes:
+        expected[n] = comp_min[find(n)]
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 20), st.sampled_from("ABC")),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_intervals_partition_history(spark, rows):
+    # scd2 invariants on random change logs: per key, intervals are
+    # chronological, non-overlapping, gap-free (to-date = next from-date
+    # minus 1 day), exactly one open (is_current) interval, and no two
+    # consecutive intervals carry the same attribute value
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = datetime.date(2020, 1, 1)
+    snap = {}  # last value per (key, day) wins, mirroring max_by
+    for k, day, val in rows:
+        snap[(k, day)] = val
+    df = spark.createDataFrame(
+        [
+            (k, base + datetime.timedelta(days=day), v)
+            for (k, day), v in snap.items()
+        ],
+        "custkey int, d date, priority string",
+    )
+    w = Window.partitionBy("custkey").orderBy("d")
+    chg = df.withColumn("prev_p", F.lag("priority").over(w)).filter(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("priority"))
+    )
+    hist = chg.withColumn("next_from", F.date_sub(F.lead("d").over(w), 1)).select(
+        "custkey",
+        "priority",
+        F.col("d").alias("effective_from"),
+        F.col("next_from").alias("effective_to"),
+        F.col("next_from").isNull().alias("is_current"),
+    )
+    by_key: dict[int, list] = {}
+    for r in hist.collect():
+        by_key.setdefault(r.custkey, []).append(r)
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r.effective_from)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].effective_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.effective_to == b.effective_from - datetime.timedelta(days=1)
+            assert a.priority != b.priority
