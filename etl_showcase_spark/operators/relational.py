@@ -200,3 +200,71 @@ def salted_join(
     )
     r = right.withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
     return l.join(r, keys + ["__salt"], how).drop("__salt")
+
+
+def apply_cdc_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str,
+    delete_value: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog to a snapshot (the generalization of
+    merge_upsert to insert/update/DELETE streams — the shape a Debezium/
+    binlog feed lands as; no reference analog, the reference's ON
+    CONFLICT upsert cannot expire rows).
+
+    Per key, the change with the highest ``seq_cols`` wins (ties must
+    be broken by including a unique column, e.g. the log offset). A
+    winning delete removes the key; any other winning op replaces or
+    inserts the row. Two keyed shuffles total at scale: one window over
+    ``changes`` keyed on (keys), one anti-join of ``base`` against the
+    touched-key set — both on the same key, so AQE/bucketing can
+    co-locate them; the changelog is never joined to itself.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(latest.select(*keys).distinct(), keys, "left_anti")
+    upserts = latest.filter(F.col(op_col) != delete_value)
+    return survivors.unionByName(upserts.select(*base.columns))
+
+
+def table_diff(
+    left: DataFrame, right: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed / unchanged between two tables with identical schemas
+    (migration validation, replica drift detection). One full-outer
+    join keyed on ``keys``; non-key columns are packed into a struct
+    per side and compared null-safely in-row, so the comparison cost
+    is one expression, not N joins. Returns (keys..., change_type).
+    """
+    keys = list(keys)
+    val_cols = [c for c in left.columns if c not in keys]
+    if set(left.columns) != set(right.columns):
+        raise ValueError(
+            f"table_diff requires identical schemas; "
+            f"left-only={set(left.columns) - set(right.columns)} "
+            f"right-only={set(right.columns) - set(left.columns)}"
+        )
+    l = left.select(*keys, F.struct(*val_cols).alias("__l"))
+    r = right.select(*keys, F.struct(*val_cols).alias("__r"))
+    return (
+        l.join(r, keys, "full_outer")
+        .select(
+            *keys,
+            F.when(F.col("__r").isNull(), F.lit("removed"))
+            .when(F.col("__l").isNull(), F.lit("added"))
+            .when(~F.col("__l").eqNullSafe(F.col("__r")), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+        )
+    )

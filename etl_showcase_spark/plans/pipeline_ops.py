@@ -270,3 +270,104 @@ def audit_timestamp_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "processed_at_iso"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3 generalization: CDC changelog apply ([EXT] — the reference's ON
+# CONFLICT upsert can't expire rows; a binlog/Debezium feed needs
+# insert/update/DELETE semantics). Base snapshot = each user's latest
+# event value before T0; changelog = events at/after T0 with op='D' for
+# error events (tombstones), 'U' otherwise, sequenced by (ts, event_id).
+# ---------------------------------------------------------------------------
+
+_CDC_T0 = "2024-01-16 00:00:00"
+
+_CDC_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, value, ts FROM (
+    SELECT user_id, value, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '{_CDC_T0}'
+  ) WHERE rn = 1
+),
+latest AS (
+  SELECT user_id, value, ts,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '{_CDC_T0}'
+  ) WHERE rn = 1
+)
+SELECT b.user_id, b.value, b.ts FROM base b
+ANTI JOIN latest l ON b.user_id = l.user_id
+UNION ALL
+SELECT user_id, value, ts FROM latest WHERE op <> 'D'
+"""
+
+
+@register("cdc_apply_changes", oracle=_CDC_ORACLE, tags=("Q3", "W1"))
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import apply_cdc_changes, latest_per_key
+
+    ev = table(spark, sf_dir, "events")
+    t0 = F.lit(_CDC_T0).cast("timestamp")
+    base = latest_per_key(
+        ev.filter(F.col("ts") < t0),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "value", "ts")
+    changes = ev.filter(F.col("ts") >= t0).select(
+        "user_id",
+        "value",
+        "ts",
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    return apply_cdc_changes(
+        base, changes, keys=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-adjacent reconciliation: snapshot diff ([EXT] — migration/replica
+# validation). Right snapshot = deterministic mutation of orders
+# (every 50th key re-prioritized, every 97th dropped, clerk field
+# untouched), so the diff must report exactly those keys.
+# ---------------------------------------------------------------------------
+
+_DIFF_ORACLE = """
+WITH l AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+r AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 50 = 0 THEN 'RECLASSIFIED' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+       CASE WHEN r.o_orderkey IS NULL THEN 'removed'
+            WHEN l.o_orderkey IS NULL THEN 'added'
+            WHEN l.o_orderstatus <> r.o_orderstatus
+                 OR l.o_orderpriority <> r.o_orderpriority THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM l FULL JOIN r ON l.o_orderkey = r.o_orderkey
+WHERE r.o_orderkey IS NULL OR l.o_orderkey IS NULL
+   OR l.o_orderstatus <> r.o_orderstatus
+   OR l.o_orderpriority <> r.o_orderpriority
+"""
+
+
+@register("snapshot_diff_orders", oracle=_DIFF_ORACLE, tags=("Q2", "J5"))
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import table_diff
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    mutated = o.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 50 == 0, "RECLASSIFIED").otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return table_diff(o, mutated, ["o_orderkey"]).filter(
+        F.col("change_type") != "unchanged"
+    )

@@ -316,6 +316,59 @@ def merge_upsert_partitioned(
     )
 
 
+def apply_cdc_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str,
+    partition_col: str,
+    delete_value: str = "D",
+) -> None:
+    """CDC changelog apply into a partitioned Parquet target — the
+    delete-capable generalization of merge_upsert_partitioned (a binlog
+    feed expires rows; ON CONFLICT upsert can't). ``changes`` must
+    carry ``partition_col`` (typically a key-hash bucket so a key
+    always lands in the same partition) and be per-key-sequenced
+    across calls (log-offset ordering): each call assumes its winning
+    changes are newer than the target's rows.
+
+    Cost is O(touched partitions): only the partitions the batch lands
+    in are read, merged (operators/relational.apply_cdc_changes), and
+    dynamically overwritten. One extra care deletes force: a touched
+    partition whose rows were ALL deleted produces zero output rows,
+    and dynamic overwrite never rewrites a partition it writes no
+    files for — the stale directory must be removed explicitly
+    (Hadoop FS API, correct on any filesystem).
+    """
+    from ..operators.relational import apply_cdc_changes
+
+    touched = [r[0] for r in changes.select(partition_col).distinct().collect()]
+    target = spark.read.parquet(target_path)
+    existing = target.filter(_touched_partition_filter(partition_col, touched))
+    merged = apply_cdc_changes(
+        existing, changes, keys, seq_cols, op_col, delete_value
+    ).localCheckpoint()  # compute ONCE: written below AND probed for emptied partitions
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+    remaining = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(target_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for val in set(touched) - remaining:
+        stale = jvm.org.apache.hadoop.fs.Path(
+            target_path, f"{partition_col}={val}"
+        )
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+
 # ---------------------------------------------------------------------------
 # S3: HTTP fan-out source (dags/weather_etl_pipeline.py:45-92). The
 # reference loops requests.get on the driver over 5 cities; at scale the

@@ -171,3 +171,67 @@ def test_scd2_intervals_partition_history(spark, rows):
         for a, b in zip(ivs, ivs[1:]):
             assert a.effective_to == b.effective_from - datetime.timedelta(days=1)
             assert a.priority != b.priority
+
+
+@given(
+    base=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)), max_size=15),
+    log=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 99), st.booleans()),
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_apply_cdc_changes_matches_replay(spark, base, log):
+    from etl_showcase_spark.operators.relational import apply_cdc_changes
+
+    b = {k: v for k, v in base}  # one row per key
+    bdf = spark.createDataFrame(
+        [(k, v) for k, v in b.items()] or [(None, None)], "k int, v int"
+    ).filter("k is not null")
+    cdf = spark.createDataFrame(
+        [(k, v, i, "D" if d else "U") for i, (k, v, d) in enumerate(log)]
+        or [(None, None, None, None)],
+        "k int, v int, seq int, op string",
+    ).filter("k is not null")
+    got = {
+        r.k: r.v
+        for r in apply_cdc_changes(
+            bdf, cdf.select("k", "v", "seq", "op"), ["k"], ["seq"], "op"
+        ).select("k", "v").collect()
+    }
+    # reference: replay the log in sequence order over the snapshot
+    state = dict(b)
+    for k, v, d in log:  # enumerate order IS seq order
+        if d:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 10), st.one_of(st.none(), st.integers(0, 3))), max_size=12),
+    right=st.lists(st.tuples(st.integers(0, 10), st.one_of(st.none(), st.integers(0, 3))), max_size=12),
+)
+@settings(**_SETTINGS)
+def test_table_diff_classification(spark, left, right):
+    from etl_showcase_spark.operators.relational import table_diff
+
+    l = {k: v for k, v in left}
+    r = {k: v for k, v in right}
+    ldf = spark.createDataFrame(
+        [(k, v) for k, v in l.items()] or [(None, None)], "k int, v int"
+    ).filter("k is not null")
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in r.items()] or [(None, None)], "k int, v int"
+    ).filter("k is not null")
+    got = {row.k: row.change_type for row in table_diff(ldf, rdf, ["k"]).collect()}
+    for k in set(l) | set(r):
+        if k in l and k not in r:
+            assert got[k] == "removed"
+        elif k not in l and k in r:
+            assert got[k] == "added"
+        elif l[k] != r[k]:  # None-aware via python equality (eqNullSafe twin)
+            assert got[k] == "changed"
+        else:
+            assert got[k] == "unchanged"

@@ -203,3 +203,43 @@ def test_stream_stream_interval_join_matches_batch(spark):
     streamed = jobs.stream_click_purchase_join(spark, SF_SMOKE).toPandas()
     batch = click_purchase_interval_join(spark, SF_SMOKE).toPandas()
     assert not compare_frames(streamed, batch)
+
+
+def test_stream_cdc_apply_matches_batch_and_handles_deletes(spark):
+    """The CDC streaming sink's final snapshot must equal replaying the
+    whole changelog in one batch: per user the latest event wins, and a
+    winning 'error' event deletes the user."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.relational import latest_per_key
+
+    ev = table(spark, SF_SMOKE, "events")
+    latest = latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    expected = (
+        latest.filter(F.col("event_type") != "error")
+        .select("user_id", "value", "ts")
+        .toPandas()
+    )
+    deleted_users = latest.filter(F.col("event_type") == "error").count()
+    assert deleted_users > 0, "fixture must exercise the tombstone path"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        target = f"{tmp}/cdc_target"
+        # batch_rows small enough to force several micro-batches
+        jobs.stream_cdc_apply_to_parquet(
+            spark, SF_SMOKE, target, f"{tmp}/ckpt1", batch_rows=300
+        )
+        got = spark.read.parquet(target).select("user_id", "value", "ts").toPandas()
+        assert not compare_frames(got, expected)
+        # replay from a fresh checkpoint into the existing target:
+        # idempotent (same winners re-apply, tombstoned users stay gone)
+        jobs.stream_cdc_apply_to_parquet(
+            spark, SF_SMOKE, target, f"{tmp}/ckpt2", batch_rows=300
+        )
+        again = spark.read.parquet(target).select("user_id", "value", "ts").toPandas()
+        assert not compare_frames(again, expected)
