@@ -242,7 +242,6 @@ def minhash_lsh_pairs_md5(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     n_part = df.sparkSession.sparkContext.defaultParallelism
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
@@ -253,40 +252,7 @@ def minhash_lsh_pairs_md5(
         )
         .filter(F.size("__sh") >= 1)
     )
-    def _salted_digest(i: int):
-        # closure factory, NOT a default argument: a two-parameter
-        # lambda would make F.transform pass the array INDEX as the
-        # second argument, silently rebinding the salt
-        prefix = F.lit(f"{i}|")
-        return lambda s: F.md5(F.concat(prefix, s))
-
-    sig = base.select(
-        "__id",
-        F.size("__sh").alias("__n"),
-        *[
-            F.array_min(F.transform(F.col("__sh"), _salted_digest(i))).alias(f"m{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    banded = sig.select(
-        "__id",
-        "__n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", "__n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _md5_banded(base, num_hashes, bands)
     left, right = banded.alias("l"), banded.alias("r")
     candidates = (
         left.join(
@@ -316,6 +282,125 @@ def minhash_lsh_pairs_md5(
     )
     return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def minhash_lsh_pairs_md5_incremental(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """Incremental near-dup: candidates are DELTA × CORPUS band-bucket
+    matches only — the daily-crawl shape where today's documents
+    (``new_col`` true) are checked against the accumulated corpus
+    without regenerating corpus-internal pairs. At 100 TB this is the
+    difference between O(delta × bucket-density) and re-running the
+    full corpus self-join; the corpus's banded signatures are exactly
+    the artifact a standing pipeline would persist between runs (here
+    they're recomputed because the testdata lake is immutable).
+
+    Same md5-permutation signatures as minhash_lsh_pairs_md5 (fully
+    DuckDB-replayable). Returns (id_new, id_old, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(text_col).alias("__t"),
+            F.col(new_col).cast("boolean").alias("__new"),
+        )
+        .repartition(n_part, F.col("__id"))
+        .select(
+            "__id",
+            "__new",
+            F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
+        )
+        .filter(F.size("__sh") >= 1)
+    )
+    banded = _md5_banded(base, num_hashes, bands)
+    delta = banded.filter(F.col("__new")).alias("d")
+    corpus = banded.filter(~F.col("__new")).alias("c")
+    candidates = (
+        delta.join(
+            corpus,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.key") == F.col("c.key")),
+        )
+        .groupBy(F.col("d.__id").alias("id_new"), F.col("c.__id").alias("id_old"))
+        .agg(F.first("d.__n").alias("n_a"), F.first("c.__n").alias("n_b"))
+    )
+    sa = base.select(F.col("__id").alias("id_new"), F.col("__sh").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_old"), F.col("__sh").alias("__sb"))
+    inter = (
+        candidates.join(sa, "id_new")
+        .join(sb, "id_old")
+        .select(
+            "id_new",
+            "id_old",
+            F.size(F.array_intersect("__sa", "__sb")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return inter.select("id_new", "id_old", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def _md5_banded(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, distinct-shingle array[, extra cols]) → exploded md5 band
+    keys (id, extras..., __n, band, key) — the shared signature+banding
+    stage of the md5 MinHash variants."""
+    rows = num_hashes // bands
+
+    def _salted_digest(i: int):
+        # closure factory, NOT a default argument: a two-parameter
+        # lambda would make F.transform pass the array INDEX as the
+        # second argument, silently rebinding the salt
+        prefix = F.lit(f"{i}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    extras = [c for c in base.columns if c not in ("__id", "__sh")]
+    sig = base.select(
+        "__id",
+        *extras,
+        F.size("__sh").alias("__n"),
+        *[
+            F.array_min(F.transform(F.col("__sh"), _salted_digest(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return sig.select(
+        "__id",
+        *extras,
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "__id", *extras, "__n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 

@@ -929,3 +929,30 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_from").alias("effective_to"),
         F.col("next_from").isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G9 completion: explicit GROUPING SETS — the arbitrary-subtotal form
+# CUBE/ROLLUP are shorthands of (one aggregation pass computes the
+# status totals, the priority totals, and the grand total; no UNION of
+# three scans). Same sentinel discipline as cube_status_priority.
+# ---------------------------------------------------------------------------
+
+_GSETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM {orders}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register(
+    "grouping_sets_totals",
+    oracle=_GSETS_SQL.format(orders="orders"),
+    tags=("G9",),
+)
+def grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(_GSETS_SQL.format(orders="__gs_orders"))

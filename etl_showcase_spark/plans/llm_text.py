@@ -829,3 +829,81 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 incremental near-dup: DELTA × CORPUS only ([EXT] — the daily-crawl
+# dedup shape: today's documents are checked against the accumulated
+# corpus without regenerating corpus-internal pairs; at 100 TB the
+# corpus's banded signatures are a persisted artifact and the run cost
+# is O(delta × bucket density), not O(corpus²)). Split is an md5 key
+# hash (~12.5% delta) so DuckDB replays it exactly.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_md5_incr_oracle() -> str:
+    rows = _MH_HASHES // _MH_BANDS
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(grams, g -> md5('{i}|' || g))) AS m{i}"
+        for i in range(_MH_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, n, {b} AS band, md5({key}) AS key FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"m{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+flagged AS (
+  SELECT *, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS id_new, c.doc_id AS id_old
+  FROM flagged d JOIN flagged c
+    ON d.band = c.band AND d.key = c.key AND d.is_new AND NOT c.is_new
+),
+j AS (
+  SELECT c.id_new, c.id_old,
+         CAST(LEN(list_intersect(x.grams, y.grams)) AS DOUBLE)
+           / (LEN(x.grams) + LEN(y.grams) - LEN(list_intersect(x.grams, y.grams)))
+           AS jaccard
+  FROM cand c JOIN sh x ON c.id_new = x.doc_id JOIN sh y ON c.id_old = y.doc_id
+)
+SELECT id_new, id_old, jaccard FROM j WHERE jaccard >= {_MH_THRESH}
+"""
+
+
+@register("minhash_incremental_neardup", oracle=_minhash_md5_incr_oracle(), tags=("L2",))
+def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs_md5_incremental
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2"
+    )
+    return minhash_lsh_pairs_md5_incremental(
+        d,
+        "doc_id",
+        "text",
+        "is_new",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_MH_THRESH,
+    )
