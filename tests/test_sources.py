@@ -248,3 +248,41 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(o, c, ["o_custkey"], how=how)
+
+
+def test_apply_cdc_partitioned_cleans_emptied_buckets(spark, tmp_path):
+    """A tombstone batch that empties a bucket partition must remove the
+    stale directory — dynamic overwrite alone never rewrites a
+    partition it writes zero files for."""
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.sources.io import apply_cdc_partitioned
+
+    target = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(1, 10.0, 0), (2, 20.0, 0), (3, 30.0, 1)],
+        "k bigint, v double, bucket int",
+    )
+    base.write.partitionBy("bucket").parquet(target)
+
+    # delete every key in bucket 0; update the key in bucket 1
+    changes = spark.createDataFrame(
+        [
+            (1, None, 1, "D", 0),
+            (2, None, 1, "D", 0),
+            (3, 33.0, 1, "U", 1),
+        ],
+        "k bigint, v double, seq int, op string, bucket int",
+    )
+    apply_cdc_partitioned(
+        spark, target, changes, ["k"], ["seq"], "op", "bucket"
+    )
+    got = {(r.k, r.v) for r in spark.read.parquet(target).select("k", "v").collect()}
+    assert got == {(3, 33.0)}
+    assert not (tmp_path / "cdc" / "bucket=0").exists()
+    # idempotent re-apply: same winners, same snapshot
+    apply_cdc_partitioned(
+        spark, target, changes, ["k"], ["seq"], "op", "bucket"
+    )
+    again = {(r.k, r.v) for r in spark.read.parquet(target).select("k", "v").collect()}
+    assert again == {(3, 33.0)}
