@@ -956,3 +956,70 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 def grouping_sets_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
     return spark.sql(_GSETS_SQL.format(orders="__gs_orders"))
+
+
+# ---------------------------------------------------------------------------
+# J7 × SCD2 composition: point-in-time dimension lookup ([EXT] — the
+# canonical warehouse temporal pattern: attach to each fact row the
+# dimension version valid at the fact's timestamp). Facts = orders;
+# dimension history = the SCD2 priority intervals derived above; the
+# lookup is the union-sort as-of join (operators/relational.py:53 —
+# one customer-keyed shuffle, no range-join candidate blowup at 100 TB).
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH snap AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+         MAX_BY(o_orderpriority, o_orderkey) AS priority
+  FROM orders GROUP BY 1, 2
+),
+chg AS (
+  SELECT custkey, d, priority,
+         LAG(priority) OVER (PARTITION BY custkey ORDER BY d) AS prev_p
+  FROM snap
+),
+hist AS (
+  SELECT custkey, priority, d AS effective_from
+  FROM chg WHERE prev_p IS NULL OR prev_p <> priority
+)
+SELECT orderkey, custkey, orderdate, priority_asof, effective_from_asof
+FROM (
+  SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+         CAST(o.o_orderdate AS DATE) AS orderdate,
+         h.priority AS priority_asof,
+         h.effective_from AS effective_from_asof,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY h.effective_from DESC) AS rn
+  FROM orders o
+  JOIN hist h ON h.custkey = o.o_custkey
+             AND h.effective_from <= CAST(o.o_orderdate AS DATE)
+) WHERE rn = 1
+"""
+
+
+@register("orders_priority_point_in_time", oracle=_PIT_ORACLE, tags=("J7", "Q3"))
+def orders_priority_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import asof_join
+
+    hist = scd2_priority_history(spark, sf_dir).select(
+        "custkey", "priority", "effective_from"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+    )
+    return asof_join(
+        o,
+        hist,
+        on=["custkey"],
+        left_ts="orderdate",
+        right_ts="effective_from",
+        right_vals=["priority"],
+    ).select(
+        "orderkey",
+        "custkey",
+        "orderdate",
+        "priority_asof",
+        F.col("effective_from_asof"),
+    )

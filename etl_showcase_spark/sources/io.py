@@ -557,3 +557,64 @@ def http_pyds_source_for(
     spark = endpoints.sparkSession
     urls = sorted(r[url_col] for r in endpoints.select(url_col).collect())
     return http_pyds_source(spark, urls, fetch)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-files compaction for a Hive-partitioned Parquet directory
+    — the maintenance job every streaming/incremental sink needs: a
+    foreachBatch or per-day load lands a few files per trigger, and
+    after weeks a 100 TB table is millions of KB-sized files whose
+    open/footer cost dominates scans. Per partition, if it holds >=
+    ``min_files_to_compact`` data files, rewrite it to
+    ceil(bytes / target_file_bytes) files.
+
+    Only over-fragmented partitions are rewritten (dynamic overwrite —
+    healthy partitions are untouched), and file sizing is per partition
+    via repartition(n) under a partition-pruned read, so the job's cost
+    tracks the fragmented fraction, not the table. Driver state is the
+    per-partition (file_count, bytes) listing — bounded metadata, same
+    class as the touched-partition lists above.
+
+    Returns {"compacted": [...], "skipped": [...]} partition values.
+    """
+    import math
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    compacted, skipped = [], []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        dirname = st.getPath().getName()
+        if not dirname.startswith(f"{partition_col}="):
+            continue
+        val = dirname.split("=", 1)[1]
+        files = [
+            f
+            for f in fs.listStatus(st.getPath())
+            if f.isFile() and not f.getPath().getName().startswith("_")
+        ]
+        if len(files) < min_files_to_compact:
+            skipped.append(val)
+            continue
+        total = sum(f.getLen() for f in files)
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        part = spark.read.parquet(path).filter(
+            _touched_partition_filter(partition_col, [val])
+        )
+        (
+            part.repartition(n_out)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+        compacted.append(val)
+    return {"compacted": compacted, "skipped": skipped}

@@ -286,3 +286,32 @@ def test_apply_cdc_partitioned_cleans_emptied_buckets(spark, tmp_path):
     )
     again = {(r.k, r.v) for r in spark.read.parquet(target).select("k", "v").collect()}
     assert again == {(3, 33.0)}
+
+
+def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.sources.io import compact_partitions
+
+    path = str(tmp_path / "lake")
+    # partition a: 8 small files; partition b: 1 healthy file
+    a = spark.range(100).select(
+        F.col("id"), F.lit("a").alias("p")
+    ).repartition(8)
+    a.write.partitionBy("p").parquet(path)
+    b = spark.range(100, 150).select(F.col("id"), F.lit("b").alias("p")).coalesce(1)
+    b.write.mode("append").partitionBy("p").parquet(path)
+
+    def files_in(part):
+        d = tmp_path / "lake" / f"p={part}"
+        return [f for f in d.iterdir() if f.name.endswith(".parquet")]
+
+    assert len(files_in("a")) == 8
+    before = {r.id for r in spark.read.parquet(path).collect()}
+
+    res = compact_partitions(spark, path, "p", target_file_bytes=1 << 30)
+    assert res["compacted"] == ["a"] and res["skipped"] == ["b"]
+    assert len(files_in("a")) == 1
+    assert len(files_in("b")) == 1
+    after = {r.id for r in spark.read.parquet(path).collect()}
+    assert after == before
