@@ -205,3 +205,81 @@ def session_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 training-mix rebalancing: per-(lang, source) inverse-frequency
+# sampling weights ([EXT] — the data-mixing step before corpus
+# assembly: upweight rare strata toward a uniform mix, capped so no
+# stratum repeats more than 4 epochs). weight = min(cap, N/(K*n_g)) —
+# exact integer inputs, one division, so the doubles hash cross-engine.
+# Two tiny aggregations + a broadcast scalar; the weights table is
+# K rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+         CAST(COUNT(*) AS DOUBLE) AS n_strata
+  FROM g
+)
+SELECT g.lang, g.source, CAST(g.n_docs AS BIGINT) AS n_docs,
+       LEAST(4.0, tot.n_total / (tot.n_strata * g.n_docs)) AS sample_weight
+FROM g CROSS JOIN tot
+"""
+
+
+@register("training_mix_weights", oracle=_MIX_ORACLE, tags=("L6",))
+def training_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = g.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_strata"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.least(
+            F.lit(4.0), F.col("n_total") / (F.col("n_strata") * F.col("n_docs"))
+        ).alias("sample_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/G9 distribution profiling: equi-width document-length histogram
+# via width_bucket ([EXT] — the length-distribution check behind
+# truncation/packing decisions). Bucket edges are fixed constants, so
+# bucket ids are exact integers in both engines.
+# ---------------------------------------------------------------------------
+
+_HIST_ORACLE = """
+-- DuckDB has no width_bucket; the closed-form twin of Spark's
+-- width_bucket(x, 0, 2000, 20): 1 + floor(x/100), clamped to 21 for
+-- x >= 2000 (n_chars is non-negative, so the 0 underflow bucket
+-- can't occur)
+SELECT CAST(LEAST(FLOOR(n_chars / 100.0) + 1, 21) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("doc_length_histogram", oracle=_HIST_ORACLE, tags=("L4", "G9"))
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.width_bucket("n_chars", F.lit(0), F.lit(2000), F.lit(20))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
