@@ -579,3 +579,38 @@ def neardup_pairs_by_cosine(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, seed: int = 0x1A5) -> list[list[int]]:
+    """Deterministic ±1 Rademacher projection matrix (Achlioptas'
+    database-friendly Johnson-Lindenstrauss variant: ±1 entries
+    preserve pairwise distances in expectation like Gaussian entries,
+    but keep the projection in exact integer arithmetic). Generated
+    once on the driver from a fixed seed and inlined as literals into
+    BOTH the Spark plan and the DuckDB oracle SQL, so the projection
+    is bit-identical across engines by construction."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    return [
+        [1 if rnd.random() < 0.5 else -1 for _ in range(out_dim)]
+        for _ in range(in_dim)
+    ]
+
+
+def random_projection(vec_q: Column, matrix: list[list[int]]) -> Column:
+    """JL projection of a QUANTIZED integer vector: out[j] =
+    Σ_i v[i]·R[i][j] — exact integer sums (order-independent, so the
+    result never depends on partition layout), one in-row expression
+    per output dim, zero shuffles. Reduces, e.g., 64-d embeddings to
+    16-d for cheaper ANN candidate generation; distances are preserved
+    within the JL bound in expectation."""
+    out_dim = len(matrix[0])
+    return F.array(
+        *[
+            int_dot(
+                vec_q, F.array(*[F.lit(row[j]) for row in matrix])
+            )
+            for j in range(out_dim)
+        ]
+    )

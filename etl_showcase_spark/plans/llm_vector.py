@@ -356,3 +356,68 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean_component"))
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 dimensionality reduction: Johnson-Lindenstrauss Rademacher
+# projection 64d -> 16d ([EXT] — the cheap-ANN preprocessing step:
+# candidate generation in the reduced space, exact re-rank in the
+# original). The ±1 matrix is generated once from a fixed seed and
+# inlined as literals into BOTH engines (operators/similarity.py:
+# rademacher_matrix), and inputs are quantized ints, so every output
+# component is an exact integer — bit-identical cross-engine, no float
+# summation-order hazard. In-row expressions only: zero shuffles at
+# any corpus size.
+# ---------------------------------------------------------------------------
+
+_JL_OUT_DIM = 16
+
+
+def _jl_matrix() -> list[list[int]]:
+    from ..operators.similarity import rademacher_matrix
+
+    return rademacher_matrix(_ND_DIM, _JL_OUT_DIM)
+
+
+def _jl_oracle() -> str:
+    m = _jl_matrix()
+    rows = ",\n  ".join(
+        "({j}, [{col}])".format(
+            j=j, col=", ".join(str(m[i][j]) for i in range(_ND_DIM))
+        )
+        for j in range(_JL_OUT_DIM)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+proj(dim, r) AS (VALUES
+  {rows}
+)
+SELECT q.vec_id, CAST(proj.dim AS INT) AS dim,
+       CAST(list_dot_product(q.qv, proj.r) AS BIGINT) AS component
+FROM q CROSS JOIN proj
+"""
+
+
+@register("random_projection_16d", oracle=_jl_oracle(), tags=("L3",))
+def random_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import random_projection
+
+    e = table(spark, sf_dir, "embeddings")
+    m = _jl_matrix()
+    # materialize the projection array ONCE per row; element_at over the
+    # named column can't re-expand the 16 dot products per output dim
+    p = e.select(
+        "vec_id", random_projection(quantize(F.col("embedding")), m).alias("__proj")
+    )
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("dim"),
+                F.element_at("__proj", j + 1).alias("component"),
+            )
+            for j in range(_JL_OUT_DIM)
+        ]
+    )
+    return p.select("vec_id", F.explode(comps).alias("pc")).select(
+        "vec_id", F.col("pc.dim").alias("dim"), F.col("pc.component").alias("component")
+    )

@@ -235,3 +235,35 @@ def test_table_diff_classification(spark, left, right):
             assert got[k] == "changed"
         else:
             assert got[k] == "unchanged"
+
+
+@given(seed=st.integers(0, 3))
+@settings(**_SETTINGS)
+def test_random_projection_linearity_and_determinism(spark, seed):
+    # projection is linear and exactly reproducible: proj(a+b) ==
+    # proj(a) + proj(b), and two runs agree component-for-component
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.operators.similarity import (
+        rademacher_matrix,
+        random_projection,
+    )
+
+    rnd = random.Random(seed)
+    dim, out = 8, 4
+    a = [rnd.randint(-50, 50) for _ in range(dim)]
+    b = [rnd.randint(-50, 50) for _ in range(dim)]
+    m = rademacher_matrix(dim, out)
+    df = spark.createDataFrame(
+        [(a, b, [x + y for x, y in zip(a, b)])],
+        "a array<bigint>, b array<bigint>, ab array<bigint>",
+    )
+    r = df.select(
+        random_projection(F.col("a"), m).alias("pa"),
+        random_projection(F.col("b"), m).alias("pb"),
+        random_projection(F.col("ab"), m).alias("pab"),
+    ).first()
+    assert [x + y for x, y in zip(r.pa, r.pb)] == list(r.pab)
+    assert rademacher_matrix(dim, out) == m  # seed-deterministic
