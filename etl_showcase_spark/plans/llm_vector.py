@@ -421,3 +421,112 @@ def random_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("vec_id", F.explode(comps).alias("pc")).select(
         "vec_id", F.col("pc.dim").alias("dim"), F.col("pc.component").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 two-stage ANN: JL-candidates → exact re-rank ([EXT] — the
+# standard reduced-space retrieval pipeline: stage 1 scores 16-d
+# projections (4× cheaper per pair than 64-d), keeps top-50 candidates
+# per query; stage 2 re-ranks ONLY those 50 with the exact 64-d
+# quantized cosine and keeps top-10. Candidate scoring is ids+score
+# slim (vectors never ride the ranking shuffle; they rejoin for the
+# 50-row re-rank). Every arithmetic step is exact-integer or an
+# identical IEEE op sequence, so DuckDB replays the full two-stage
+# pipeline — candidates, ranks, and final scores — bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_JL_CAND_K, _JL_FINAL_K = 50, 10
+
+
+def _jl_rerank_oracle() -> str:
+    m = _jl_matrix()
+    proj_cols = lambda v: ", ".join(  # noqa: E731
+        "CAST(list_dot_product({v}, [{col}]) AS BIGINT)".format(
+            v=v, col=", ".join(str(m[i][j]) for i in range(_ND_DIM))
+        )
+        for j in range(_JL_OUT_DIM)
+    )
+    return f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, {_SQL_QUANT} AS qv FROM embeddings, s
+  WHERE vec_id % s.stride = 0
+),
+qp AS (SELECT q_id, qv, [{proj_cols('qv')}] AS pq FROM q),
+c AS (SELECT vec_id AS c_id, {_SQL_QUANT} AS cv FROM embeddings),
+cp AS (SELECT c_id, cv, [{proj_cols('cv')}] AS pc FROM c),
+cand AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY CAST(list_dot_product(pq, pc) AS DOUBLE)
+                    / (SQRT(CAST(list_dot_product(pq, pq) AS DOUBLE))
+                       * SQRT(CAST(list_dot_product(pc, pc) AS DOUBLE))) DESC,
+                    c_id ASC
+         ) AS crnk
+  FROM qp CROSS JOIN cp WHERE q_id <> c_id
+),
+kept AS (SELECT q_id, c_id FROM cand WHERE crnk <= {_JL_CAND_K}),
+rer AS (
+  SELECT k.q_id, k.c_id,
+         CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+           / (SQRT(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+              * SQRT(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE))) AS cosine
+  FROM kept k JOIN q ON k.q_id = q.q_id JOIN c ON k.c_id = c.c_id
+)
+SELECT q_id, c_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+  FROM rer
+)
+WHERE rnk <= {_JL_FINAL_K}
+"""
+
+
+@register("ann_jl_rerank_topk", oracle=_jl_rerank_oracle(), tags=("L3", "J8"))
+def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import int_dot, random_projection
+
+    e = table(spark, sf_dir, "embeddings")
+    m = _jl_matrix()
+    qq = _strided_queries(e).select(
+        F.col("vec_id").alias("q_id"), quantize(F.col("embedding")).alias("qv")
+    )
+    qp = qq.select(
+        "q_id", "qv", random_projection(F.col("qv"), m).alias("pq")
+    )
+    cc = e.select(
+        F.col("vec_id").alias("c_id"), quantize(F.col("embedding")).alias("cv")
+    )
+    cp = cc.select("c_id", random_projection(F.col("cv"), m).alias("pc"))
+    pcos = int_dot(F.col("pq"), F.col("pc")).cast("double") / (
+        F.sqrt(int_dot(F.col("pq"), F.col("pq")).cast("double"))
+        * F.sqrt(int_dot(F.col("pc"), F.col("pc")).cast("double"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("__pcos"), F.asc("c_id"))
+    kept = (
+        cp.crossJoin(F.broadcast(qp.select("q_id", "pq")))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("__pcos", pcos)
+        .select("q_id", "c_id", "__pcos")  # ids+score only through the rank
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _JL_CAND_K)
+        .select("q_id", "c_id")
+    )
+    exact = int_dot(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        kept.join(F.broadcast(qq), "q_id")
+        .join(cc, "c_id")
+        .withColumn("cosine", exact)
+        .select("q_id", "c_id", "cosine")
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _JL_FINAL_K)
+    )
