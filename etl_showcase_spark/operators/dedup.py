@@ -37,6 +37,19 @@ def minhash_signature(tok: Column, num_hashes: int, shingle_n: int = 3) -> Colum
     )
 
 
+def _size_ratio_prune(candidates, threshold: float):
+    """Lossless pre-verify prune: the intersection is at most the
+    smaller set, so J(a,b) <= min(n_a, n_b) / max(n_a, n_b) — any
+    candidate pair whose size ratio is below the Jaccard threshold
+    cannot pass the exact verify. Dropping those BEFORE the shingle
+    arrays rejoin removes accidental banding collisions between very
+    different-length documents (a large fraction on real corpora)
+    while provably never changing the emitted pair set."""
+    return candidates.filter(
+        F.least("n_a", "n_b") >= threshold * F.greatest("n_a", "n_b")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -191,6 +204,7 @@ def minhash_lsh_pairs(
         )
         .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
     )
+    candidates = _size_ratio_prune(candidates, jaccard_threshold)
     # Exact-Jaccard verification only on the candidate pairs: join the
     # (small) candidate list back to the per-doc hashed-shingle arrays
     # and intersect inside the row. The arrays never ride the 8-way
@@ -264,6 +278,7 @@ def minhash_lsh_pairs_md5(
         .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
     )
+    candidates = _size_ratio_prune(candidates, jaccard_threshold)
     sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"))
     sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"))
     inter = (
@@ -336,6 +351,7 @@ def minhash_lsh_pairs_md5_incremental(
         .groupBy(F.col("d.__id").alias("id_new"), F.col("c.__id").alias("id_old"))
         .agg(F.first("d.__n").alias("n_a"), F.first("c.__n").alias("n_b"))
     )
+    candidates = _size_ratio_prune(candidates, jaccard_threshold)
     sa = base.select(F.col("__id").alias("id_new"), F.col("__sh").alias("__sa"))
     sb = base.select(F.col("__id").alias("id_old"), F.col("__sh").alias("__sb"))
     inter = (
