@@ -907,3 +907,29 @@ def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         jaccard_threshold=_MH_THRESH,
     )
+
+
+# ---------------------------------------------------------------------------
+# G10 heavy hitters: approximate top-k terms via Spark 4's approx_top_k
+# sketch ([EXT] — vocabulary heavy-hitter profiling; the sketch merges
+# associatively across partitions, so at 100 TB the full token stream
+# never shuffles: each partition sends one bounded sketch). Rows-only
+# by design (sketch internals are engine-specific, same policy as
+# sketch_quantiles_hll); the invariant in tests/test_oracle_parity.py
+# checks it against the exact groupBy-count twin.
+# ---------------------------------------------------------------------------
+
+
+@register("approx_top_terms", oracle=None, tags=("G10", "L4"))
+def approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens("text")).alias("term"))
+    sk = tok.agg(F.expr("approx_top_k(term, 10, 100000)").alias("top"))
+    return (
+        sk.select(F.posexplode("top").alias("pos", "t"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("rnk"),
+            F.col("t.item").alias("term"),
+            F.col("t.count").cast("bigint").alias("approx_count"),
+        )
+    )

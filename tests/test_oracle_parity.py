@@ -111,6 +111,33 @@ def _inv_audit_timestamp_injection(spark, pdf):
     assert pdf["processed_at_iso"].str.match(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$").all()
 
 
+def _inv_approx_top_terms(spark, pdf):
+    # sketch capacity (100k) far exceeds the corpus vocabulary, so the
+    # approximate heavy hitters must EQUAL the exact groupBy-count
+    # top-10 (same counts; term set identical under count ties)
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators import textops
+
+    exact = (
+        table(spark, SF_ORACLE, "documents")
+        .select(F.explode(textops.tokens("text")).alias("term"))
+        .groupBy("term")
+        .count()
+        .toPandas()
+        .sort_values(["count", "term"], ascending=[False, True])
+    )
+    assert len(pdf) == 10
+    got = dict(zip(pdf["term"], pdf["approx_count"]))
+    truth = dict(zip(exact["term"], exact["count"]))
+    # every reported count is the true count, and the reported terms
+    # are a valid top-10 (counts match the exact 10 largest counts)
+    assert all(truth.get(t) == c for t, c in got.items()), "sketch count drift"
+    top_counts = sorted(exact["count"].tolist(), reverse=True)[:10]
+    assert sorted(got.values(), reverse=True) == top_counts
+
+
 INVARIANTS = {
     "sketch_quantiles_hll": _inv_sketch_quantiles_hll,
     "ann_ivf_topk": _inv_ann_ivf_topk,
@@ -120,6 +147,7 @@ INVARIANTS = {
     "http_fanout_weather": _inv_http_fanout,
     "http_fanout_pyds": _inv_http_fanout,
     "audit_timestamp_injection": _inv_audit_timestamp_injection,
+    "approx_top_terms": _inv_approx_top_terms,
 }
 
 
