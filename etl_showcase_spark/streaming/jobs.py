@@ -148,13 +148,26 @@ def events_replay_stream(
     )
 
 
-def stream_tumbling_from_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_tumbling_from_replay(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 300
+) -> DataFrame:
     """T1+T2 over the custom replay source: the SAME tumbling plan as
-    stream_tumbling_daily, but fed by events_replay_stream's genuinely
-    multi-batch micro-batches — the state store merges windows across
+    stream_tumbling_daily, but fed by events_replay_stream in genuinely
+    multiple micro-batches — the state store merges windows across
     batches instead of seeing all data at once. Must equal the batch
-    twin (asserted in tests/test_streaming.py)."""
-    ev = events_replay_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    twin (asserted in tests/test_streaming.py).
+
+    The simple-reader source downgrades availableNow to one micro-batch
+    per start() (Spark's documented fallback), so one start() would see
+    only the first ``batch_rows`` rows. _drain_replay restarts the
+    query over ONE shared checkpoint until the log is exhausted — the
+    state store restores from the checkpoint on every restart, so this
+    is exactly multi-batch stateful execution, just with a restart
+    between batches (a strictly STRONGER recovery test than plain
+    multi-batch: window state must survive checkpoint round-trips)."""
+    ev = events_replay_stream(spark, sf_dir, batch_rows=batch_rows).withWatermark(
+        "ts", "1 hour"
+    )
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
@@ -166,7 +179,41 @@ def stream_tumbling_from_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_available_now(agg, "stream_replay_tumbling")
+    return _drain_replay(agg, "stream_replay_tumbling")
+
+
+def _drain_replay(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Run a replay-sourced streaming frame to exhaustion: repeated
+    availableNow starts over one shared checkpoint (each processes one
+    replay chunk; stateful operators restore from the checkpoint), until
+    a run consumes zero rows. Returns the memory table of the last run
+    that processed input — in complete mode, the final cross-batch
+    state."""
+    import tempfile
+
+    spark = result.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    last_with_input = None
+    for _ in range(10_000):
+        qname = f"{name}_{uuid.uuid4().hex[:8]}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if any(p["numInputRows"] for p in q.recentProgress):
+            last_with_input = qname
+        else:
+            break
+    else:
+        raise RuntimeError(f"{name}: replay source not drained in 10000 runs")
+    if last_with_input is None:  # empty source: an empty frame with the schema
+        return spark.table(qname)
+    return spark.table(last_with_input)
 
 
 def _run_available_now(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:

@@ -24,9 +24,12 @@ def test_stream_tumbling_matches_batch(spark):
 
 def test_replay_source_tumbling_matches_batch(spark):
     """The custom Python Data Source replay stream must drive the
-    tumbling plan to the same result as the file-source stream and the
-    batch twin — across GENUINELY multiple micro-batches (batch_rows
-    2000 < |events|), so cross-batch state merge is exercised."""
+    tumbling plan to the same result as the batch twin — across
+    GENUINELY multiple micro-batches (batch_rows 300 < |events|, so
+    >= 4 chunks), each a checkpoint-restart of the query: cross-batch
+    window-state merge AND state-store recovery are both exercised
+    (see jobs._drain_replay for why restarts stand in for triggers on
+    the simple-reader source)."""
     streamed = jobs.stream_tumbling_from_replay(spark, SF_SMOKE).toPandas()
     batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
     assert not compare_frames(streamed, batch)
