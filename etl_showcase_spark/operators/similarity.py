@@ -614,3 +614,39 @@ def random_projection(vec_q: Column, matrix: list[list[int]]) -> Column:
             for j in range(out_dim)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 max-abs quantization ([EXT] — the standard 4x memory compression
+# for embedding corpora: per-vector scale = max|x|/127, components
+# round-half-up to [-127, 127]). Every step is either exact integer
+# math or a single correctly-rounded IEEE double op (cast, abs, max,
+# one divide, floor), so quantized vectors are bit-reproducible in any
+# engine — the oracle replays them exactly. At 100 TB the win is the
+# 4x smaller shuffle/broadcast payload for candidate generation, with
+# exact re-rank only on the survivors.
+# ---------------------------------------------------------------------------
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector quantization step: max(|x|) / 127 as double."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(
+        127.0
+    )
+
+
+def int8_quantize(vec: Column, scale: Column) -> Column:
+    """Round-half-up int8 components (as bigint for exact dot math).
+
+    |x| <= 127*scale by construction, so floor(x/scale + 0.5) already
+    lands in [-127, 127] — no clamp needed. All-zero vectors (scale 0)
+    quantize to all zeros instead of dividing by zero.
+    """
+    return F.when(
+        scale == 0, F.transform(vec, lambda x: F.lit(0).cast("bigint"))
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("bigint"),
+        )
+    )

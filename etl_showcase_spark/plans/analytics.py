@@ -1023,3 +1023,64 @@ def orders_priority_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame
         "priority_asof",
         F.col("effective_from_asof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout buckets ([EXT] — operators/layout.py; the lake-side
+# twin of the reference's composite btree access paths,
+# sql/create_weather_tables.sql:108-110). Buckets are the top 16 bits
+# of the 32-bit Morton code of (custkey, orderdate-day), i.e. the file
+# grains a z-ordered write would produce; per-bucket key min/maxes ARE
+# the parquet row-group stats a pruned scan would consult, and their
+# tightness in both dimensions at once is the whole point of the
+# layout. Pure integer bit math — bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+_Z_EPOCH = "1992-01-01"
+
+
+def _zorder_oracle() -> str:
+    from ..operators.layout import sql_zorder_value
+
+    z = sql_zorder_value(
+        "o_custkey % 65536",
+        f"DATE_DIFF('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % 65536",
+    )
+    return f"""
+WITH z AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, {z} AS zval
+  FROM orders
+)
+SELECT CAST(zval >> 16 AS INT) AS z_bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_custkey) AS custkey_min, MAX(o_custkey) AS custkey_max,
+       MIN(od) AS orderdate_min, MAX(od) AS orderdate_max,
+       MIN(zval) AS z_min, MAX(zval) AS z_max
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_layout_buckets", oracle=_zorder_oracle(), tags=("G7", "O1"))
+def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import zorder_value
+
+    o = table(spark, sf_dir, "orders")
+    z = zorder_value(
+        F.col("o_custkey") % 65536,
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date"))
+        % 65536,
+    )
+    zf = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"), z.alias("zval")
+    )
+    return zf.groupBy(
+        F.shiftright("zval", 16).cast("int").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.min("od").alias("orderdate_min"),
+        F.max("od").alias("orderdate_max"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )

@@ -258,3 +258,124 @@ def click_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
         .orderBy("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# W3/G7 cohort retention ([EXT] — the classic product-analytics rollup:
+# users cohorted by first-active ISO week, retention = distinct active
+# users per (cohort_week, week_offset)). Shuffle story: ONE wide
+# shuffle on user_id produces both the cohort assignment and the
+# per-user active-week set (groupBy user + collect_set), the explode is
+# map-side, and the final rollup groups ~|weeks|^2 rows — at 100 TB the
+# fact table crosses the network once, keyed by user.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH wk AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week FROM events
+),
+coh AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+act AS (
+  SELECT c.cohort_week,
+         CAST(DATE_DIFF('day', c.cohort_week, w.week) // 7 AS INT) AS week_offset
+  FROM wk w JOIN coh c USING (user_id)
+),
+ret AS (
+  SELECT cohort_week, week_offset, COUNT(*) AS n_active
+  FROM act GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       MAX(CASE WHEN week_offset = 0 THEN n_active END)
+         OVER (PARTITION BY cohort_week) AS cohort_size,
+       CAST(n_active AS DOUBLE)
+         / CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention_pct
+FROM ret
+"""
+
+
+@register("cohort_retention", oracle=_COHORT_ORACLE, tags=("W3", "G7"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    # one shuffle on user_id: cohort week AND the distinct active-week
+    # set come out of the same hash aggregate
+    per_user = wk.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"),
+        F.collect_set("week").alias("__weeks"),
+    )
+    act = per_user.select(
+        "cohort_week", F.explode("__weeks").alias("week")
+    ).select(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    w = Window.partitionBy("cohort_week")
+    size = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(w)
+    return ret.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        size.alias("cohort_size"),
+        (F.col("n_active").cast("double") / size.cast("double")).alias(
+            "retention_pct"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G8/P10 z-score outlier detection ([EXT] — per-event-type standardized
+# anomaly flagging). Mean/variance come from ORDER-INDEPENDENT exact
+# decimal sums (functions/numeric.py pattern: sum, sum-of-squares and
+# count are decimal/integer-exact, so the final double mean/std are
+# bit-identical in any engine at any partition count); the per-type
+# stats frame is tiny and broadcast back onto the facts, so the fact
+# table never shuffles — the whole operator is one partial+final agg
+# plus a map-side join.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH st AS (
+  SELECT event_type,
+         COUNT(value) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+              AS DOUBLE) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - st.s / st.n)
+         / SQRT(st.ss / st.n - (st.s / st.n) * (st.s / st.n)) AS zscore
+FROM events e JOIN st USING (event_type)
+WHERE st.n >= 2
+  AND st.ss / st.n - (st.s / st.n) * (st.s / st.n) > 0
+  AND ABS((e.value - st.s / st.n)
+          / SQRT(st.ss / st.n - (st.s / st.n) * (st.s / st.n))) > 3
+"""
+
+
+@register("zscore_outlier_events", oracle=_ZSCORE_ORACLE, tags=("G8", "P10", "J1"))
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec2
+
+    ev = table(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count("value").alias("__n"),
+        F.sum(dec2("value")).cast("double").alias("__s"),
+        F.sum(dec2("value") * dec2("value")).cast("double").alias("__ss"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__ss") / F.col("__n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter((F.col("__n") >= 2) & (var > 0) & (F.abs(z) > 3))
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )

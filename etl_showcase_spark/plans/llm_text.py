@@ -933,3 +933,57 @@ def approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.count").cast("bigint").alias("approx_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L7 context-window chunking: fixed-size character chunks with
+# overlap ([EXT] — the standard retrieval/training preprocessing step:
+# every document becomes ceil-strided substrings of CHUNK chars every
+# STRIDE chars, so consecutive chunks share CHUNK-STRIDE chars of
+# context). Pure built-in expressions — sequence+explode+substr — so
+# the whole operator is one narrow map stage: no shuffle, no Python,
+# and at 100 TB it scales with the scan. Chunk identity travels as
+# md5(chunk) so the output stays slim while still witnessing the exact
+# chunk bytes to the oracle.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 240, 180
+
+_CHUNKS_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         1 + CASE WHEN LENGTH(text) <= {_CHUNK} THEN 0
+                  ELSE (LENGTH(text) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} END
+           AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(idx AS INT) AS chunk_idx,
+       CAST(LENGTH(SUBSTR(text, idx * {_STRIDE} + 1, {_CHUNK})) AS INT) AS chunk_len,
+       MD5(SUBSTR(text, idx * {_STRIDE} + 1, {_CHUNK})) AS chunk_md5
+FROM n, UNNEST(generate_series(0, n_chunks - 1)) AS t(idx)
+"""
+
+
+@register("doc_chunks_overlap", oracle=_CHUNKS_ORACLE, tags=("L4", "L7", "A2"))
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_chunks = F.lit(1) + F.when(
+        F.length("text") <= _CHUNK, F.lit(0)
+    ).otherwise(
+        F.expr(f"(length(text) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}")
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias("__idx")
+    chunk = F.col("text").substr(
+        (F.col("__idx") * _STRIDE + 1).cast("int"), F.lit(_CHUNK)
+    )
+    return (
+        d.select("doc_id", "text", n_chunks.alias("__n_chunks"))
+        .select("doc_id", "text", idx)
+        .select(
+            "doc_id",
+            F.col("__idx").cast("int").alias("chunk_idx"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

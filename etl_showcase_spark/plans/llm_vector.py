@@ -530,3 +530,173 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= _JL_FINAL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 int8 compression surface ([EXT]): per-vector max-abs int8
+# quantization (operators/similarity.py int8_quantize). The summary
+# query proves the quantized representation bit-for-bit against the
+# oracle (integer mins/maxes/sums/sqnorms + the scale in parts-per-
+# billion); the two-stage ANN uses int8 cosine for candidate
+# generation and the exact x1000 fixed-point cosine only on survivors
+# — the production pattern for memory-bound corpora (4x smaller
+# vectors through the candidate stage).
+# ---------------------------------------------------------------------------
+
+_SQL_I8_SCALE = (
+    "list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) / 127.0"
+)
+
+
+def _sql_i8_quant(scale_expr: str) -> str:
+    return (
+        f"CASE WHEN {scale_expr} = 0"
+        " THEN list_transform(embedding, x -> CAST(0 AS BIGINT))"
+        f" ELSE list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" / ({scale_expr}) + 0.5) AS BIGINT)) END"
+    )
+
+
+_I8_QUANT_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, label, {_SQL_I8_SCALE} AS scale,
+         {_sql_i8_quant(_SQL_I8_SCALE)} AS q
+  FROM embeddings
+)
+SELECT vec_id, label,
+       CAST(list_min(q) AS INT) AS q_min,
+       CAST(list_max(q) AS INT) AS q_max,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_dot_product(q, q) AS BIGINT) AS q_sqnorm,
+       CAST(FLOOR(scale * 1000000000 + 0.5) AS BIGINT) AS scale_ppb
+FROM b
+"""
+
+
+@register("embedding_int8_quant", oracle=_I8_QUANT_ORACLE, tags=("L3", "L5"))
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import int8_quantize, int8_scale
+
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "label",
+        int8_scale(F.col("embedding")).alias("__scale"),
+        int8_quantize(F.col("embedding"), int8_scale(F.col("embedding"))).alias("__q"),
+    )
+    isum = F.aggregate(
+        F.col("__q"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return b.select(
+        "vec_id",
+        "label",
+        F.array_min("__q").cast("int").alias("q_min"),
+        F.array_max("__q").cast("int").alias("q_max"),
+        isum.alias("q_sum"),
+        int_dot(F.col("__q"), F.col("__q")).alias("q_sqnorm"),
+        F.floor(F.col("__scale") * 1000000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("scale_ppb"),
+    )
+
+
+_I8_CAND_K, _I8_FINAL_K = 50, 10
+
+
+def _i8_rerank_oracle() -> str:
+    return f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+base AS (
+  SELECT vec_id, {_SQL_QUANT} AS v, {_sql_i8_quant(_SQL_I8_SCALE)} AS v8
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv, v8 AS q8 FROM base, s
+  WHERE vec_id % s.stride = 0
+),
+c AS (SELECT vec_id AS c_id, v AS cv, v8 AS c8 FROM base),
+cand AS (
+  SELECT q_id, c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY CAST(list_dot_product(q8, c8) AS DOUBLE)
+                    / (SQRT(CAST(list_dot_product(q8, q8) AS DOUBLE))
+                       * SQRT(CAST(list_dot_product(c8, c8) AS DOUBLE))) DESC,
+                    c_id ASC
+         ) AS crnk
+  FROM q CROSS JOIN c WHERE q_id <> c_id
+),
+kept AS (SELECT q_id, c_id FROM cand WHERE crnk <= {_I8_CAND_K}),
+rer AS (
+  SELECT k.q_id, k.c_id,
+         CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+           / (SQRT(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+              * SQRT(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE))) AS cosine
+  FROM kept k JOIN q ON k.q_id = q.q_id JOIN c ON k.c_id = c.c_id
+)
+SELECT q_id, c_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+  FROM rer
+)
+WHERE rnk <= {_I8_FINAL_K}
+"""
+
+
+@register("ann_int8_rerank_topk", oracle=_i8_rerank_oracle(), tags=("L3", "J8"))
+def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import int8_quantize, int8_scale
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("v"),
+        int8_quantize(F.col("embedding"), int8_scale(F.col("embedding"))).alias("v8"),
+    )
+    qq = (
+        _strided_queries(e)
+        .select("vec_id")
+        .join(base, "vec_id")
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("v8").alias("q8"),
+        )
+    )
+    cc = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("v8").alias("c8"),
+    )
+    i8cos = int_dot(F.col("q8"), F.col("c8")).cast("double") / (
+        F.sqrt(int_dot(F.col("q8"), F.col("q8")).cast("double"))
+        * F.sqrt(int_dot(F.col("c8"), F.col("c8")).cast("double"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("__i8cos"), F.asc("c_id"))
+    kept = (
+        cc.select("c_id", "c8")
+        .crossJoin(F.broadcast(qq.select("q_id", "q8")))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("__i8cos", i8cos)
+        .select("q_id", "c_id", "__i8cos")  # ids+score only through the rank
+        .withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _I8_CAND_K)
+        .select("q_id", "c_id")
+    )
+    exact = int_dot(F.col("qv"), F.col("cv")).cast("double") / (
+        F.sqrt(int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        * F.sqrt(int_dot(F.col("cv"), F.col("cv")).cast("double"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        kept.join(F.broadcast(qq.select("q_id", "qv")), "q_id")
+        .join(cc.select("c_id", "cv"), "c_id")
+        .withColumn("cosine", exact)
+        .select("q_id", "c_id", "cosine")
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _I8_FINAL_K)
+    )
