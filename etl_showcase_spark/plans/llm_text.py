@@ -987,3 +987,46 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L1+F11 normalization-aware dedup ([EXT] — the curation step between
+# exact and near dedup: case-fold, strip non-alphanumerics, collapse
+# runs of whitespace, THEN group. Catches trivially-reformatted copies
+# exact dedup misses at the cost of one deterministic map — same
+# single-shuffle hash-groupBy shape as L1, so the 100 TB story is
+# unchanged. The regex pipeline avoids \\s and \\w classes entirely
+# (Java and RE2 disagree on their edges); [^a-z0-9] + ' +' behave
+# identically in both engines on any input.
+# ---------------------------------------------------------------------------
+
+_NORM_EXPR_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' '), ' +', ' '))"
+)
+_NORM_EXPR_SQL = (
+    "TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_NORM_DEDUP_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_NORM_EXPR_SQL} AS norm FROM documents)
+SELECT MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS n_variants,
+       MD5(norm) AS norm_md5,
+       CAST(LENGTH(norm) AS INT) AS norm_len
+FROM n GROUP BY norm
+"""
+
+
+@register("dedup_normalized_text", oracle=_NORM_DEDUP_ORACLE, tags=("L1", "F11"))
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n = d.select("doc_id", F.expr(_NORM_EXPR_SPARK).alias("norm"))
+    return n.groupBy("norm").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count(F.lit(1)).alias("n_variants")
+    ).select(
+        "rep_doc_id",
+        "n_variants",
+        F.md5(F.col("norm")).alias("norm_md5"),
+        F.length("norm").cast("int").alias("norm_len"),
+    )

@@ -9,6 +9,7 @@ rankings are bit-reproducible.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -699,4 +700,69 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id", "cosine")
         .withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= _I8_FINAL_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 grouped-AGGREGATE pandas UDF surface ([EXT] — the third Arrow
+# UDF shape after grouped-map (user_value_trend) and cogrouped-map
+# (cogroup_user_funnel)): a robust per-label statistic Spark has no
+# builtin for — the 10%-trimmed mean — as a GROUPED_AGG pandas_udf.
+# Inputs are the exact integer sqnorms (x1000 fixed-point), the trim
+# boundaries are integer ranks, and the only float op is one final
+# division — so the Arrow-side aggregate is bit-reproducible and the
+# oracle replays it with a rank window. Scale: partial aggregation
+# does NOT apply to grouped-agg UDFs (each group's values gather on
+# one executor), which is exactly why the inputs are pre-reduced to
+# one bigint per vector before the shuffle.
+# ---------------------------------------------------------------------------
+
+_TRIMMED_ORACLE = f"""
+WITH s AS (
+  SELECT label, CAST(list_dot_product({_SQL_QUANT}, {_SQL_QUANT}) AS BIGINT) AS sqnorm
+  FROM embeddings
+),
+r AS (
+  SELECT label, sqnorm,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY sqnorm) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM s
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN sqnorm END)
+            AS DOUBLE)
+         / COUNT(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN 1 END)
+         AS trimmed_mean_sqnorm
+FROM r GROUP BY label
+"""
+
+
+@register("trimmed_mean_sqnorm", oracle=_TRIMMED_ORACLE, tags=("G2", "G8", "L3"))
+def trimmed_mean_sqnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def _trimmed_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        a = np.sort(v.to_numpy(np.int64))
+        k = len(a) // 10
+        mid = a[k : len(a) - k] if len(a) - 2 * k > 0 else a
+        return float(int(mid.sum())) / len(mid)
+
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() — the count rides the same Arrow batch instead
+    @F.pandas_udf("bigint")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    e = table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "label",
+        int_dot(quantize(F.col("embedding")), quantize(F.col("embedding"))).alias(
+            "sqnorm"
+        ),
+    )
+    return s.groupBy("label").agg(
+        _n("sqnorm").alias("n_vectors"),
+        _trimmed_mean("sqnorm").alias("trimmed_mean_sqnorm"),
     )

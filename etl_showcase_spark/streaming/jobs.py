@@ -623,3 +623,45 @@ def stream_cdc_apply_to_parquet(
             "stream_cdc_apply_to_parquet: replay source not drained after "
             "10000 single-batch runs — batch_rows too small for the log?"
         )
+
+
+def stream_enrich_with_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the streaming analog of the
+    reference's dim lookup (fact rows enriched against dim_weather_code,
+    sql/create_weather_tables.sql:53-82): each micro-batch of events
+    joins a small STATIC dimension (per-type seed metadata) that Spark
+    re-broadcasts per batch without any streaming state. No watermark
+    needed — a stateless stream-static inner join appends matches as
+    they arrive; at scale the dim rides the broadcast, so the stream
+    never shuffles.
+
+    Batch twin for equivalence testing: the same join on the batch
+    events frame (tests/test_streaming.py).
+    """
+    dim = static_event_type_dim(spark)
+    ev = read_events_stream(spark, sf_dir)
+    enriched = (
+        ev.join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "type_category",
+            "weight",
+            (F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+    )
+    return _run_available_now(enriched, "stream_enrich", mode="append")
+
+
+def static_event_type_dim(spark: SparkSession) -> DataFrame:
+    """Tiny deterministic per-type dimension (the dim_weather_code
+    role): category bucket + a fixed weight per event type."""
+    rows = [
+        ("click", "engagement", 1.0),
+        ("view", "engagement", 0.5),
+        ("purchase", "conversion", 10.0),
+        ("signup", "conversion", 5.0),
+        ("error", "quality", 0.0),
+    ]
+    return spark.createDataFrame(rows, "event_type string, type_category string, weight double")

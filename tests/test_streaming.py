@@ -246,3 +246,31 @@ def test_stream_cdc_apply_matches_batch_and_handles_deletes(spark):
         )
         again = spark.read.parquet(target).select("user_id", "value", "ts").toPandas()
         assert not compare_frames(again, expected)
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+
+    streamed = jobs.stream_enrich_with_dim(spark, SF_SMOKE).toPandas()
+    dim = jobs.static_event_type_dim(spark)
+    batch = (
+        table(spark, SF_SMOKE, "events")
+        .join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "type_category",
+            "weight",
+            (F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+        .toPandas()
+    )
+    key = sorted(batch.columns)
+    a = streamed[key].sort_values(key).reset_index(drop=True)
+    b = batch[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "stream-static enrichment diverges from batch join"
+    # only types present in the dim survive the inner join
+    assert set(streamed["event_type"]) <= {r["event_type"] for r in dim.collect()}
