@@ -107,6 +107,11 @@ def main() -> int:
         print("runtime_bloom_probe          NO might_contain IN FACT SCAN")
     else:
         print("runtime_bloom_probe          ok (bloom filter injected)")
+    if not probe_dynamic_partition_pruning(spark, sf_dir):
+        failures.append("dpp_probe")
+        print("dpp_probe                    NO dynamicpruning IN PARTITION FILTERS")
+    else:
+        print("dpp_probe                    ok (partition filter injected)")
     spark.stop()
     if failures:
         print(f"AUDIT FAILURES: {failures}")
@@ -152,6 +157,45 @@ def probe_runtime_bloom(spark, sf_dir: str) -> bool:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def probe_dynamic_partition_pruning(spark, sf_dir: str) -> bool:
+    """Assert dynamic partition pruning fires on a date-partitioned
+    lake: fact partitioned by year, dim filtered on a NON-join column —
+    the partition filter is only knowable at runtime, so Catalyst must
+    inject a dynamicpruning expression into the fact scan (at 100 TB
+    this is the difference between scanning one year and scanning the
+    whole lake). Writes a tiny partitioned copy of orders to a temp
+    dir; cleaned up afterwards."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    lake = tempfile.mkdtemp(prefix="dpp_probe_")
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .withColumn("o_year", F.year("o_orderdate"))
+            .write.mode("overwrite")
+            .partitionBy("o_year")
+            .parquet(f"{lake}/orders_by_year")
+        )
+        fact = spark.read.parquet(f"{lake}/orders_by_year")
+        dim = spark.createDataFrame(
+            [(y, "odd" if y % 2 else "even") for y in range(1992, 2002)],
+            "d_year int, parity string",
+        )
+        j = (
+            fact.join(dim, fact["o_year"] == dim["d_year"])
+            .filter(F.col("parity") == "even")
+            .groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return "dynamicpruning" in plan.lower()
+    finally:
+        shutil.rmtree(lake, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -163,3 +163,21 @@ def test_runtime_bloom_filter_injected(spark):
     from .conftest import SF_ORACLE
 
     assert probe_runtime_bloom(spark, SF_ORACLE)
+
+
+def test_dynamic_partition_pruning_injected(spark):
+    # date-partitioned lake + dim filtered on a non-join column: the
+    # partition filter only exists at runtime, so the fact scan must
+    # carry a dynamicpruning expression (scan one year, not the lake)
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from audit_plans import probe_dynamic_partition_pruning
+
+    from .conftest import SF_ORACLE
+
+    assert probe_dynamic_partition_pruning(spark, SF_ORACLE)
