@@ -349,3 +349,144 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.col("f.frame_offset").alias("frame_offset"),
         F.col("f.frame_bytes").alias("frame_bytes"),
     )
+
+
+def attach_wav_media(df: DataFrame) -> DataFrame:
+    """Manufacture a deterministic REAL audio clip per row: a binary
+    RIFF/WAVE file (PCM, 16-bit, mono, 8 kHz) whose sample count and
+    integer waveform derive from doc_id alone. WAV PCM is an
+    UNCOMPRESSED container — unlike JPEG/MP4 its decode needs no codec
+    library, so (like the P6 PPM image path) the decoder below runs
+    against a byte-valid format any external player could open. One
+    pass per Arrow batch; waveforms are pure integer arithmetic so
+    tests can recompute every expected statistic independently."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, media BINARY, "
+        "media_meta STRUCT<format: STRING, n_bytes: INT, "
+        "sample_rate: INT, n_samples: INT>"
+    )
+
+    def encode(batches):
+        import struct
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            medias, metas = [], []
+            for did in ids:
+                did = int(did)
+                n = 64 + did % 64  # 64..127 samples
+                i = np.arange(n, dtype=np.int64)
+                samples = ((did * 31 + i * 17) % 2048 - 1024).astype("<i2")
+                data = samples.tobytes()
+                sr, ch, bits = 8000, 1, 16
+                byte_rate = sr * ch * bits // 8
+                block_align = ch * bits // 8
+                header = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, sr, byte_rate, block_align, bits
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payload = header + data
+                medias.append(payload)
+                metas.append(
+                    {
+                        "format": "wav",
+                        "n_bytes": len(payload),
+                        "sample_rate": sr,
+                        "n_samples": n,
+                    }
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": medias, "media_meta": metas})
+
+    return df.select("doc_id").mapInPandas(encode, out_schema)
+
+
+def _make_parse_wav():
+    """Factory (ships by value in udf closures — same reason as
+    _make_parse_ppm: the grading driver's workers can't import this
+    package)."""
+
+    def parse_wav(buf: bytes):
+        """Canonical 44-byte RIFF/WAVE PCM header parse per the public
+        WAVE spec: RIFF magic + size, WAVE form, 'fmt ' chunk (PCM,
+        channels, sample rate, bit depth), then the 'data' chunk.
+        Returns (sample_rate, int16 sample array). Malformed input
+        raises — a corrupt payload must fail loudly, not yield noise."""
+        import struct
+
+        import numpy as np
+
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        if buf[12:16] != b"fmt ":
+            raise ValueError("missing fmt chunk")
+        fmt_size, audio_fmt, ch, sr, _rate, _align, bits = struct.unpack(
+            "<IHHIIHH", buf[16:36]
+        )
+        if (fmt_size, audio_fmt, ch, bits) != (16, 1, 1, 16):
+            raise ValueError("only 16-bit mono PCM supported")
+        if buf[36:40] != b"data":
+            raise ValueError("missing data chunk")
+        (n_bytes,) = struct.unpack("<I", buf[40:44])
+        data = buf[44 : 44 + n_bytes]
+        if len(data) != n_bytes:
+            raise ValueError(f"truncated sample data: {len(data)} of {n_bytes}")
+        return sr, np.frombuffer(data, dtype="<i2")
+
+    return parse_wav
+
+
+_parse_wav = _make_parse_wav()
+
+
+def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Fused decode + feature extraction over WAV payloads: parse each
+    header, then per-clip audio statistics — integer-exact sample sum /
+    peak / zero-crossing count plus RMS. Same 100 TB shape as the PPM
+    path: raw waveforms never leave the Python worker, only the
+    bounded per-clip feature row does."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, sample_rate INT, n_samples INT, "
+        "sample_sum LONG, peak INT, zero_crossings INT, rms DOUBLE"
+    )
+    parse = _parse_wav
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            srs, ns, sums, peaks, zcs, rmss = [], [], [], [], [], []
+            for buf in pdf[media_col]:
+                sr, s = parse(bytes(buf))
+                s64 = s.astype(np.int64)
+                srs.append(sr)
+                ns.append(len(s))
+                sums.append(int(s64.sum()))
+                peaks.append(int(np.abs(s64).max()) if len(s) else 0)
+                zcs.append(int(((s64[:-1] < 0) != (s64[1:] < 0)).sum()))
+                rmss.append(
+                    round(float(np.sqrt((s64 * s64).mean())), 6) if len(s) else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": np.asarray(srs, "int32"),
+                    "n_samples": np.asarray(ns, "int32"),
+                    "sample_sum": np.asarray(sums, "int64"),
+                    "peak": np.asarray(peaks, "int32"),
+                    "zero_crossings": np.asarray(zcs, "int32"),
+                    "rms": np.asarray(rmss, "float64"),
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)

@@ -208,3 +208,22 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 audio: real WAV PCM decode + per-clip features ([EXT] — the audio
+# analog of multimodal_decode_resize: RIFF/WAVE PCM is uncompressed,
+# so the decoder is a genuine spec-compliant parser with zero codec
+# dependencies; compressed audio (MP3/AAC) stays stubbed). Rows-only:
+# the payloads are synthesized+parsed Python-side; the parity gate's
+# invariant recomputes every integer statistic from the doc_id formula
+# independently (tests/test_oracle_parity.py).
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_wav_features", oracle=None, tags=("L5",))
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_wav_media, decode_wav_features
+
+    d = attach_wav_media(table(spark, sf_dir, "documents"))
+    return decode_wav_features(d)

@@ -199,3 +199,54 @@ def test_approx_count_distinct_within_rsd(spark):
     exact = o.select(F.countDistinct("o_custkey")).first()[0]
     approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.05)).first()[0]
     assert abs(approx - exact) / exact < 0.15  # 3 sigma of rsd=0.05
+
+
+def test_wav_payloads_open_with_stdlib_wave(spark):
+    # the synthesized payloads are REAL WAVE files: python's stdlib
+    # wave module (an independent implementation of the spec) must
+    # open them and agree on rate/width/frames with our own parser
+    import io
+    import wave
+
+    import numpy as np
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.multimodal import _parse_wav, attach_wav_media
+
+    from .conftest import SF_SMOKE
+
+    d = attach_wav_media(table(spark, SF_SMOKE, "documents")).limit(20).collect()
+    assert len(d) == 20
+    for row in d:
+        buf = bytes(row["media"])
+        with wave.open(io.BytesIO(buf)) as w:
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            frames = w.readframes(w.getnframes())
+        sr, samples = _parse_wav(buf)
+        assert sr == 8000
+        assert frames == samples.astype("<i2").tobytes()
+        assert len(samples) == row["media_meta"]["n_samples"]
+
+
+def test_wav_parser_rejects_malformed():
+    import pytest as _pytest
+
+    from etl_showcase_spark.operators.multimodal import _parse_wav
+
+    with _pytest.raises(ValueError):
+        _parse_wav(b"RIFX" + b"\x00" * 60)  # wrong magic
+    with _pytest.raises(ValueError):
+        _parse_wav(b"RIFF\x00\x00\x00\x00WAVEjunk" + b"\x00" * 40)  # no fmt
+    # truncated data chunk
+    from etl_showcase_spark.operators.multimodal import attach_wav_media  # noqa: F401
+    import struct
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 10) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 10) + b"\x00" * 4
+    )
+    with _pytest.raises(ValueError):
+        _parse_wav(hdr)

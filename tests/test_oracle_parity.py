@@ -138,6 +138,26 @@ def _inv_approx_top_terms(spark, pdf):
     assert sorted(got.values(), reverse=True) == top_counts
 
 
+def _inv_multimodal_wav_features(spark, pdf):
+    # real WAV decode: recompute every integer statistic independently
+    # from the doc_id waveform formula (operators/multimodal.py
+    # attach_wav_media) — the decoder must have parsed the actual
+    # little-endian PCM bytes to reproduce them
+    import numpy as np
+
+    assert (pdf["sample_rate"] == 8000).all()
+    for _, r in pdf.sample(n=min(50, len(pdf)), random_state=7).iterrows():
+        did = int(r["doc_id"])
+        n = 64 + did % 64
+        i = np.arange(n, dtype=np.int64)
+        s = (did * 31 + i * 17) % 2048 - 1024
+        assert r["n_samples"] == n
+        assert r["sample_sum"] == int(s.sum())
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["zero_crossings"] == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+        assert abs(r["rms"] - round(float(np.sqrt((s * s).mean())), 6)) < 1e-9
+
+
 INVARIANTS = {
     "sketch_quantiles_hll": _inv_sketch_quantiles_hll,
     "ann_ivf_topk": _inv_ann_ivf_topk,
@@ -148,6 +168,7 @@ INVARIANTS = {
     "http_fanout_pyds": _inv_http_fanout,
     "audit_timestamp_injection": _inv_audit_timestamp_injection,
     "approx_top_terms": _inv_approx_top_terms,
+    "multimodal_wav_features": _inv_multimodal_wav_features,
 }
 
 
