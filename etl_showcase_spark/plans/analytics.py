@@ -1084,3 +1084,57 @@ def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").alias("z_min"),
         F.max("zval").alias("z_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profiler ([EXT] — the statistics-collection pass
+# a warehouse runs before planning; the engine-side analog of the
+# reference's implicit reliance on Postgres table stats for its
+# indexed access paths). ONE scan produces per-column null counts,
+# exact distinct counts, and min/max, then pivots to one row per
+# column map-side (array-of-structs explode — no second shuffle).
+# Exact COUNT(DISTINCT) over 4 columns costs a 4-way Expand at scale;
+# that is the oracle-checkable twin of the production path, which
+# swaps in approx_count_distinct per column (G10) at 100 TB.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN({c}) AS min_value,
+       MAX({c}) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("table_profile_lineitem", oracle=_PROFILE_ORACLE, tags=("G5", "G9", "G10"))
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

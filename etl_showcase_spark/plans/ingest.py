@@ -459,3 +459,43 @@ def xml_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nations"))
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4/Q3 snapshot time travel ([EXT] — sources/io.py write_snapshot):
+# two immutable versions of an orders extract (v1 = 1995 only, v2 =
+# 1995+1996), then a time-travel read of BOTH: the historical v1 must
+# still serve its original contents after v2 lands. Oracle replays
+# both version predicates declaratively.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_ORACLE = """
+SELECT 1 AS version, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders
+FROM orders WHERE YEAR(o_orderdate) = 1995 GROUP BY 2
+UNION ALL
+SELECT 2 AS version, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       COUNT(*) AS n_orders
+FROM orders WHERE YEAR(o_orderdate) IN (1995, 1996) GROUP BY 2
+"""
+
+
+@register("snapshot_time_travel", oracle=_SNAPSHOT_ORACLE, tags=("S4", "Q3"))
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import read_snapshot, write_snapshot
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    base = tempfile.mkdtemp(prefix="snapshots_") + "/orders"
+    v1 = write_snapshot(o.filter(F.col("o_year") == 1995), base)
+    v2 = write_snapshot(o.filter(F.col("o_year").isin(1995, 1996)), base)
+    frames = []
+    for v in (v1, v2):
+        frames.append(
+            read_snapshot(spark, base, version=v)
+            .groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .select(F.lit(v).alias("version"), "o_year", "n_orders")
+        )
+    return frames[0].unionByName(frames[1])

@@ -618,3 +618,56 @@ def compact_partitions(
         )
         compacted.append(val)
     return {"compacted": compacted, "skipped": skipped}
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots / time travel ([EXT] — the lakehouse read
+# surface: every write lands a new immutable `v=N` directory plus a
+# tiny committed-marker file, and readers pin any historical version.
+# The reference's warehouse overwrites staging in place
+# (transform_weather.py:171) — this is the at-scale alternative:
+# writers never mutate a served version, readers are snapshot-
+# isolated, and rollback is "read v-1". Commit protocol: data first,
+# then the marker — a torn write leaves an uncommitted directory that
+# readers ignore.)
+# ---------------------------------------------------------------------------
+
+
+def write_snapshot(df: DataFrame, base_path: str) -> int:
+    """Write df as the next immutable version under base_path/v=N.
+    Returns N. Versions start at 1."""
+    import os
+
+    version = (max(snapshot_versions(base_path), default=0)) + 1
+    path = f"{base_path}/v={version}"
+    df.write.mode("errorifexists").parquet(path)
+    with open(os.path.join(path, "_COMMITTED"), "w") as fh:
+        fh.write(str(version))
+    return version
+
+
+def snapshot_versions(base_path: str) -> list[int]:
+    """Committed versions, ascending (uncommitted/torn dirs ignored)."""
+    import os
+
+    if not os.path.isdir(base_path):
+        return []
+    out = []
+    for name in os.listdir(base_path):
+        if name.startswith("v=") and os.path.exists(
+            os.path.join(base_path, name, "_COMMITTED")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_snapshot(spark: SparkSession, base_path: str, version: int | None = None):
+    """Read one committed snapshot (default: latest)."""
+    versions = snapshot_versions(base_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {base_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(f"snapshot v={version} not committed under {base_path}")
+    return spark.read.parquet(f"{base_path}/v={version}")

@@ -665,3 +665,49 @@ def static_event_type_dim(spark: SparkSession) -> DataFrame:
         ("error", "quality", 0.0),
     ]
     return spark.createDataFrame(rows, "event_type string, type_category string, weight double")
+
+
+def stream_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 outer variant: stream-stream LEFT OUTER interval join —
+    every purchase emits, matched to prior-hour clicks when they
+    exist, null-padded otherwise. The outer semantics are the hard
+    part: a purchase can only be declared UNMATCHED once the
+    watermark proves no qualifying click can still arrive, so
+    null-padded rows emit late (state-eviction time), and purchases
+    newer than (final watermark - join bound) legitimately remain in
+    state at end of an availableNow run. The equivalence test
+    (tests/test_streaming.py) asserts exactly that contract against
+    the batch left join rather than pretending the tail emits."""
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+    )
+    return _run_available_now(joined, "stream_ssjoin_outer", mode="append")

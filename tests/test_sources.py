@@ -315,3 +315,36 @@ def test_compact_partitions_rewrites_only_fragmented(spark, tmp_path):
     assert len(files_in("b")) == 1
     after = {r.id for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_snapshot_versioning_protocol(spark, tmp_path):
+    import os
+
+    from etl_showcase_spark.sources.io import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snaps")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    df2 = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], ["k", "v"])
+    assert write_snapshot(df1, base) == 1
+    assert write_snapshot(df2, base) == 2
+    assert snapshot_versions(base) == [1, 2]
+    # snapshot isolation: v1 still serves its original contents
+    assert sorted(read_snapshot(spark, base, 1).collect()) == sorted(df1.collect())
+    assert read_snapshot(spark, base).count() == 3  # latest = v2
+    # a torn write (no _COMMITTED marker) is invisible to readers
+    df1.write.parquet(f"{base}/v=3")
+    assert snapshot_versions(base) == [1, 2]
+    assert read_snapshot(spark, base).count() == 3
+    # committed versions are immutable: re-writing v=2 must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df1.write.mode("errorifexists").parquet(f"{base}/v=2")
+    # pinning an uncommitted version fails loudly
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, base, 3)
+    os.path.isdir(base)

@@ -274,3 +274,58 @@ def test_stream_static_enrichment_matches_batch(spark):
     assert a.equals(b), "stream-static enrichment diverges from batch join"
     # only types present in the dim survive the inner join
     assert set(streamed["event_type"]) <= {r["event_type"] for r in dim.collect()}
+
+
+def test_stream_stream_left_outer_join_contract(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+
+    streamed = jobs.stream_click_purchase_left_outer(spark, SF_SMOKE).toPandas()
+    ev = table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("purchase_id", "click_id").toPandas()
+
+    s_inner = streamed[streamed["click_id"].notna()][["purchase_id", "click_id"]]
+    b_inner = batch[batch["click_id"].notna()]
+    key = ["purchase_id", "click_id"]
+    assert (
+        s_inner.sort_values(key).reset_index(drop=True).astype("int64")
+        .equals(b_inner.sort_values(key).reset_index(drop=True).astype("int64"))
+    ), "streamed inner matches diverge from batch"
+
+    # null-padded rows: a subset of batch-unmatched purchases...
+    s_null = set(streamed.loc[streamed["click_id"].isna(), "purchase_id"])
+    b_null = set(batch.loc[batch["click_id"].isna(), "purchase_id"])
+    assert s_null <= b_null, "stream declared a matched purchase unmatched"
+    # ...and PREFIX-CLOSED in event time: the exact eviction horizon
+    # depends on internal batching (watermark advances per batch), but
+    # eviction is monotone in event time — so every batch-unmatched
+    # purchase at or before the newest emitted null row MUST also have
+    # emitted. A hole would mean a dropped outer result.
+    assert s_null, "fixture vacuous: no null-padded rows emitted"
+    batch_p_ts = p.toPandas().set_index("purchase_id")["p_ts"]
+    horizon = max(pd.Timestamp(batch_p_ts[pid]) for pid in s_null)
+    expected = {pid for pid in b_null if pd.Timestamp(batch_p_ts[pid]) <= horizon}
+    missing = expected - s_null
+    assert not missing, f"holes in outer emission below {horizon}: {sorted(missing)[:5]}"
+    # and the horizon itself is within the watermark+bound envelope of
+    # the max event time (eviction is happening, not stalled)
+    max_ts = pd.Timestamp(ev.agg(F.max("ts")).collect()[0][0])
+    assert horizon >= max_ts - pd.Timedelta(days=7)
