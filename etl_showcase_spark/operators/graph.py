@@ -88,3 +88,66 @@ def connected_components(
             "exceeds ~2^{max_iter}"
         )
     return labels.select("id", F.col("label").alias("component"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank with INTEGER fixed-point arithmetic ([EXT] — the
+    iterative-algorithm surface beyond connected_components): ranks
+    are bigints scaled by `scale`, per-edge flow is floor(rank/deg),
+    and each update is floor-division arithmetic only — so the result
+    is bit-identical in any engine at any parallelism (float PageRank
+    sums are partition-order dependent; integer sums are not), and a
+    SQL oracle can replay every iteration exactly.
+
+    ``edges`` is DIRECTED (src, dst); every node must appear as a src
+    (undirected graphs: pass both directions). Per iteration: one
+    shuffle join of ranks onto edges by src + one groupBy dst — at
+    scale, pre-partition edges by src once so every iteration reuses
+    the exchange. Iterations are unrolled into a single lazy plan (no
+    driver-side data, no actions).
+
+    rank_v := (15 * (scale div N)) div 100
+              + (damping * sum_{u->v} (rank_u div deg_u)) div 100
+    """
+    e = edges.select(F.col("src").cast("bigint").alias("src"),
+                     F.col("dst").cast("bigint").alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # node count folded in as a broadcast 1-row aggregate — the whole
+    # computation stays one lazy plan, no driver-side count()
+    ncount = deg.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(ncount))
+        .select(
+            "node",
+            F.expr(f"CAST({scale} div __n AS BIGINT)").alias("rank"),
+            "__n",
+        )
+    )
+    teleport = F.expr(f"CAST((15 * ({scale} div __n)) div 100 AS BIGINT)")
+    for _ in range(iterations):
+        flows = (
+            ranks.join(deg, ranks["node"] == deg["src"])
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("CAST(rank div deg AS BIGINT)").alias("flow"),
+                "__n",
+            )
+        )
+        ranks = flows.groupBy("node").agg(
+            F.first("__n").alias("__n"),
+            F.sum("flow").alias("__in"),
+        ).select(
+            "node",
+            (teleport + F.expr(f"CAST(({damping_pct} * __in) div 100 AS BIGINT)")).alias(
+                "rank"
+            ),
+            "__n",
+        )
+    return ranks.select("node", "rank")

@@ -283,3 +283,57 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L7 iterative ranking: fixed-point PageRank over the part↔supplier
+# bipartite graph ([EXT] — operators/graph.py pagerank_fixed_point).
+# All arithmetic is integer floor division, so the distributed result
+# is bit-identical at any parallelism AND the oracle replays all three
+# iterations exactly (unrolled CTE chain — float PageRank could never
+# hash-match across engines).
+# ---------------------------------------------------------------------------
+
+_PR_SCALE, _PR_ITERS = 10**12, 3
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b AS src, a AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS (
+  SELECT src AS node, CAST({_PR_SCALE} // n.n AS BIGINT) AS rank FROM deg, n
+)"""
+    step = """,
+pr{i} AS (
+  SELECT e.dst AS node,
+         CAST((15 * ({scale} // (SELECT n FROM n))) // 100
+              + (85 * SUM(p.rank // d.deg)) // 100 AS BIGINT) AS rank
+  FROM pr{j} p JOIN deg d ON p.node = d.src JOIN edges e ON e.src = p.node
+  GROUP BY e.dst
+)"""
+    body = "".join(
+        step.format(i=i, j=i - 1, scale=_PR_SCALE) for i in range(1, _PR_ITERS + 1)
+    )
+    return head + body + f"\nSELECT node, rank FROM pr{_PR_ITERS}"
+
+
+@register("pagerank_part_supplier", oracle=_pagerank_oracle(), tags=("L7", "J2"))
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed_point
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("a"), (F.col("l_suppkey") * 2 + 1).alias("b")
+    ).distinct()
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank_fixed_point(edges, iterations=_PR_ITERS, scale=_PR_SCALE)

@@ -379,3 +379,64 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__n") >= 2) & (var > 0) & (F.abs(z) > 3))
         .select("event_id", "event_type", "value", z.alias("zscore"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W1/G1 OHLC bars ([EXT] — the finance-style daily rollup: per (day,
+# event_type) open/high/low/close of `value`). Open/close are
+# first/last BY EVENT TIME with event_id as the total-order tie-break
+# (same determinism discipline as every ranking here); both engines
+# compute them as rank-1 rows from the same window, so the result is
+# bit-identical. One shuffle on (day, type); high/low/volume ride the
+# same hash aggregate.
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = f"""
+WITH e AS (
+  SELECT DATE_TRUNC('day', ts) AS day, event_type, value, ts, event_id FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY day, event_type
+                            ORDER BY ts, event_id) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY day, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_close
+  FROM e
+)
+SELECT day, event_type,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", "volume")}
+FROM r GROUP BY day, event_type
+"""
+
+
+@register("ohlc_daily_bars", oracle=_OHLC_ORACLE, tags=("W1", "G1", "T2"))
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_open = Window.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("day", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    r = ev.withColumn("rn_open", F.row_number().over(w_open)).withColumn(
+        "rn_close", F.row_number().over(w_close)
+    )
+    return r.groupBy("day", "event_type").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "volume"),
+    )

@@ -194,3 +194,42 @@ def test_zscore_matches_pandas(spark):
         if sd > 0:
             flagged |= set(g.loc[np.abs((g["value"] - mu) / sd) > 3, "event_id"])
     assert set(got["event_id"]) == flagged
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_python_reference(spark):
+    from etl_showcase_spark.operators.graph import pagerank_fixed_point
+
+    # small directed graph incl. a hub; both directions added so every
+    # node is a src
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(df, iterations=4).collect()
+    }
+
+    SCALE = 10**12
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(4):
+        incoming = {v: 0 for v in nodes}
+        for u, nbrs in out.items():
+            f = rank[u] // len(nbrs)
+            for v in nbrs:
+                incoming[v] += f
+        rank = {
+            v: (15 * (SCALE // n)) // 100 + (85 * incoming[v]) // 100 for v in nodes
+        }
+    assert got == rank
+    # the hub (node 1, degree 3) outranks the leaf (node 5, degree 1)
+    assert got[1] > got[5]
