@@ -160,6 +160,16 @@ def minhash_lsh_pairs(
             )
         ).alias("__sh"),
     )
+    # The shingle frame feeds THREE consumers in one action (the
+    # signature/banding path and both sides of the candidate verify
+    # join); without a cache the expensive tokenize→shingle→hash map
+    # recomputes per consumer whenever AQE broadcasts a join side
+    # (ReusedExchange only saves it in the all-shuffle plan). persist()
+    # materializes it once — lineage kept (unlike localCheckpoint),
+    # and Spark's CacheManager keys the entry by logical plan, so
+    # repeated builds of the same query share one entry instead of
+    # accumulating. Measured at sf0.1: 2.10s → 1.50s.
+    base = base.persist()
     sig = base.select(
         "__id", F.size("__sh").alias("__n"), _minima(F.col("__sh")).alias("__m")
     )
@@ -265,7 +275,7 @@ def minhash_lsh_pairs_md5(
             F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
         )
         .filter(F.size("__sh") >= 1)
-    )
+    ).persist()  # three consumers in one action — see minhash_lsh_pairs
     banded = _md5_banded(base, num_hashes, bands)
     left, right = banded.alias("l"), banded.alias("r")
     candidates = (
@@ -338,7 +348,7 @@ def minhash_lsh_pairs_md5_incremental(
             F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
         )
         .filter(F.size("__sh") >= 1)
-    )
+    ).persist()  # three consumers in one action — see minhash_lsh_pairs
     banded = _md5_banded(base, num_hashes, bands)
     delta = banded.filter(F.col("__new")).alias("d")
     corpus = banded.filter(~F.col("__new")).alias("c")
