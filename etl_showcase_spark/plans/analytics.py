@@ -1138,3 +1138,130 @@ def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring ([EXT] — the classic CRM segmentation: per
+# customer Recency = days since last order at the dataset's frontier
+# date, Frequency = order count, Monetary = exact-decimal lifetime
+# spend; each dimension quartiled with NTILE over a deterministic
+# total order (metric + custkey tie-break), concatenated to a 3-digit
+# segment). One shuffle on custkey builds all three metrics; the
+# frontier date folds in as a broadcast 1-row aggregate, not a driver
+# action.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH frontier AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey AS custkey,
+         DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
+                   (SELECT maxd FROM frontier)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         NTILE(4) OVER (ORDER BY recency_days ASC, custkey ASC) AS r_score,
+         NTILE(4) OVER (ORDER BY frequency DESC, custkey ASC) AS f_score,
+         NTILE(4) OVER (ORDER BY monetary DESC, custkey ASC) AS m_score
+  FROM base
+)
+SELECT custkey, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_segment
+FROM scored
+"""
+
+
+@register("rfm_customer_scores", oracle=_RFM_ORACLE, tags=("W3", "W4", "G1"))
+def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    frontier = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("__maxd"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("__lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(frontier))
+        .select(
+            "custkey",
+            F.datediff("__maxd", "__lastd").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    # NTILE needs one global ordering pass — acceptable because the
+    # frame is already one row PER CUSTOMER (the reduced grain), not
+    # per order; at larger scale swap in percentile-threshold joins
+    r = F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    ).withColumn(
+        "rfm_segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+            "int"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed share-of-total ([EXT] — W4 depth: each part type's revenue
+# share within its brand, a partitioned-window ratio with NO self-join:
+# the denominator is a window SUM over the already-aggregated
+# (brand, type) grain. Sums are exact decimal, the share is one double
+# division of exact aggregates — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+WITH g AS (
+  SELECT p.p_brand AS brand, p.p_type AS type,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT brand, type,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY brand) AS DOUBLE)
+         AS brand_share
+FROM g
+"""
+
+
+@register("brand_type_revenue_share", oracle=_SHARE_ORACLE, tags=("W4", "G4", "J1"))
+def brand_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    g = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("type"))
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    w = Window.partitionBy("brand")
+    return g.select(
+        "brand",
+        "type",
+        F.col("__rev").cast("double").alias("revenue"),
+        (F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double")).alias(
+            "brand_share"
+        ),
+    )

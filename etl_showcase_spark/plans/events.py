@@ -440,3 +440,122 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", "volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4 gap filling / forward fill ([EXT] — the time-series repair step:
+# a dense day spine per event type, daily totals left-joined on, and
+# missing days forward-filled with the last observed total). The
+# spine is sequence()+explode over each type's own [min_day, max_day]
+# — no driver dates; the fill is last(ignorenulls) over an
+# unbounded-preceding window, evaluated per type partition (one
+# shuffle at the type grain, already reduced).
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+         {sql_dsum("value", "day_total")}
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+),
+spine AS (
+  SELECT b.event_type, t.day
+  FROM bounds b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS t(day)
+)
+SELECT s.event_type, s.day,
+       d.day_total IS NOT NULL AS observed,
+       LAST_VALUE(d.day_total IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_total
+FROM spine s LEFT JOIN daily d
+  ON s.event_type = d.event_type AND s.day = d.day
+"""
+
+
+@register("gapfill_daily_totals", oracle=_GAPFILL_ORACLE, tags=("W4", "F4", "A2"))
+def gapfill_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(dsum("value", "day_total"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("__lo"), F.max("day").alias("__hi")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("__lo", "__hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("day_total").isNotNull().alias("observed"),
+            F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 path analysis ([EXT] — the behavioral-sequence rollup: each
+# user's event stream in (ts, event_id) order yields sliding 3-event
+# paths via lead(); the corpus-wide path frequencies rank the most
+# common funnels. One shuffle on user_id for the sequence windows,
+# one reduced-grain count; ranking tie-breaks on the path string for
+# a deterministic total order.
+# ---------------------------------------------------------------------------
+
+_PATHS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+),
+counted AS (SELECT path, COUNT(*) AS n_paths FROM paths GROUP BY path)
+SELECT path, n_paths, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_paths DESC, path ASC) AS rnk
+  FROM counted
+)
+WHERE rnk <= 20
+"""
+
+
+@register("event_path_trigrams", oracle=_PATHS_ORACLE, tags=("W3", "O3"))
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("__e2"),
+        F.lead("event_type", 2).over(w).alias("__e3"),
+    ).filter(F.col("__e2").isNotNull() & F.col("__e3").isNotNull())
+    counted = s.select(
+        F.concat_ws(">", "event_type", "__e2", "__e3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    wr = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
