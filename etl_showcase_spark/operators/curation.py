@@ -125,3 +125,25 @@ def sequence_pack(
     )
     prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
     return df.withColumn("bin_id", F.floor(prefix / F.lit(budget)))
+
+
+def pps_weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = "pps"
+) -> DataFrame:
+    """Probability-proportional-to-size sampling ([EXT] — the curation
+    move for over-represented short/boilerplate docs: keep each row
+    with P = weight / max(weight), deterministically). The uniform
+    draw is the first 8 hex chars of the keyed md5 read as an integer
+    u ∈ [0, 16^8); the keep test is the PURE-INTEGER comparison
+    u * max_weight < weight * 16^8 — no float thresholds, so any
+    engine replays the exact kept set. max(weight) folds in as a
+    broadcast 1-row aggregate (no driver action)."""
+    u = F.conv(F.substring(hash_key(F.col(key_col), salt), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    mx = df.agg(F.max(F.col(weight_col)).alias("__maxw"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .filter(u * F.col("__maxw") < F.col(weight_col).cast("bigint") * F.lit(16**8))
+        .drop("__maxw")
+    )

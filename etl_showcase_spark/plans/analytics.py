@@ -1265,3 +1265,54 @@ def brand_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal Pearson correlation ([EXT] — G-family statistical
+# depth). Spark's corr()/covar() run double accumulators whose
+# partition-order drift would never hash-match an oracle; instead all
+# five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT
+# decimals, and the final correlation is computed from them in one
+# deterministic double expression — same single shuffle as any
+# multi-measure agg.
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy)
+         / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+         AS corr_qty_price
+FROM m
+"""
+
+
+@register("pearson_corr_exact", oracle=_CORR_ORACLE, tags=("G1", "G8"))
+def pearson_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x, y = dec2("l_quantity"), dec2("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    corr = (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        F.sqrt(F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * F.sqrt(F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))

@@ -337,3 +337,30 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank_fixed_point(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# L6 PPS sampling ([EXT] — operators/curation.py pps_weighted_sample):
+# documents kept with probability proportional to length, the
+# counter-weight to boilerplate/short-doc over-representation. The
+# oracle replays the integer keep test verbatim.
+# ---------------------------------------------------------------------------
+
+_PPS_ORACLE = """
+WITH mx AS (SELECT MAX(n_chars) AS maxw FROM documents)
+SELECT doc_id, lang, source, n_chars
+FROM documents, mx
+WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|pps'), 1, 8) AS BIGINT)
+        * maxw
+      < n_chars * 4294967296
+"""
+
+
+@register("pps_weighted_sample_docs", oracle=_PPS_ORACLE, tags=("L6",))
+def pps_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import pps_weighted_sample
+
+    d = table(spark, sf_dir, "documents")
+    return pps_weighted_sample(d, "doc_id", "n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

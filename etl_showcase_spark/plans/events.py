@@ -559,3 +559,64 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+# ---------------------------------------------------------------------------
+# W3 gaps-and-islands / streak detection ([EXT] — longest run of
+# CONSECUTIVE active days per user, the canonical island idiom:
+# day - row_number() is constant within a consecutive run, so one
+# dense per-user day list + one window + two grouped counts finds
+# every streak with no self-join. Both shuffles run at reduced grain
+# (distinct user-days, then user-islands).
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day FROM events
+),
+r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+islands AS (
+  SELECT user_id, day - TO_DAYS(CAST(rn AS INT)) AS grp, COUNT(*) AS streak_len,
+         MIN(day) AS streak_start
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(streak_len) AS INT) AS longest_streak_days,
+       MIN(CASE WHEN streak_len = ms THEN streak_start END) AS best_streak_start,
+       CAST(COUNT(*) AS INT) AS n_streaks
+FROM (SELECT *, MAX(streak_len) OVER (PARTITION BY user_id) AS ms FROM islands)
+GROUP BY user_id
+"""
+
+
+@register("activity_streaks", oracle=_STREAK_ORACLE, tags=("W3", "G7"))
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    r = d.withColumn("__rn", rn)
+    islands = r.groupBy(
+        "user_id", F.date_sub("day", F.col("__rn")).alias("__grp")
+    ).agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    ms = F.max("streak_len").over(Window.partitionBy("user_id"))
+    return (
+        islands.withColumn("__ms", ms)
+        .groupBy("user_id")
+        .agg(
+            F.max("streak_len").cast("int").alias("longest_streak_days"),
+            F.min(
+                F.when(F.col("streak_len") == F.col("__ms"), F.col("streak_start"))
+            ).alias("best_streak_start"),
+            F.count(F.lit(1)).cast("int").alias("n_streaks"),
+        )
+    )

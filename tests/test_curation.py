@@ -95,3 +95,28 @@ def test_partial_final_aggregation_g11(spark):
     plan = buf.getvalue()
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_pps_sample_favors_heavy_rows(spark):
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.curation import pps_weighted_sample
+
+    from .conftest import SF_SMOKE
+
+    d = table(spark, SF_SMOKE, "documents")
+    kept = pps_weighted_sample(d, "doc_id", "n_chars")
+    n_all, n_kept = d.count(), kept.count()
+    assert 0 < n_kept < n_all
+    mean_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    mean_kept = kept.agg(F.avg("n_chars")).collect()[0][0]
+    # PPS must tilt the sample toward longer documents
+    assert mean_kept > mean_all
+    # determinism: same call, same kept set
+    ids1 = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in pps_weighted_sample(d, "doc_id", "n_chars").select("doc_id").collect()
+    }
+    assert ids1 == ids2
