@@ -499,3 +499,40 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(v).alias("version"), "o_year", "n_orders")
         )
     return frames[0].unionByName(frames[1])
+
+
+# ---------------------------------------------------------------------------
+# S5/S6 JDBC warehouse roundtrip — oracle-checked ([EXT] upgrade of the
+# pytest-only Derby proof): the reference's staging-table load
+# (transform_weather.py:166-174, df.write.jdbc overwrite) against a
+# REAL embedded database. The priority rollup writes to a fresh Derby
+# database over actual JDBC (Derby ships in Spark's jars — no network,
+# same driver-registration path as Postgres would use), reads back
+# through read_jdbc, and must hash-match the declarative oracle —
+# proving type round-tripping (VARCHAR/BIGINT/DOUBLE) end to end.
+# ---------------------------------------------------------------------------
+
+_JDBC_ORACLE = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("jdbc_warehouse_roundtrip", oracle=_JDBC_ORACLE, tags=("S5", "S6"))
+def jdbc_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+    from ..sources.io import read_jdbc, write_jdbc
+
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price")
+    )
+    dbdir = tempfile.mkdtemp(prefix="derby_wh_")
+    url = f"jdbc:derby:{dbdir}/wh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc(agg, url, "priority_rollup", properties=props, mode="overwrite")
+    return read_jdbc(spark, url, "priority_rollup", properties=props).select(
+        "priority", "n_orders", "total_price"
+    )
