@@ -114,9 +114,14 @@ def pagerank_fixed_point(
     rank_v := (15 * (scale div N)) div 100
               + (damping * sum_{u->v} (rank_u div deg_u)) div 100
     """
+    # the edge list and degree table are loop INVARIANTS referenced by
+    # every unrolled iteration — persist() materializes each once
+    # instead of recomputing the upstream (often a distinct over a
+    # fact-table projection) per iteration; plan-keyed caching means
+    # repeated builds share the entries
     e = edges.select(F.col("src").cast("bigint").alias("src"),
-                     F.col("dst").cast("bigint").alias("dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+                     F.col("dst").cast("bigint").alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # node count folded in as a broadcast 1-row aggregate — the whole
     # computation stays one lazy plan, no driver-side count()
     ncount = deg.agg(F.count(F.lit(1)).alias("__n"))
