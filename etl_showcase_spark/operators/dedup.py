@@ -461,6 +461,11 @@ def ngram_jaccard_pairs(
         .repartition(F.col("__id"))
         .dropDuplicates(["__id", "g"])
     )
+    # the posting list feeds the hot-shingle aggregate, the anti join,
+    # the per-doc size aggregate, and BOTH sides of the inverted-index
+    # self-join — persist() materializes the tokenize+explode+dedup
+    # work once (plan-keyed cache, shared across rebuilds)
+    dedup = dedup.persist()
     if df_max is not None:
         # the blocklist (hot shingles only) is orders of magnitude
         # smaller than the posting list — AQE broadcasts the anti join
@@ -470,7 +475,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") >= df_max)
             .select("g")
         )
-        dedup = dedup.join(hot, "g", "left_anti")
+        dedup = dedup.join(hot, "g", "left_anti").persist()
     sizes = dedup.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     postings = dedup.join(sizes, "__id")
     a, b = postings.alias("a"), postings.alias("b")
