@@ -506,15 +506,20 @@ def lsh_neardup_pairs(
     independent engine reproduces the exact pair set — the DuckDB
     oracle in plans/llm_vector.py mirrors it bit-for-bit.
     """
+    # both frames feed two consumers each (the posting self-join's two
+    # sides; the verify join on id_a and id_b) — persist() runs the
+    # GEMM bucket pass and the quantize+norm pass once instead of twice
     v = df.select(
         F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__vec")
-    ).withColumn("__nrm", F.sqrt(int_dot(F.col("__vec"), F.col("__vec")).cast("double")))
+    ).withColumn(
+        "__nrm", F.sqrt(int_dot(F.col("__vec"), F.col("__vec")).cast("double"))
+    ).persist()
     posting = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
             "tbl", "key"
         ),
-    )
+    ).persist()
     pa = posting.select(F.col("__id").alias("id_a"), "tbl", "key")
     pb = posting.select(F.col("__id").alias("id_b"), "tbl", "key")
     cand = (
