@@ -564,7 +564,8 @@ def simhash_md5_pairs(
     sigs = df.select(
         F.col(id_col).alias("__id"),
         simhash32_md5(tokens(F.col(text_col))).alias("__sig"),
-    )
+    # both self-join sides read this — one md5-simhash pass, not two
+    ).persist()
     n_blocks = 32 // block_bits
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
@@ -622,7 +623,9 @@ def simhash_neardup_pairs(
     hamming<=3 set — exactly the blowup a 100 TB corpus can't afford."""
     sigs = df.select(
         F.col(id_col).alias("__id"), simhash64(tokens(F.col(text_col))).alias("__sig")
-    )
+    # the signature frame feeds BOTH sides of the block self-join —
+    # persist() computes the per-doc simhash once, not twice
+    ).persist()
     n_blocks = 64 // block_bits
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
