@@ -490,3 +490,50 @@ def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
             )
 
     return df.select("doc_id", media_col).mapInPandas(run, out_schema)
+
+
+def extract_byte_features_arrow(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """mapInArrow twin of extract_byte_features ([EXT] — the
+    Arrow-NATIVE map API, one tier below mapInPandas: RecordBatch in,
+    RecordBatch out, no pandas materialization at all). For
+    binary-heavy columns this skips the Arrow→pandas object-array
+    conversion entirely — the payload buffers stay as Arrow binary
+    arrays until numpy reads them. Equality with the mapInPandas twin
+    is asserted in tests/test_multimodal.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = "doc_id LONG, features ARRAY<DOUBLE>, n_bytes INT"
+    dim = FEATURE_DIM
+
+    def featurize(batches):
+        for rb in batches:
+            ids = rb.column("doc_id")
+            media = rb.column(media_col)
+            bufs = [
+                media[i].as_py() if media[i].is_valid else b""
+                for i in range(rb.num_rows)
+            ]
+            bufs = [b if b is not None else b"" for b in bufs]
+            sizes = np.fromiter((len(b) for b in bufs), dtype="int64", count=len(bufs))
+            n_rows = len(bufs)
+            hist = np.zeros((n_rows, dim), dtype="float64")
+            if n_rows and sizes.sum():
+                all_bytes = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                row_idx = np.repeat(np.arange(n_rows), sizes)
+                flat = np.bincount(
+                    row_idx * dim + (all_bytes >> 4), minlength=n_rows * dim
+                )
+                hist = flat.reshape(n_rows, dim).astype("float64")
+            totals = hist.sum(axis=1, keepdims=True)
+            np.divide(hist, totals, out=hist, where=totals > 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(list(hist), type=pa.list_(pa.float64())),
+                    pa.array(sizes.astype("int32"), type=pa.int32()),
+                ],
+                names=["doc_id", "features", "n_bytes"],
+            )
+
+    return df.select("doc_id", media_col).mapInArrow(featurize, out_schema)

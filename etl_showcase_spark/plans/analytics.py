@@ -1316,3 +1316,37 @@ def pearson_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy"))
     )
     return m.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# SQL LATERAL correlated subquery ([EXT] — the remaining SQL join
+# surface after LATERAL VIEW/explode: a per-row dependent subquery
+# with its own ORDER BY + LIMIT, the "top-N per key without window
+# functions" spelling). Catalyst rewrites the correlated LIMIT into a
+# per-key ranked join — the same physical shape as the window-based
+# top3_orders_per_customer twin — so the SQL-text surface costs
+# nothing extra at scale. DuckDB runs the identical text.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+       CAST(CAST(t.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+FROM {customer} c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+"""
+
+
+@register(
+    "lateral_top2_orders",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+    tags=("O3", "W1"),
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cv, ov = "lat_customer", "lat_orders"
+    c.createOrReplaceTempView(cv)
+    o.createOrReplaceTempView(ov)
+    return spark.sql(_LATERAL_SQL.format(customer=cv, orders=ov))

@@ -250,3 +250,25 @@ def test_wav_parser_rejects_malformed():
     )
     with _pytest.raises(ValueError):
         _parse_wav(hdr)
+
+
+def test_map_in_arrow_twin_matches_map_in_pandas(spark):
+    # the Arrow-native API must produce the identical feature frame
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.multimodal import (
+        attach_media_columns,
+        extract_byte_features,
+        extract_byte_features_arrow,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = attach_media_columns(table(spark, SF_SMOKE, "documents"))
+    a = extract_byte_features(d).toPandas()
+    b = extract_byte_features_arrow(d).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert (a["n_bytes"] == b["n_bytes"]).all()
+    for fa, fb in zip(a["features"], b["features"]):
+        assert list(fa) == list(fb)
