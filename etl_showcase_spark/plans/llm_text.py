@@ -618,10 +618,19 @@ def cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         n_p, n_v = len(p_pdf), len(v_pdf)
+        # Under a COUNT-only consumer, Catalyst prunes the cogroup
+        # inputs down to the grouping key (the UDF is a black box, so
+        # pruning is all-or-nothing): ts is absent exactly when every
+        # output VALUE is discarded and only cardinality (always one
+        # row per group) survives — so the guarded fallback can never
+        # leak a wrong n_matched to a reader.
+        has_ts = "ts" in p_pdf.columns and "ts" in v_pdf.columns
         # a purchase is "matched" iff ANY view of the same user is at or
         # before it — equivalently p.ts >= min(view ts); exact integer
         n_matched = (
-            int((p_pdf["ts"] >= v_pdf["ts"].min()).sum()) if n_p and n_v else 0
+            int((p_pdf["ts"] >= v_pdf["ts"].min()).sum())
+            if n_p and n_v and has_ts
+            else 0
         )
         return pd.DataFrame(
             {

@@ -233,3 +233,21 @@ def test_pagerank_matches_python_reference(spark):
     assert got == rank
     # the hub (node 1, degree 3) outranks the leaf (node 5, degree 1)
     assert got[1] > got[5]
+
+
+def test_cogroup_funnel_survives_count_only_plan(spark):
+    # Catalyst prunes cogroup inputs to the grouping key when only
+    # cardinality is consumed; the UDF must tolerate the starved frame
+    # (regression: KeyError 'ts' under .count())
+    from etl_showcase_spark.catalog import table
+
+    spec = all_specs()["cogroup_user_funnel"]
+    expected = (
+        table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert expected > 0
+    assert spec.build(spark, SF_SMOKE).count() == expected
