@@ -1,0 +1,25 @@
+"""Count-only plan robustness gate: every registered query must survive
+`.count()` — a consumer that discards all output values. This is a
+REAL plan shape (dashboards, gates, driver probes) and a distinct
+optimizer path: Catalyst prunes columns aggressively when nothing
+downstream reads them, which starved the cogroup UDF of its ts column
+before the round-4 guard (plans/llm_text.py). One sweep at the smoke
+scale keeps the whole registry covered."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_showcase_spark.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_count_only_plan_runs(spark, name):
+    # errors here mean an operator breaks under full column pruning;
+    # zero rows are allowed only where the data legitimately yields
+    # none at smoke scale (the sf0.01 vacuity sweep is the strict one)
+    SPECS[name].build(spark, SF_SMOKE).count()
