@@ -329,3 +329,82 @@ def test_stream_stream_left_outer_join_contract(spark):
     # the max event time (eviction is happening, not stalled)
     max_ts = pd.Timestamp(ev.agg(F.max("ts")).collect()[0][0])
     assert horizon >= max_ts - pd.Timedelta(days=7)
+
+
+def test_checkpoint_restart_resumes_with_new_data(spark):
+    """True recovery semantics: run the upsert stream over wave 1,
+    stop, land wave 2 in the source, restart with the SAME checkpoint.
+    The restarted query must (a) NOT reprocess wave-1 files (offsets
+    restored), (b) restore its aggregation state so windows spanning
+    both waves end with full counts, and (c) leave the sink equal to
+    the batch twin over ALL events."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.sources.io import (
+        merge_upsert_partitioned,
+        write_partitioned,
+    )
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "ts", "event_type")
+    tagged = ev.withColumn(
+        "wave", F.pmod(F.xxhash64("event_id"), F.lit(2)).cast("int")
+    )
+    root = _tf.mkdtemp(prefix="restart_")
+    src, tgt, ckpt = f"{root}/src", f"{root}/tgt", f"{root}/ckpt"
+    wave_counts = {
+        r["wave"]: r["count"] for r in tagged.groupBy("wave").count().collect()
+    }
+    tagged.filter(F.col("wave") == 0).drop("wave").write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def merge_batch(batch_df, batch_id):
+        from pyspark.errors import AnalysisException
+
+        s = batch_df.sparkSession
+        try:
+            s.read.parquet(tgt).schema
+        except AnalysisException:
+            write_partitioned(batch_df, tgt, ["window_start"])
+            return
+        merge_upsert_partitioned(
+            s, tgt, batch_df, ["window_start", "event_type"], "window_start"
+        )
+
+    def run_once():
+        agg = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "100 days")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        q = (
+            agg.writeStream.foreachBatch(merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    in1 = run_once()
+    assert in1 == wave_counts[0], f"first run saw {in1}, wave0 = {wave_counts[0]}"
+
+    tagged.filter(F.col("wave") == 1).drop("wave").write.mode("append").parquet(src)
+    in2 = run_once()
+    # offsets restored: only the NEW files flow through the restart
+    assert in2 == wave_counts[1], f"restart saw {in2}, wave1 = {wave_counts[1]}"
+
+    final = spark.read.parquet(tgt).toPandas()
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .toPandas()
+    )
+    assert not compare_frames(final, batch), "restarted sink diverges from batch twin"
