@@ -251,3 +251,19 @@ def test_cogroup_funnel_survives_count_only_plan(spark):
     )
     assert expected > 0
     assert spec.build(spark, SF_SMOKE).count() == expected
+
+
+def test_persist_cache_entries_do_not_accumulate(spark):
+    # the multi-consumer persist pattern relies on Spark's CacheManager
+    # keying entries by logical plan: rebuilding the same registered
+    # query must REUSE its cache entry, not add one per build
+    fn = all_specs()["minhash_md5_neardup"].build
+    fn(spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+    jsc = spark.sparkContext._jsc.sc()
+    after_first = len(jsc.getRDDStorageInfo())
+    for _ in range(3):
+        fn(spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
+    after_rebuilds = len(jsc.getRDDStorageInfo())
+    assert after_rebuilds == after_first, (
+        f"cache grew {after_first} -> {after_rebuilds} across identical rebuilds"
+    )
