@@ -348,3 +348,18 @@ def test_snapshot_versioning_protocol(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, base, 3)
     os.path.isdir(base)
+
+
+def test_schema_evolution_mergeschema_read(spark, tmp_path):
+    # lake reality: later loads add columns; readers must see the
+    # union schema with nulls for pre-evolution partitions
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(f"{base}/ds=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["k", "v", "score"]
+    ).write.parquet(f"{base}/ds=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"k", "v", "score", "ds"}
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows[1]["score"] is None
+    assert rows[2]["score"] == 9.5
