@@ -655,3 +655,28 @@ def int8_quantize(vec: Column, scale: Column) -> Column:
             lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("bigint"),
         )
     )
+
+
+def random_projection_gemm(vec_q: Column, matrix: list[list[int]]) -> Column:
+    """Arrow-GEMM twin of random_projection: the whole batch of
+    quantized vectors projects in ONE int64 matmul against the ±1
+    matrix — identical exact-integer outputs (property-tested against
+    the fold spelling in tests/), but O(1) expression nodes and a
+    vectorized per-batch cost instead of out_dim higher-order folds
+    per row. Same pattern as lsh_bucket_keys_gemm."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    rows = [list(r) for r in matrix]
+
+    @pandas_udf("array<long>")
+    def project(vecs):  # pd.Series of list<long>
+        import numpy as np
+        import pandas as pd
+
+        if not len(vecs):
+            return pd.Series([], dtype="object")
+        R = np.array(rows, dtype="int64")  # (in_dim, out_dim)
+        m = np.stack(vecs.to_numpy()).astype("int64")
+        return pd.Series(list(m @ R))
+
+    return project(vec_q)

@@ -401,7 +401,7 @@ FROM q CROSS JOIN proj
 
 @register("random_projection_16d", oracle=_jl_oracle(), tags=("L3",))
 def random_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import random_projection
+    from ..operators.similarity import random_projection_gemm as random_projection
 
     e = table(spark, sf_dir, "embeddings")
     m = _jl_matrix()
@@ -490,7 +490,8 @@ WHERE rnk <= {_JL_FINAL_K}
 def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..operators.similarity import int_dot, random_projection
+    from ..operators.similarity import int_dot
+    from ..operators.similarity import random_projection_gemm as random_projection
 
     e = table(spark, sf_dir, "embeddings")
     m = _jl_matrix()
@@ -500,9 +501,12 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qp = qq.select(
         "q_id", "qv", random_projection(F.col("qv"), m).alias("pq")
     )
+    # the quantized corpus feeds the projection side AND the exact
+    # re-rank rejoin — persist() quantizes once (same rule as
+    # operators/dedup.py's signature frames)
     cc = e.select(
         F.col("vec_id").alias("c_id"), quantize(F.col("embedding")).alias("cv")
-    )
+    ).persist()
     cp = cc.select("c_id", random_projection(F.col("cv"), m).alias("pc"))
     pcos = int_dot(F.col("pq"), F.col("pc")).cast("double") / (
         F.sqrt(int_dot(F.col("pq"), F.col("pq")).cast("double"))
@@ -653,11 +657,13 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import int8_quantize, int8_scale
 
     e = table(spark, sf_dir, "embeddings")
+    # quantized twice-consumed corpus frame (query-side join + both
+    # candidate/rerank reads) — one pass via persist()
     base = e.select(
         "vec_id",
         quantize(F.col("embedding")).alias("v"),
         int8_quantize(F.col("embedding"), int8_scale(F.col("embedding"))).alias("v8"),
-    )
+    ).persist()
     qq = (
         _strided_queries(e)
         .select("vec_id")

@@ -267,3 +267,24 @@ def test_persist_cache_entries_do_not_accumulate(spark):
     assert after_rebuilds == after_first, (
         f"cache grew {after_first} -> {after_rebuilds} across identical rebuilds"
     )
+
+
+def test_random_projection_gemm_equals_fold(spark):
+    # the Arrow-GEMM projection must produce the identical exact
+    # integers as the JVM fold spelling on the same matrix
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.similarity import (
+        quantize,
+        random_projection,
+        random_projection_gemm,
+    )
+    from etl_showcase_spark.plans.llm_vector import _jl_matrix
+
+    e = table(spark, SF_SMOKE, "embeddings").limit(100)
+    m = _jl_matrix()
+    q = e.select("vec_id", quantize(F.col("embedding")).alias("qv"))
+    a = q.select("vec_id", random_projection(F.col("qv"), m).alias("p")).collect()
+    b = q.select("vec_id", random_projection_gemm(F.col("qv"), m).alias("p")).collect()
+    da = {r["vec_id"]: list(r["p"]) for r in a}
+    db = {r["vec_id"]: list(r["p"]) for r in b}
+    assert da == db
