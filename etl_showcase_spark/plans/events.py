@@ -620,3 +620,53 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("int").alias("n_streaks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G8/P10 robust outliers via MAD ([EXT] — the median-based sibling of
+# zscore_outlier_events: median and median-absolute-deviation are
+# immune to the very outliers they hunt, the standard robust
+# alternative when the mean/stddev gate is polluted). Two reduced
+# aggregation passes (median, then median of |x-med|), each joined
+# back broadcast so facts never shuffle; exact-percentile parity is
+# engine-identical (same interpolation on the same sorted doubles —
+# proven by quantiles_quantity). The 1.4826 normal-consistency factor
+# is deliberately omitted: the threshold is 6·MAD directly, keeping
+# every comparison on raw engine-identical arithmetic.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       m.med AS type_median, d.mad AS type_mad
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+WHERE d.mad > 0 AND ABS(e.value - m.med) > 6 * d.mad
+"""
+
+
+@register("mad_outlier_events", oracle=_MAD_ORACLE, tags=("G8", "P10", "J1"))
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("median(value)").alias("type_median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("median(abs(value - type_median))").alias("type_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("type_mad") > 0)
+            & (F.abs(F.col("value") - F.col("type_median")) > 6 * F.col("type_mad"))
+        )
+        .select("event_id", "event_type", "value", "type_median", "type_mad")
+    )
