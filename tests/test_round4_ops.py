@@ -288,3 +288,66 @@ def test_random_projection_gemm_equals_fold(spark):
     da = {r["vec_id"]: list(r["p"]) for r in a}
     db = {r["vec_id"]: list(r["p"]) for r in b}
     assert da == db
+
+
+def test_zorder_written_files_have_tight_stats(spark, tmp_path):
+    # the actual pruning claim, measured: write the same rows laid out
+    # z-ordered vs arbitrarily, read back each parquet file's column
+    # min/max (what row-group pruning consults), and compare the mean
+    # normalized bounding-rectangle area per file. Z-order must shrink
+    # it by a wide margin in BOTH dimensions at once.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.layout import zorder_layout, zorder_value
+
+    o = table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .alias("dd"),
+    )
+    stats = o.agg(
+        F.min("ck"), F.max("ck"), F.min("dd"), F.max("dd")
+    ).collect()[0]
+    ck_span = stats[1] - stats[0] or 1
+    dd_span = stats[3] - stats[2] or 1
+
+    def mean_rect_area(path):
+        areas = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {"ck": None, "dd": None}
+            hi = {"ck": None, "dd": None}
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            if lo["ck"] is None or lo["dd"] is None:
+                continue
+            areas.append(
+                ((hi["ck"] - lo["ck"]) / ck_span) * ((hi["dd"] - lo["dd"]) / dd_span)
+            )
+        assert areas, f"no parquet stats found under {path}"
+        return sum(areas) / len(areas)
+
+    z = zorder_value(F.col("ck"), F.col("dd"))
+    laid = zorder_layout(o, z, num_partitions=8)
+    laid.write.mode("overwrite").parquet(str(tmp_path / "zordered"))
+    # arbitrary layout: hash-repartition by an unrelated key
+    o.repartition(8, "o_orderkey").write.mode("overwrite").parquet(
+        str(tmp_path / "hashed")
+    )
+    a_z = mean_rect_area(str(tmp_path / "zordered"))
+    a_h = mean_rect_area(str(tmp_path / "hashed"))
+    # hashed files each cover ~the whole key rectangle (area ~1);
+    # z-ordered files must cover a small fraction of it
+    assert a_h > 0.5, f"hashed layout unexpectedly tight ({a_h:.3f})"
+    assert a_z < a_h / 3, f"z-order area {a_z:.3f} not >3x tighter than {a_h:.3f}"
