@@ -514,9 +514,10 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JDBC_ORACLE = """
 SELECT o_orderpriority AS priority,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
-FROM orders GROUP BY o_orderpriority
+FROM orders GROUP BY 1, 2
 """
 
 
@@ -526,13 +527,16 @@ def jdbc_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import read_jdbc, write_jdbc
 
     o = table(spark, sf_dir, "orders")
-    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price")
-    )
+    agg = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        # VARCHAR + DATE + BIGINT + DOUBLE all round-trip through the
+        # warehouse's SQL types
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
     dbdir = tempfile.mkdtemp(prefix="derby_wh_")
     url = f"jdbc:derby:{dbdir}/wh;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     write_jdbc(agg, url, "priority_rollup", properties=props, mode="overwrite")
     return read_jdbc(spark, url, "priority_rollup", properties=props).select(
-        "priority", "n_orders", "total_price"
+        "priority", "order_month", "n_orders", "total_price"
     )
