@@ -408,3 +408,90 @@ def test_checkpoint_restart_resumes_with_new_data(spark):
         .toPandas()
     )
     assert not compare_frames(final, batch), "restarted sink diverges from batch twin"
+
+
+def test_cdc_stream_restart_recovers_replay_offsets(spark):
+    """Interrupt the CDC materialization mid-replay (stop after the
+    first micro-batches), then restart on the SAME checkpoint: the
+    custom Python Data Source's row offsets must restore so the
+    restarted run resumes where the interrupted one stopped — no
+    re-application, no gaps — and the final snapshot must equal the
+    whole-log batch CDC replay."""
+    import tempfile as _tf
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.relational import apply_cdc_changes
+
+    root = _tf.mkdtemp(prefix="cdc_restart_")
+    tgt, ckpt = f"{root}/tgt", f"{root}/ckpt"
+
+    # phase 1: run with a continuous trigger and stop shortly after
+    # progress starts — an interrupted job, not a completed one
+    ev = jobs.events_replay_stream(spark, SF_SMOKE, batch_rows=100)
+    changes = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.pmod(F.xxhash64("user_id"), F.lit(8)).cast("int").alias("bucket"),
+    )
+    from etl_showcase_spark.sources.io import apply_cdc_partitioned, write_partitioned
+
+    def apply_batch(batch_df, batch_id):
+        from pyspark.errors import AnalysisException
+
+        s = batch_df.sparkSession
+        try:
+            s.read.parquet(tgt).schema
+        except AnalysisException:
+            empty = s.createDataFrame(
+                [], "user_id bigint, value double, ts timestamp, bucket int"
+            )
+            snap = apply_cdc_changes(
+                empty, batch_df, keys=["user_id"], seq_cols=["ts", "event_id"],
+                op_col="op",
+            )
+            write_partitioned(snap, tgt, ["bucket"])
+            return
+        apply_cdc_partitioned(
+            s, tgt, batch_df, keys=["user_id"], seq_cols=["ts", "event_id"],
+            op_col="op", partition_col="bucket",
+        )
+
+    q = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = _time.time() + 120
+    while not q.recentProgress and _time.time() < deadline:
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    in1 = sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+    total = table(spark, SF_SMOKE, "events").count()
+    # phase 2: restart on the same checkpoint, drain to the end
+    jobs.stream_cdc_apply_to_parquet(spark, SF_SMOKE, tgt, ckpt, batch_rows=100)
+    # count rows processed across BOTH runs from the sink's perspective:
+    # the final snapshot must equal the whole-log batch replay
+    final = spark.read.parquet(tgt).select("user_id", "value", "ts").toPandas()
+    log = table(spark, SF_SMOKE, "events").select(
+        "user_id", "value", "ts", "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    empty = spark.createDataFrame([], "user_id bigint, value double, ts timestamp")
+    batch_snap = apply_cdc_changes(
+        empty, log, keys=["user_id"], seq_cols=["ts", "event_id"], op_col="op"
+    ).toPandas()
+    assert not compare_frames(final, batch_snap), (
+        f"restarted CDC snapshot diverges (first run saw {in1}/{total} rows)"
+    )
+    # and the interruption was genuine on any sane scheduler: the first
+    # run must not have replayed the entire log before the stop
+    assert in1 < total, "first run completed before stop — interruption vacuous"
