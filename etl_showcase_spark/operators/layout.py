@@ -12,6 +12,15 @@ integer bit math (exactly reproducible in any engine).
 Scale shape: computing z is a narrow map; `zorder_layout` is one
 range-shuffle (the same cost as any repartition) after which every
 output file covers a small rectangle of the key space forever.
+
+Key-domain note: the 16-bit interleave covers 65,536 distinct values
+per dimension. Keys wider than that should be range-bucketed into the
+16-bit domain first (e.g. `ntile`/`width_bucket` over the key, or the
+key's top 16 bits) rather than taken modulo — modulo aliases distant
+key ranges into one bucket and costs locality; bucketing preserves
+order. 16+16 bits is the sweet spot for FILE-level pruning (a 100 TB
+table has far fewer than 2^32 files); widen the spread masks to
+24/32-bit if row-group-level granularity ever demands it.
 """
 
 from __future__ import annotations
