@@ -670,3 +670,68 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "event_type", "value", "type_median", "type_mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# J4/T8 interval-EXISTS conversion rate ([EXT] — the product funnel
+# KPI: of each day's purchases, how many had a same-user view in the
+# preceding hour). The EXISTS is a LEFT SEMI join with a time-band
+# condition (the interval-join state shape, batch form); the daily
+# rollup is exact integers + one double division. The semi join keeps
+# the purchase side slim — no view columns survive the match.
+# ---------------------------------------------------------------------------
+
+_CONVERSION_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts, DATE_TRUNC('day', ts) AS day
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+conv AS (
+  SELECT p.day, p.event_id
+  FROM p
+  WHERE EXISTS (
+    SELECT 1 FROM v
+    WHERE v.user_id = p.user_id
+      AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  )
+)
+SELECT p.day,
+       COUNT(*) AS n_purchases,
+       COUNT(c.event_id) AS n_converted,
+       CAST(COUNT(c.event_id) AS DOUBLE) / COUNT(*) AS conversion_rate
+FROM p LEFT JOIN conv c ON p.day = c.day AND p.event_id = c.event_id
+GROUP BY p.day
+"""
+
+
+@register("daily_view_purchase_conversion", oracle=_CONVERSION_ORACLE, tags=("J4", "T8", "G6"))
+def daily_view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    converted = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("ts") >= F.col("v_ts"))
+        & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select("day", "event_id")
+    daily_p = p.groupBy("day").agg(F.count(F.lit(1)).alias("n_purchases"))
+    daily_c = converted.groupBy("day").agg(F.count(F.lit(1)).alias("n_converted"))
+    return (
+        daily_p.join(daily_c, "day", "left")
+        .select(
+            "day",
+            "n_purchases",
+            F.coalesce("n_converted", F.lit(0)).alias("n_converted"),
+            (
+                F.coalesce("n_converted", F.lit(0)).cast("double")
+                / F.col("n_purchases").cast("double")
+            ).alias("conversion_rate"),
+        )
+    )
