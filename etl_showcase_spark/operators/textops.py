@@ -290,22 +290,27 @@ def grouped_rank_trend(df, key_col: str, ts_col: str, order_col: str, val_col: s
     """
 
     def fit(pdf):
+        import numpy as np
         import pandas as pd
 
         pdf = pdf.sort_values([ts_col, order_col])
         n = len(pdf)
         sx = n * (n + 1) // 2
         sxx = n * (n + 1) * (2 * n + 1) // 6
-        sy = 0
-        sxy = 0
-        for i, v in enumerate(pdf[val_col]):
-            if v != v:  # NULL arrives as NaN; SQL SUM skips it while
-                continue  # the row keeps its rank — mirror exactly
-            # int(round(...)): numpy scalars would silently fall back
-            # to float accumulation; these must be Python bigints
-            c = int(round(float(v) * 100))
-            sy += c
-            sxy += (i + 1) * c
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        valid = ~np.isnan(vals)  # NULL arrives as NaN; SQL SUM skips
+        ranks = np.arange(1, n + 1, dtype="int64")[valid]  # rank kept
+        # np.rint is round-half-even like Python round(); the 2-decimal
+        # -clean inputs never land on a .5 tie, so cents are exact
+        cents = np.rint(vals[valid] * 100).astype("int64")
+        if n <= 1_000_000 and (cents.size == 0 or np.abs(cents).max() < 1 << 40):
+            # int64-exact envelope: |rank·cents| sums stay far below
+            # 2^63 for any per-key group this engine produces
+            sy = int(cents.sum())
+            sxy = int((ranks * cents).sum())
+        else:  # arbitrary-precision fallback — same math, Python ints
+            sy = sum(int(c) for c in cents)
+            sxy = sum(int(r) * int(c) for r, c in zip(ranks, cents))
         num = n * sxy - sx * sy  # exact (cents · rank)
         den = n * sxx - sx * sx  # exact
         # float(num)/float(den), NOT num/den: the oracle casts each
