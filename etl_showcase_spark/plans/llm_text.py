@@ -1042,3 +1042,81 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("norm")).alias("norm_md5"),
         F.length("norm").cast("int").alias("norm_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 collocation mining ([EXT] — corpus analysis beyond single-term
+# frequencies: the top document-level co-occurring token pairs, the
+# first step of phrase/collocation extraction). Document-frequency
+# banding (5 <= df <= 100) is applied BEFORE the pairing join — the
+# same inverted-index hot-key discipline as the n-gram Jaccard path:
+# stopword-grade terms would contribute df^2 pairs each, so they are
+# excluded from the pair space by definition, not post-filtered. One
+# doc-keyed self-join over the banded postings, one pair-keyed count,
+# deterministic rank.
+# ---------------------------------------------------------------------------
+
+# band bounds sized to the synthetic corpus (31-term vocabulary where
+# the median term appears in ~80% of documents — the 450 cap still
+# excludes true-ubiquitous terms); a natural-language corpus would run
+# a much tighter band (e.g. 5..100) for the same df^2 reason
+_COOC_DF_MIN, _COOC_DF_MAX, _COOC_TOP = 5, 450, 20
+
+_COOC_ORACLE = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(list_distinct({_SQL_TOKS})) AS t(term)
+),
+banded AS (
+  SELECT doc_id, term FROM post
+  WHERE term IN (
+    SELECT term FROM post GROUP BY term
+    HAVING COUNT(*) BETWEEN {_COOC_DF_MIN} AND {_COOC_DF_MAX}
+  )
+),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+  FROM banded a JOIN banded b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_docs, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, term_a ASC, term_b ASC) AS rnk
+  FROM pairs
+)
+WHERE rnk <= {_COOC_TOP}
+"""
+
+
+@register("token_cooccurrence_pairs", oracle=_COOC_ORACLE, tags=("L4", "J2"))
+def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    post = (
+        d.select("doc_id", F.explode(F.array_distinct(textops.tokens("text"))).alias("term"))
+        .distinct()
+    )
+    # band by document frequency BEFORE pairing (the df^2 hot-key cut);
+    # the banded term list is small -> AQE broadcasts the semi join
+    band = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df").between(_COOC_DF_MIN, _COOC_DF_MAX))
+        .select("term")
+    )
+    banded = post.join(band, "term", "left_semi").persist()
+    a = banded.select("doc_id", F.col("term").alias("term_a"))
+    b = banded.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    wr = Window.orderBy(F.desc("n_docs"), F.asc("term_a"), F.asc("term_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _COOC_TOP)
+    )
