@@ -136,14 +136,22 @@ def pps_weighted_sample(
     draw is the first 8 hex chars of the keyed md5 read as an integer
     u ∈ [0, 16^8); the keep test is the PURE-INTEGER comparison
     u * max_weight < weight * 16^8 — no float thresholds, so any
-    engine replays the exact kept set. max(weight) folds in as a
-    broadcast 1-row aggregate (no driver action)."""
-    u = F.conv(F.substring(hash_key(F.col(key_col), salt), 1, 8), 16, 10).cast(
-        "bigint"
+    engine replays the exact kept set. Both products are computed in
+    DECIMAL(38,0): with u up to 2^32 a BIGINT product would silently
+    wrap once max(weight) ≥ ~2^31, corrupting the kept set; decimal
+    keeps the comparison exact for any weight < 10^28. max(weight)
+    folds in as a broadcast 1-row aggregate (no driver action)."""
+    u = (
+        F.conv(F.substring(hash_key(F.col(key_col), salt), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
     )
     mx = df.agg(F.max(F.col(weight_col)).alias("__maxw"))
     return (
         df.crossJoin(F.broadcast(mx))
-        .filter(u * F.col("__maxw") < F.col(weight_col).cast("bigint") * F.lit(16**8))
+        .filter(
+            u * F.col("__maxw").cast("decimal(38,0)")
+            < F.col(weight_col).cast("decimal(38,0)") * F.lit(16**8).cast("decimal(38,0)")
+        )
         .drop("__maxw")
     )

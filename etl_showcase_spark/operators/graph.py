@@ -135,6 +135,12 @@ def pagerank_fixed_point(
         )
     )
     teleport = F.expr(f"CAST((15 * ({scale} div __n)) div 100 AS BIGINT)")
+    # the full node universe (every src), re-anchored each iteration:
+    # a node with NO incoming edges vanishes from the groupBy(dst)
+    # output, but it must still hold teleport rank and keep pushing
+    # outflow — left-join the aggregated inflow back onto this frame
+    # with coalesce(.., 0) instead of keeping only groupBy survivors
+    nodes = ranks.select("node", "__n")
     for _ in range(iterations):
         flows = (
             ranks.join(deg, ranks["node"] == deg["src"])
@@ -142,17 +148,17 @@ def pagerank_fixed_point(
             .select(
                 F.col("dst").alias("node"),
                 F.expr("CAST(rank div deg AS BIGINT)").alias("flow"),
-                "__n",
             )
         )
-        ranks = flows.groupBy("node").agg(
-            F.first("__n").alias("__n"),
-            F.sum("flow").alias("__in"),
-        ).select(
+        inflow = flows.groupBy("node").agg(F.sum("flow").alias("__in"))
+        ranks = nodes.join(inflow, "node", "left").select(
             "node",
-            (teleport + F.expr(f"CAST(({damping_pct} * __in) div 100 AS BIGINT)")).alias(
-                "rank"
-            ),
+            (
+                teleport
+                + F.expr(
+                    f"CAST(({damping_pct} * coalesce(__in, 0L)) div 100 AS BIGINT)"
+                )
+            ).alias("rank"),
             "__n",
         )
     return ranks.select("node", "rank")

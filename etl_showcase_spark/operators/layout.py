@@ -40,8 +40,10 @@ _SPREAD_STEPS = (
 
 def spread_bits16(c: Column) -> Column:
     """Spread the low 16 bits of a non-negative int across 32 bits
-    (bit i moves to position 2i)."""
-    x = c.cast("bigint")
+    (bit i moves to position 2i). The input is masked to its low 16
+    bits first — without the mask, bits 16-23 survive the first
+    0x00FF00FF step and alias wider keys into wrong z-values."""
+    x = c.cast("bigint").bitwiseAND(F.lit(0xFFFF))
     for shift, mask in _SPREAD_STEPS:
         x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
     return x
@@ -54,7 +56,7 @@ def zorder_value(a: Column, b: Column) -> Column:
 
 def sql_spread_bits16(expr: str) -> str:
     """DuckDB twin of spread_bits16 (textual substitution per step)."""
-    x = f"CAST({expr} AS BIGINT)"
+    x = f"(CAST({expr} AS BIGINT) & 65535)"
     for shift, mask in _SPREAD_STEPS:
         x = f"(({x} | ({x} << {shift})) & {mask})"
     return x

@@ -303,9 +303,12 @@ def grouped_rank_trend(df, key_col: str, ts_col: str, order_col: str, val_col: s
         # np.rint is round-half-even like Python round(); the 2-decimal
         # -clean inputs never land on a .5 tie, so cents are exact
         cents = np.rint(vals[valid] * 100).astype("int64")
-        if n <= 1_000_000 and (cents.size == 0 or np.abs(cents).max() < 1 << 40):
-            # int64-exact envelope: |rank·cents| sums stay far below
-            # 2^63 for any per-key group this engine produces
+        # int64-exact envelope, checked on the actual worst-case sum:
+        # |sxy| <= max|cents| * n(n+1)/2, computed in Python bigints so
+        # the guard itself can't wrap. (A cap on max|cents| alone does
+        # NOT bound sxy — n(n+1)/2 multiplies it by up to ~5e11.)
+        maxc = 0 if cents.size == 0 else int(np.abs(cents).max())
+        if maxc * (n * (n + 1) // 2) < 1 << 62:
             sy = int(cents.sum())
             sxy = int((ranks * cents).sum())
         else:  # arbitrary-precision fallback — same math, Python ints

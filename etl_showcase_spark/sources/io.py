@@ -633,12 +633,31 @@ def compact_partitions(
 # ---------------------------------------------------------------------------
 
 
-def write_snapshot(df: DataFrame, base_path: str) -> int:
-    """Write df as the next immutable version under base_path/v=N.
-    Returns N. Versions start at 1."""
+def _all_snapshot_versions(base_path: str) -> list[int]:
+    """Every v=N directory, committed OR torn. Writers must number past
+    torn directories too: numbering from committed versions only would
+    make every retry recompute the same N and hit errorifexists forever
+    — a permanently wedged table."""
     import os
 
-    version = (max(snapshot_versions(base_path), default=0)) + 1
+    if not os.path.isdir(base_path):
+        return []
+    out = []
+    for name in os.listdir(base_path):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, base_path: str) -> int:
+    """Write df as the next immutable version under base_path/v=N.
+    Returns N. Versions start at 1. N is allocated past ALL existing
+    v=* directories (even uncommitted ones left by a torn write), so a
+    crashed writer never wedges subsequent writes; readers still see
+    only committed versions."""
+    import os
+
+    version = (max(_all_snapshot_versions(base_path), default=0)) + 1
     path = f"{base_path}/v={version}"
     df.write.mode("errorifexists").parquet(path)
     with open(os.path.join(path, "_COMMITTED"), "w") as fh:

@@ -1,0 +1,175 @@
+"""Regression tests for the round-5 ADVICE fixes: each reproduces the
+reported failure mode (overflow, dangling node, wide key, torn write)
+and asserts the corrected behavior against an independent reference.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# textops.grouped_rank_trend: int64 envelope must bound the SUM, not
+# just max|cents| — huge values must route to the bigint path
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_rank_trend_huge_cents_exact(spark):
+    from etl_showcase_spark.operators.textops import grouped_rank_trend
+
+    # |cents| ~ 1e13 passes the old max|cents| < 2^40 gate, but with
+    # n=2000 the rank-weighted sum reaches ~2e19 > 2^63 — the old numpy
+    # path wrapped silently. Alternating signs maximize cancellation
+    # error if wrap occurs.
+    n = 2000
+    rows = [
+        (1, i, i, float((-1) ** i) * 1.0e11 + i)  # cents ~ 1e13
+        for i in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "ord", "val"])
+    got = grouped_rank_trend(df, "key", "ts", "ord", "val").collect()[0]
+
+    # independent Python-bigint reference
+    sx = n * (n + 1) // 2
+    sxx = n * (n + 1) * (2 * n + 1) // 6
+    cents = [round((((-1) ** i) * 1.0e11 + i) * 100) for i in range(1, n + 1)]
+    sy = sum(cents)
+    sxy = sum(r * c for r, c in zip(range(1, n + 1), cents))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    expect = (float(num) / float(den)) / 100.0
+    assert got["n_obs"] == n
+    assert got["slope_per_event"] == expect
+
+
+# ---------------------------------------------------------------------------
+# graph.pagerank_fixed_point: nodes with zero in-degree must keep their
+# teleport rank and keep pushing outflow every iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_dangling_in_degree_zero(spark):
+    from etl_showcase_spark.operators.graph import pagerank_fixed_point
+
+    # directed: node 1 has NO incoming edges but fans out to 2,3; node 4
+    # feeds 5 which feeds back to 4 (a cycle), 3 -> 5. Every node
+    # appears as src (contract), but 1 never appears as dst.
+    edges = [(1, 2), (1, 3), (2, 5), (3, 5), (4, 5), (5, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"] for r in pagerank_fixed_point(df, iterations=4).collect()
+    }
+
+    SCALE = 10**12
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(4):
+        incoming = {v: 0 for v in nodes}
+        for u, nbrs in out.items():
+            f = rank[u] // len(nbrs)
+            for v in nbrs:
+                incoming[v] += f
+        rank = {
+            v: (15 * (SCALE // n)) // 100 + (85 * incoming[v]) // 100 for v in nodes
+        }
+    assert got == rank
+    # node 1 is present with exactly the teleport floor after iter 1+
+    assert got[1] == (15 * (SCALE // n)) // 100
+
+
+# ---------------------------------------------------------------------------
+# curation.pps_weighted_sample: decimal keep-test must not wrap for
+# weights >= 2^31
+# ---------------------------------------------------------------------------
+
+
+def test_pps_weighted_sample_large_weights_exact(spark):
+    from etl_showcase_spark.operators.curation import pps_weighted_sample
+
+    big = 1 << 33  # max(weight): the old bigint product u*maxw wrapped
+    rows = [(f"doc{i}", (i + 1) * (big // 64)) for i in range(64)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = {
+        r["doc_id"] for r in pps_weighted_sample(df, "doc_id", "w").collect()
+    }
+
+    maxw = max(w for _, w in rows)
+    expect = set()
+    for k, w in rows:
+        u = int(hashlib.md5(f"{k}|pps".encode()).hexdigest()[:8], 16)
+        if u * maxw < w * 16**8:  # Python bigints: the exact semantics
+            expect.add(k)
+    assert kept == expect
+    # the top-weight doc is always kept (P = 1), so the set is non-empty
+    assert "doc63" in kept
+
+
+# ---------------------------------------------------------------------------
+# layout.spread_bits16: wide keys must truncate to the low 16 bits, in
+# both the Spark column and the SQL twin
+# ---------------------------------------------------------------------------
+
+
+def _py_spread16(x: int) -> int:
+    x &= 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def test_spread_bits16_masks_wide_keys(spark):
+    import duckdb
+
+    from etl_showcase_spark.operators.layout import spread_bits16, sql_spread_bits16
+
+    wide = [65536, 65537, (1 << 20) + 123, (1 << 31) - 1]
+    df = spark.createDataFrame([(v,) for v in wide], ["a"])
+    out = {
+        r["a"]: r["sa"]
+        for r in df.select("a", spread_bits16(F.col("a")).alias("sa")).collect()
+    }
+    con = duckdb.connect()
+    for v in wide:
+        assert out[v] == _py_spread16(v)  # == spread of v & 0xFFFF
+        sql_val = con.execute(f"SELECT {sql_spread_bits16(str(v))}").fetchone()[0]
+        assert sql_val == _py_spread16(v)
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# io.write_snapshot: a torn (uncommitted) v=N directory must not wedge
+# subsequent writers
+# ---------------------------------------------------------------------------
+
+
+def test_write_snapshot_skips_torn_version(spark, tmp_path):
+    import os
+
+    from etl_showcase_spark.sources.io import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, "a")], ["id", "s"])
+    assert write_snapshot(df1, base) == 1
+    # simulate a torn write: v=2 exists with data but no _COMMITTED
+    torn = os.path.join(base, "v=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    # the next writer must allocate v=3 (past the torn dir), not retry
+    # v=2 and die on errorifexists forever
+    df2 = spark.createDataFrame([(2, "b")], ["id", "s"])
+    assert write_snapshot(df2, base) == 3
+    assert snapshot_versions(base) == [1, 3]  # torn v=2 invisible
+    assert read_snapshot(spark, base).collect()[0]["id"] == 2
