@@ -534,6 +534,11 @@ def jdbc_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
     ).agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
     dbdir = tempfile.mkdtemp(prefix="derby_wh_")
+    # keep derby.log out of the CWD/repo: Derby writes it to
+    # derby.system.home, which defaults to user.dir. Setting the JVM
+    # property before the engine first loads routes it to the temp dir
+    # (a no-op if Derby already booted elsewhere this JVM).
+    spark._jvm.java.lang.System.setProperty("derby.system.home", dbdir)
     url = f"jdbc:derby:{dbdir}/wh;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     write_jdbc(agg, url, "priority_rollup", properties=props, mode="overwrite")
