@@ -268,3 +268,65 @@ def table_diff(
             .alias("change_type"),
         )
     )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order: Sequence[Column],
+    n_tiles: int,
+    out_col: str,
+) -> DataFrame:
+    """NTILE(n) over a GLOBAL order without the single-reducer sort.
+
+    A partition-less ``Window.orderBy`` funnels every row through one
+    reducer — the classic scale killer for global ranking. This is the
+    distributed equivalent: range-partition on the total order (so
+    partition i holds strictly smaller keys than partition i+1), rank
+    locally inside each partition in parallel, and lift local ranks to
+    global ones by adding per-partition prefix offsets. The only
+    serial step is the prefix-sum over the ~num_shuffle_partitions
+    per-partition COUNTS — a broadcast-sized frame regardless of data
+    volume.
+
+    The tile is then pure integer arithmetic on (global_rank, n) using
+    NTILE's exact bucket rule — the first ``n mod t`` buckets take
+    ``n div t + 1`` rows — so results are bit-identical to a
+    single-reducer NTILE given a deterministic total order (callers
+    must include a tie-break column, same contract as latest_per_key).
+
+    Cost: one range exchange + one pid-hash exchange on ``df`` + one
+    broadcast; all parallel. The input is consumed twice (counts +
+    rank), so it is persisted here.
+    """
+    ranked = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # prefix offsets + total n: the counts frame has one row per
+    # shuffle partition — tiny forever — so its global window is fine
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__n"),
+    )
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    # NTILE's exact rule in pure integer `div` arithmetic (CASE is
+    # lazy, so the ELSE's div-by-base never evaluates when base=0,
+    # i.e. n < n_tiles — the WHEN then covers every rank)
+    t = int(n_tiles)
+    tile = F.expr(
+        f"CAST(CASE WHEN __rank <= (__n % {t}) * ((__n div {t}) + 1) "
+        f"THEN (__rank - 1) div ((__n div {t}) + 1) + 1 "
+        f"ELSE (__n % {t}) "
+        f"  + (__rank - (__n % {t}) * ((__n div {t}) + 1) - 1) div (__n div {t}) + 1 "
+        f"END AS INT)"
+    )
+    return (
+        ranked.join(F.broadcast(offs), "__pid")
+        .withColumn("__rank", (F.col("__off") + local).cast("bigint"))
+        .withColumn(out_col, tile)
+        .drop("__pid", "__off", "__n", "__rank")
+    )

@@ -1179,7 +1179,7 @@ FROM scored
 
 @register("rfm_customer_scores", oracle=_RFM_ORACLE, tags=("W3", "W4", "G1"))
 def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.relational import with_global_ntile
 
     o = table(spark, sf_dir, "orders")
     frontier = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("__maxd"))
@@ -1198,20 +1198,28 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    # NTILE needs one global ordering pass — acceptable because the
-    # frame is already one row PER CUSTOMER (the reduced grain), not
-    # per order; at larger scale swap in percentile-threshold joins
-    r = F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-    return base.select(
+    # global NTILE WITHOUT the single-reducer sort: each dimension is
+    # a distributed rank (range-partition + per-partition offsets —
+    # operators/relational.py:with_global_ntile) whose integer tile
+    # math is bit-identical to the oracle's NTILE, so this stays
+    # hash-checked while every pass runs parallel at any scale
+    scored = with_global_ntile(
+        base, [F.asc("recency_days"), F.asc("custkey")], 4, "r_score"
+    )
+    scored = with_global_ntile(
+        scored, [F.desc("frequency"), F.asc("custkey")], 4, "f_score"
+    )
+    scored = with_global_ntile(
+        scored, [F.desc("monetary"), F.asc("custkey")], 4, "m_score"
+    )
+    return scored.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r.cast("int").alias("r_score"),
-        f.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).withColumn(
         "rfm_segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(

@@ -173,3 +173,39 @@ def test_write_snapshot_skips_torn_version(spark, tmp_path):
     assert write_snapshot(df2, base) == 3
     assert snapshot_versions(base) == [1, 3]  # torn v=2 invisible
     assert read_snapshot(spark, base).collect()[0]["id"] == 2
+
+
+# ---------------------------------------------------------------------------
+# relational.with_global_ntile: distributed rank must equal the
+# single-reducer NTILE bit-for-bit
+# ---------------------------------------------------------------------------
+
+
+def test_with_global_ntile_matches_window_ntile(spark):
+    from pyspark.sql import Window
+
+    from etl_showcase_spark.operators.relational import with_global_ntile
+
+    # heavy ties in the order key (forces the tie-break path), sizes
+    # chosen so n % 4 != 0, plus an n < n_tiles edge case
+    for n in (3, 97, 1000):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+        got = {
+            r["k"]: r["t"]
+            for r in with_global_ntile(
+                df, [F.desc("v"), F.asc("k")], 4, "t"
+            ).collect()
+        }
+        ref = {
+            r["k"]: r["t"]
+            for r in df.select(
+                "k",
+                F.ntile(4)
+                .over(Window.orderBy(F.desc("v"), F.asc("k")))
+                .cast("int")
+                .alias("t"),
+            ).collect()
+        }
+        assert got == ref, f"n={n}"
