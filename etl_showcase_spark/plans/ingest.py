@@ -502,6 +502,45 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S4/Q3 snapshot compaction ([EXT] — sources/io.py compact_snapshot):
+# the lake-maintenance op for the small-file debt the reference's
+# daily landing accrues (dags/weather_etl_pipeline.py:55,87). A
+# customer-grain rollup lands as v=1 fragmented into 24 files, is
+# bin-packed to target size as v=2 through the committed-marker swap
+# (readers of v=1 undisturbed; a torn compaction is invisible), and
+# the query returns the COMPACTED version's rows — the oracle hash
+# proves contents survive compaction bit-for-bit, and pytest asserts
+# the file-count/sort-stats side (tests/test_round5_fixes.py).
+# ---------------------------------------------------------------------------
+
+_COMPACT_ORACLE = """
+SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+@register("compacted_snapshot_roundtrip", oracle=_COMPACT_ORACLE, tags=("S4", "Q3"))
+def compacted_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+    from ..sources.io import compact_snapshot, read_snapshot, write_snapshot
+
+    rollup = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+    base = tempfile.mkdtemp(prefix="compact_snap_") + "/rollup"
+    write_snapshot(rollup.repartition(24), base)  # the fragmented landing
+    v2 = compact_snapshot(
+        spark, base, target_file_bytes=256 * 1024 * 1024, sort_cols=["custkey"]
+    )
+    return read_snapshot(spark, base, version=v2).select(
+        "custkey", "n_orders", "total_price"
+    )
+
+
+# ---------------------------------------------------------------------------
 # S5/S6 JDBC warehouse roundtrip — oracle-checked ([EXT] upgrade of the
 # pytest-only Derby proof): the reference's staging-table load
 # (transform_weather.py:166-174, df.write.jdbc overwrite) against a

@@ -728,6 +728,48 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L2 cluster-level emission — the 100 TB output-bound answer: the pair
+# variants above materialize ~g²/2 verified pairs per duplicate group
+# of g replicas (the one super-linear headline at 100×, alpha 0.79 in
+# BENCH_sf1.json); this one emits O(n·bands) verified STAR edges and
+# returns cluster MEMBERSHIP — O(g) rows per group. Precision is
+# unchanged (every edge exact-verified); the recall semantics vs the
+# pair set are documented at operators/dedup.py:minhash_lsh_clusters_md5,
+# and tests/test_oracle_parity.py asserts cluster-for-cluster equality
+# with neardup_cluster_canonical on the testdata. Rows-only by design:
+# the star-edge choice (bucket-min rep per band) is plan-shaped, not
+# SQL-replayable at reasonable oracle cost.
+# ---------------------------------------------------------------------------
+
+
+@register("neardup_clusters_scalable", oracle=None, tags=("L2", "L7"))
+def neardup_clusters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import minhash_lsh_clusters_md5
+
+    d = table(spark, sf_dir, "documents")
+    labeled = minhash_lsh_clusters_md5(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_MH_THRESH,
+    )
+    return labeled.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        (F.col("cluster_id") == F.col("id")).alias("is_canonical"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L4 decontamination: train/test n-gram overlap ([EXT] — the benchmark-
 # contamination check every pre-training pipeline runs before shipping
 # a corpus). The corpus is split deterministically by md5(doc_id)

@@ -690,3 +690,56 @@ def read_snapshot(spark: SparkSession, base_path: str, version: int | None = Non
     if version not in versions:
         raise FileNotFoundError(f"snapshot v={version} not committed under {base_path}")
     return spark.read.parquet(f"{base_path}/v={version}")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Bin-pack the latest committed snapshot into ~target-size files,
+    landing the result as the NEXT committed version — the lake-
+    maintenance half of the S11 snapshot protocol (the reference's
+    daily partition landing, dags/weather_etl_pipeline.py:55,87,
+    accumulates exactly this small-file debt; at 100 TB the per-file
+    open/footer cost of millions of KB-files dominates scans).
+
+    Safety comes from the committed-marker swap, not locks: readers
+    keep serving v=N until v=N+1's _COMMITTED marker exists; a crash
+    mid-compaction leaves a torn, invisible directory that neither
+    breaks readers nor wedges the retry (versions are allocated past
+    torn dirs). Rollback is "read v=N" — the data is never mutated in
+    place.
+
+    With ``sort_cols`` the rewrite is repartitionByRange +
+    sortWithinPartitions on them, so a clustered table (e.g. z-ordered
+    via operators/layout.py) keeps tight, disjoint per-file min/max
+    stats instead of being hash-shuffled into full-range overlap —
+    compaction must not undo the layout the stats pruning depends on.
+
+    Driver-side state is the current version's file listing (bounded
+    metadata, same budget as compact_partitions). Returns the new
+    version number.
+    """
+    import math
+
+    versions = snapshot_versions(base_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots under {base_path}")
+    cur = versions[-1]
+    jvm = spark._jvm
+    vpath = jvm.org.apache.hadoop.fs.Path(f"{base_path}/v={cur}")
+    fs = vpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(vpath)
+        if f.isFile() and not f.getPath().getName().startswith("_")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = read_snapshot(spark, base_path, cur)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_out)
+    return write_snapshot(df, base_path)

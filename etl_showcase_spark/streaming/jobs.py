@@ -711,3 +711,50 @@ def stream_click_purchase_left_outer(spark: SparkSession, sf_dir: str) -> DataFr
         "p_ts",
     )
     return _run_available_now(joined, "stream_ssjoin_outer", mode="append")
+
+
+def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 completion: stream-stream FULL OUTER interval join — both
+    unmatched purchases AND unmatched clicks null-pad once the
+    watermark proves no partner can still arrive. Same prefix-closure
+    contract as the left-outer variant, applied per side: null rows
+    for a side emit at that side's state-eviction time, so each side's
+    emitted null set must be a hole-free event-time prefix of the
+    batch full join's unmatched set (tests/test_streaming.py). This is
+    the strongest completeness statement an availableNow run can make
+    — rows newer than (final watermark - bound) legitimately stay in
+    state."""
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+    return _run_available_now(joined, "stream_ssjoin_full", mode="append")

@@ -62,7 +62,14 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registered-query names to stress instead "
+        "of the round-4 NEW_OPS list",
+    )
     args = ap.parse_args()
+    ops = args.queries.split(",") if args.queries else NEW_OPS
 
     from etl_showcase_spark.session import get_spark
 
@@ -82,14 +89,15 @@ def main() -> None:
         ss.build_lake(spark, args.mult, lake)
         built = True
 
-    base = time_queries(spark, ss.BASE, NEW_OPS)
-    big = time_queries(spark, lake, NEW_OPS)
+    base = time_queries(spark, ss.BASE, ops)
+    big = time_queries(spark, lake, ops)
     payload = {
         "mult": args.mult,
         "base_sf_dir": ss.BASE,
         "note": (
-            "round-4 operator additions under the same replica-lake "
-            "methodology as SCALE_STRESS (alpha: time ~ volume^alpha)"
+            ("custom query list" if args.queries else "round-4 operator additions")
+            + " under the same replica-lake methodology as SCALE_STRESS "
+            "(alpha: time ~ volume^alpha)"
         ),
         "total_base_s": round(sum(base.values()), 3),
         f"total_x{args.mult}_s": round(sum(big.values()), 3),
@@ -100,7 +108,7 @@ def main() -> None:
                 "alpha": round(math.log(max(big[q], 1e-3) / max(base[q], 1e-3))
                                / math.log(args.mult), 2),
             }
-            for q in NEW_OPS
+            for q in ops
         },
     }
     print(json.dumps(payload, indent=2))

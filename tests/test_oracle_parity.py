@@ -158,7 +158,24 @@ def _inv_multimodal_wav_features(spark, pdf):
         assert abs(r["rms"] - round(float(np.sqrt((s * s).mean())), 6)) < 1e-9
 
 
+def _inv_neardup_clusters_scalable(spark, pdf):
+    # the O(n·bands) star-edge clustering must reproduce the clusters
+    # of the O(g²) verified-pair build exactly on the testdata corpus
+    ref = SPECS["neardup_cluster_canonical"].build(spark, SF_ORACLE).toPandas()
+    key = ["doc_id", "cluster_id", "is_canonical", "cluster_size"]
+    a = pdf[key].sort_values("doc_id").reset_index(drop=True)
+    b = ref[key].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), "star-edge clusters diverge from pair-built clusters"
+    # structural checks that hold regardless of the reference build
+    assert (pdf.groupby("cluster_id")["is_canonical"].sum() == 1).all()
+    sizes = pdf.groupby("cluster_id").size().to_dict()
+    assert (
+        pdf["cluster_size"] == pdf["cluster_id"].map(sizes)
+    ).all()
+
+
 INVARIANTS = {
+    "neardup_clusters_scalable": _inv_neardup_clusters_scalable,
     "sketch_quantiles_hll": _inv_sketch_quantiles_hll,
     "ann_ivf_topk": _inv_ann_ivf_topk,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,

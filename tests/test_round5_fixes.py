@@ -209,3 +209,74 @@ def test_with_global_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == ref, f"n={n}"
+
+
+# ---------------------------------------------------------------------------
+# io.compact_snapshot: bin-packs files, preserves sort clustering, and
+# leaves the prior version readable
+# ---------------------------------------------------------------------------
+
+
+def test_compact_snapshot_binpacks_and_preserves_sort(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_showcase_spark.sources.io import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "tbl")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+    )
+    write_snapshot(df.repartition(24), base)  # fragmented landing
+    v2 = compact_snapshot(spark, base, target_file_bytes=1 << 30, sort_cols=["k"])
+    assert v2 == 2 and snapshot_versions(base) == [1, 2]
+
+    def files(v):
+        return [
+            f
+            for f in glob.glob(f"{base}/v={v}/*.parquet")
+            if not f.split("/")[-1].startswith("_")
+        ]
+
+    assert len(files(1)) == 24
+    assert len(files(2)) == 1  # 20k bigints << 1 GiB target
+    # contents identical across the swap, old version untouched
+    assert read_snapshot(spark, base, 2).orderBy("k").collect() == df.orderBy(
+        "k"
+    ).collect()
+    assert read_snapshot(spark, base, 1).count() == 20000
+
+    # sort preservation: compact to SEVERAL files and require their
+    # per-file [min,max] ranges of k to be disjoint (the property file-
+    # stat pruning depends on; a hash-shuffle rewrite would overlap all)
+    base2 = str(tmp_path / "tbl2")
+    write_snapshot(df.repartition(24), base2)
+    # pick a target that yields multiple output files
+    sz = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{base2}/v=1/*.parquet")
+        if not f.split("/")[-1].startswith("_")
+    )
+    compact_snapshot(spark, base2, target_file_bytes=max(1, sz // 4), sort_cols=["k"])
+    ranges = []
+    for f in glob.glob(f"{base2}/v=2/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == "k" and col.statistics is not None:
+                    los.append(col.statistics.min)
+                    his.append(col.statistics.max)
+        if los:
+            ranges.append((min(los), max(his)))
+    assert len(ranges) >= 3, f"expected multiple output files, got {len(ranges)}"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"

@@ -495,3 +495,66 @@ def test_cdc_stream_restart_recovers_replay_offsets(spark):
     # and the interruption was genuine on any sane scheduler: the first
     # run must not have replayed the entire log before the stop
     assert in1 < total, "first run completed before stop — interruption vacuous"
+
+
+def test_stream_stream_full_outer_join_contract(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+
+    streamed = jobs.stream_click_purchase_full_outer(spark, SF_SMOKE).toPandas()
+    ev = table(spark, SF_SMOKE, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select("purchase_id", "click_id").toPandas()
+
+    # inner matches must be exactly the batch inner join
+    s_inner = streamed[
+        streamed["click_id"].notna() & streamed["purchase_id"].notna()
+    ][["purchase_id", "click_id"]]
+    b_inner = batch[batch["click_id"].notna() & batch["purchase_id"].notna()]
+    key = ["purchase_id", "click_id"]
+    assert (
+        s_inner.sort_values(key).reset_index(drop=True).astype("int64")
+        .equals(b_inner.sort_values(key).reset_index(drop=True).astype("int64"))
+    ), "streamed inner matches diverge from batch"
+
+    # per-side prefix-closure: each side's null-padded emissions are a
+    # subset of the batch-unmatched set AND hole-free up to the newest
+    # emitted event time on that side (eviction is monotone per side)
+    for side, id_col, ts_src, ts_col in (
+        ("purchase", "purchase_id", p, "p_ts"),
+        ("click", "click_id", c, "c_ts"),
+    ):
+        other = "click_id" if id_col == "purchase_id" else "purchase_id"
+        s_null = set(
+            streamed.loc[
+                streamed[other].isna() & streamed[id_col].notna(), id_col
+            ]
+        )
+        b_null = set(batch.loc[batch[other].isna() & batch[id_col].notna(), id_col])
+        assert s_null <= b_null, f"stream declared a matched {side} unmatched"
+        assert s_null, f"fixture vacuous: no null-padded {side} rows emitted"
+        ts_map = ts_src.toPandas().set_index(id_col)[ts_col]
+        horizon = max(pd.Timestamp(ts_map[i]) for i in s_null)
+        expected = {i for i in b_null if pd.Timestamp(ts_map[i]) <= horizon}
+        missing = expected - s_null
+        assert not missing, (
+            f"holes in {side}-side outer emission below {horizon}: "
+            f"{sorted(missing)[:5]}"
+        )
