@@ -735,3 +735,82 @@ def daily_view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("conversion_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G8 robust stats, part 3 ([EXT] — winsorization, completing the
+# z-score / MAD trio): clamp each event type's values at its exact
+# p10/p90 and report the winsorized mean. Exactness discipline: the
+# percentile thresholds are engine-identical (type-7 interpolation on
+# the same sorted doubles — quantiles_quantity precedent); the middle
+# mass is summed in DECIMAL (2-decimal-clean values, order-proof);
+# the clamped tails contribute count×threshold — so the mean is a
+# fixed arithmetic expression over exact aggregates, never an
+# order-dependent double sum. Scale: two reduced passes over a
+# per-type broadcast, facts shuffle once.
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH th AS (
+  SELECT event_type,
+         QUANTILE_CONT(value, 0.1) AS p10,
+         QUANTILE_CONT(value, 0.9) AS p90
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE e.value < th.p10) AS n_low,
+       COUNT(*) FILTER (WHERE e.value > th.p90) AS n_high,
+       th.p10 AS p10, th.p90 AS p90,
+       (CAST(SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90
+                      THEN CAST(e.value AS DECIMAL(12,2)) END) AS DOUBLE)
+        + COUNT(*) FILTER (WHERE e.value < th.p10) * th.p10
+        + COUNT(*) FILTER (WHERE e.value > th.p90) * th.p90)
+       / COUNT(*) AS winsorized_mean
+FROM events e JOIN th USING (event_type)
+GROUP BY e.event_type, th.p10, th.p90
+"""
+
+
+@register("winsorized_event_stats", oracle=_WINSOR_ORACLE, tags=("G8", "G1", "J1"))
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dec2
+
+    ev = table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("p10"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+    j = ev.join(F.broadcast(th), "event_type")
+    return (
+        j.groupBy("event_type", "p10", "p90")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value") < F.col("p10"), 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > F.col("p90"), 1)).alias("n_high"),
+            F.sum(
+                F.when(
+                    (F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90")),
+                    dec2("value"),
+                )
+            )
+            .cast("double")
+            .alias("__mid"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_low",
+            "n_high",
+            "p10",
+            "p90",
+            (
+                (
+                    F.col("__mid")
+                    + F.col("n_low") * F.col("p10")
+                    + F.col("n_high") * F.col("p90")
+                )
+                / F.col("n_events")
+            ).alias("winsorized_mean"),
+        )
+    )

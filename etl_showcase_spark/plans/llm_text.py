@@ -1162,3 +1162,45 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(wr).cast("int"))
         .filter(F.col("rnk") <= _COOC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 equi-DEPTH length histogram ([EXT] — the curation sibling of
+# doc_length_histogram's equi-width bins: deciles by corpus mass, the
+# binning used for length-balanced sampling budgets). The decile
+# assignment is the distributed global NTILE
+# (operators/relational.py:with_global_ntile — range partition +
+# broadcast prefix offsets, no single-reducer sort), bit-identical to
+# the oracle's partition-less NTILE(10); per-bin stats are exact
+# integers.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT n_chars,
+         NTILE(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS bin
+  FROM documents
+)
+SELECT CAST(bin AS INT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY bin
+"""
+
+
+@register("doc_length_equidepth_bins", oracle=_EQUIDEPTH_ORACLE, tags=("L4", "L6", "W4"))
+def doc_length_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_ntile
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    binned = with_global_ntile(
+        d, [F.asc("n_chars"), F.asc("doc_id")], 10, "bin"
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
