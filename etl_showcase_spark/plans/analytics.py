@@ -1358,3 +1358,44 @@ def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.createOrReplaceTempView(cv)
     o.createOrReplaceTempView(ov)
     return spark.sql(_LATERAL_SQL.format(customer=cv, orders=ov))
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE, graph-shaped ([EXT] — beyond recursive_month_spine's
+# linear 80-row generator: a hierarchy WALK whose working set is data-
+# sized). Users form an implicit binary hierarchy (parent = id div 2,
+# the org-chart/BOM shape); the recursion enumerates every
+# (user, ancestor) pair and the rollup reports each node's subtree
+# member count and event mass — the classic "roll results up the
+# management chain" query, runnable IDENTICALLY as one SQL statement
+# in Spark 4 and DuckDB. Depth is log2(max id) (~20 rounds at any
+# realistic id domain), each round one distributed self-projection;
+# the ancestor fan-out is n·depth rows, shuffled once for the final
+# groupBy — no driver-side iteration.
+# ---------------------------------------------------------------------------
+
+_SUBTREE_SQL = """
+WITH RECURSIVE base AS (
+  SELECT user_id, COUNT(*) AS n_events FROM {events} GROUP BY user_id
+),
+anc(user_id, node) AS (
+  SELECT user_id, user_id FROM base
+  UNION ALL
+  SELECT user_id, node {div} 2 FROM anc WHERE node > 1
+)
+SELECT a.node AS node_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(b.n_events) AS BIGINT) AS subtree_events
+FROM anc a JOIN base b USING (user_id)
+GROUP BY a.node
+"""
+
+
+@register(
+    "recursive_subtree_rollup",
+    oracle=_SUBTREE_SQL.format(events="events", div="//"),
+    tags=("G7", "W3", "G5"),
+)
+def recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("__rec_events")
+    return spark.sql(_SUBTREE_SQL.format(events="__rec_events", div="DIV"))

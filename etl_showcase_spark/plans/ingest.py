@@ -584,3 +584,51 @@ def jdbc_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jdbc(spark, url, "priority_rollup", properties=props).select(
         "priority", "order_month", "n_orders", "total_price"
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 via the Spark 4 Python Data Source WRITER ([EXT] —
+# sources/io.py:jsonl_pyds_sink): supplier rows stream through the
+# two-phase-commit JSONL sink (per-task temp files, driver-side
+# rename + marker), are read back with a pinned schema, and must
+# reproduce the per-nation rollup bit-for-bit — proving the custom
+# writer is value-preserving end to end.
+# ---------------------------------------------------------------------------
+
+_PYDS_SINK_ORACLE = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+       MIN(s.s_name) AS first_supplier
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+@register("pyds_jsonl_sink_roundtrip", oracle=_PYDS_SINK_ORACLE, tags=("S4", "S7"))
+def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+    from ..sources.io import jsonl_pyds_sink, read_json
+
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rows = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        "s_name",
+        F.col("s_acctbal").cast("string").alias("acctbal_str"),
+    )
+    path = tempfile.mkdtemp(prefix="pyds_sink_") + "/suppliers"
+    jsonl_pyds_sink(rows, path)
+    schema = T.StructType(
+        [
+            T.StructField("nation", T.StringType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("acctbal_str", T.StringType()),
+        ]
+    )
+    back = read_json(spark, f"{path}/*.jsonl", schema=schema)
+    return back.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum(F.col("acctbal_str").cast("decimal(12,2)"), "total_acctbal"),
+        F.min("s_name").alias("first_supplier"),
+    )

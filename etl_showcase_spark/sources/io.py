@@ -743,3 +743,76 @@ def compact_snapshot(
     else:
         df = df.repartition(n_out)
     return write_snapshot(df, base_path)
+
+
+def jsonl_pyds_sink(df: DataFrame, path: str) -> None:
+    """Spark 4 Python Data Source WRITER ([EXT] — the write-side twin
+    of the http_pyds_source reader): a JSONL directory sink built on
+    the DataSourceWriter two-phase commit protocol. Each task streams
+    its partition's rows to a private temp file and returns the file
+    name in its WriterCommitMessage; only the DRIVER's commit() then
+    renames every temp file into place and drops a _SUCCESS marker —
+    so concurrent readers never see a torn write, and a failed job
+    (abort()) leaves nothing but ignorable temp files. Same
+    marker-last discipline as write_snapshot.
+
+    Executor-side state is one open file handle; driver-side state is
+    the list of commit messages (bounded metadata, one per task). On a
+    real cluster the path must be shared storage — the same contract
+    as every file sink.
+    """
+    import json as _json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    field_names = [f.name for f in df.schema.fields]
+
+    class _Msg(WriterCommitMessage):
+        def __init__(self, tmp_name: str):
+            self.tmp_name = tmp_name
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self._path = options["path"]
+
+        def write(self, iterator):
+            os.makedirs(os.path.join(self._path, "_tmp"), exist_ok=True)
+            tmp = f"part-{uuid.uuid4().hex}.jsonl"
+            n = 0
+            with open(os.path.join(self._path, "_tmp", tmp), "w") as fh:
+                for row in iterator:
+                    rec = dict(zip(field_names, row))
+                    fh.write(_json.dumps(rec, default=str) + "\n")
+                    n += 1
+            return _Msg(tmp)
+
+        def commit(self, messages):
+            for m in messages:
+                src = os.path.join(self._path, "_tmp", m.tmp_name)
+                os.replace(src, os.path.join(self._path, m.tmp_name))
+            with open(os.path.join(self._path, "_SUCCESS"), "w") as fh:
+                fh.write("")
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    os.remove(os.path.join(self._path, "_tmp", m.tmp_name))
+                except FileNotFoundError:
+                    pass
+
+    class _JsonlSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "etl_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    df.sparkSession.dataSource.register(_JsonlSink)
+    df.write.format("etl_jsonl_sink").option("path", path).mode("append").save()

@@ -267,3 +267,31 @@ def test_random_projection_linearity_and_determinism(spark, seed):
     ).first()
     assert [x + y for x, y in zip(r.pa, r.pb)] == list(r.pab)
     assert rademacher_matrix(dim, out) == m  # seed-deterministic
+
+
+@given(
+    vals=st.lists(st.integers(0, 8), min_size=1, max_size=60),
+    tiles=st.integers(1, 7),
+)
+@settings(**_SETTINGS)
+def test_with_global_ntile_matches_python_ntile(spark, vals, tiles):
+    from etl_showcase_spark.operators.relational import with_global_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]  # k unique, v tie-heavy
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r.k: r.t
+        for r in with_global_ntile(
+            df, [F.asc("v"), F.asc("k")], tiles, "t"
+        ).collect()
+    }
+    # NTILE reference: first n%t buckets take n//t+1 rows
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n, base, rem = len(order), len(order) // tiles, len(order) % tiles
+    expect, pos = {}, 0
+    for b in range(1, tiles + 1):
+        size = base + (1 if b <= rem else 0)
+        for k, _ in order[pos : pos + size]:
+            expect[k] = b
+        pos += size
+    assert got == expect

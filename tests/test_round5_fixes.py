@@ -280,3 +280,36 @@ def test_compact_snapshot_binpacks_and_preserves_sort(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+# ---------------------------------------------------------------------------
+# io.jsonl_pyds_sink: two-phase commit — a failed job publishes nothing
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_pyds_sink_commit_and_abort(spark, tmp_path):
+    import glob
+    import os
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_showcase_spark.sources.io import jsonl_pyds_sink
+
+    # happy path: all rows land, marker present
+    ok = str(tmp_path / "ok")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    jsonl_pyds_sink(df, ok)
+    assert os.path.exists(os.path.join(ok, "_SUCCESS"))
+    back = spark.read.json(f"{ok}/*.jsonl")
+    assert back.count() == 100 and back.agg(F.sum("v")).collect()[0][0] == 9900
+
+    # failing job: one row poisons the write; nothing becomes visible
+    bad = str(tmp_path / "bad")
+    poison = df.withColumn(
+        "v", F.when(F.col("id") == 57, F.raise_error("boom")).otherwise(F.col("v"))
+    )
+    with _pytest.raises(Py4JJavaError):
+        jsonl_pyds_sink(poison, bad)
+    assert not os.path.exists(os.path.join(bad, "_SUCCESS"))
+    assert glob.glob(f"{bad}/*.jsonl") == []  # no published data files
