@@ -12,7 +12,7 @@ near-duplicate detection and ANN retrieval.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .relational import topk_per_group
@@ -680,3 +680,4 @@ def random_projection_gemm(vec_q: Column, matrix: list[list[int]]) -> Column:
         return pd.Series(list(m @ R))
 
     return project(vec_q)
+

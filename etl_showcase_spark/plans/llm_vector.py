@@ -772,3 +772,52 @@ def trimmed_mean_sqnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n("sqnorm").alias("n_vectors"),
         _trimmed_mean("sqnorm").alias("trimmed_mean_sqnorm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L3 cluster-level embedding near-dup ([EXT] — the vector sibling of
+# neardup_clusters_scalable): connected components over the verified
+# LSH pair set, emitting O(n) MEMBERSHIP rows instead of the pair set.
+# Design note, honestly: the text variant's star-edge shortcut (verify
+# only O(n·bands) edges) is exact when duplicate groups are CLIQUES
+# (replica corpora — proven equal there); this embedding corpus is a
+# SPARSE similarity graph (measured: star+chain edges recover only
+# ~0.44 of verified pairs at threshold 0.35), where the verified edge
+# set is O(edges) — NOT output-bound — so the exact pair operator IS
+# the right edge generator, and the cluster win is purely the O(n)
+# output. Rows-only; the invariant requires exact equality with a
+# union-find over the full verified pair set.
+# ---------------------------------------------------------------------------
+
+
+@register("embedding_neardup_clusters", oracle=None, tags=("L2", "L3", "L7"))
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.graph import connected_components
+    from ..operators.similarity import lsh_neardup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=_ND_THRESH,
+        n_planes=_ND_PLANES,
+        dim=_ND_DIM,
+        n_tables=_ND_TABLES,
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    labeled = e.select("vec_id").join(cc, e["vec_id"] == cc["id"], "left").select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).cast("bigint").alias("cluster_id"),
+    )
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("vec_id")).alias("is_canonical"),
+        F.count(F.lit(1))
+        .over(_W.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+    )

@@ -174,8 +174,34 @@ def _inv_neardup_clusters_scalable(spark, pdf):
     ).all()
 
 
+def _inv_embedding_neardup_clusters(spark, pdf):
+    # star-edge clusters must equal union-find over the FULL verified
+    # pair set (the O(g²) path) on the testdata
+    pairs = SPECS["embedding_neardup_pairs"].build(spark, SF_ORACLE).toPandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {
+        int(r.vec_id): find(int(r.vec_id)) if int(r.vec_id) in parent else int(r.vec_id)
+        for r in pdf.itertuples()
+    }
+    got = dict(zip(pdf["vec_id"].astype(int), pdf["cluster_id"].astype(int)))
+    assert got == expect, "star-edge vector clusters diverge from pair union-find"
+    assert (pdf.groupby("cluster_id")["is_canonical"].sum() == 1).all()
+
+
 INVARIANTS = {
     "neardup_clusters_scalable": _inv_neardup_clusters_scalable,
+    "embedding_neardup_clusters": _inv_embedding_neardup_clusters,
     "sketch_quantiles_hll": _inv_sketch_quantiles_hll,
     "ann_ivf_topk": _inv_ann_ivf_topk,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
