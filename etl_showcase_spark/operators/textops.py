@@ -271,8 +271,18 @@ def grouped_trend(df, key_col: str, ts_col: str, val_col: str):
             }
         )
 
-    return df.select(key_col, ts_col, val_col).groupBy(key_col).applyInPandas(
-        fit, "key long, n_obs long, slope_per_hour double"
+    # explicit hash repartition on the key BEFORE the grouped map: the
+    # grouped frame is byte-light, so AQE's size-based coalescing would
+    # funnel thousands of per-group Python calls through 1-2 partitions
+    # (measured 5x at sf0.1); a fixed partition count keeps every core
+    # busy and satisfies the groupBy's required distribution, so no
+    # second exchange is added
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(key_col, ts_col, val_col)
+        .repartition(n_part, F.col(key_col))
+        .groupBy(key_col)
+        .applyInPandas(fit, "key long, n_obs long, slope_per_hour double")
     )
 
 
@@ -329,8 +339,12 @@ def grouped_rank_trend(df, key_col: str, ts_col: str, order_col: str, val_col: s
             }
         )
 
+    # same AQE-coalescing guard as grouped_trend: pre-partition on the
+    # key so the per-group Python calls parallelize (5x at sf0.1)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(key_col, ts_col, order_col, val_col)
+        .repartition(n_part, F.col(key_col))
         .groupBy(key_col)
         .applyInPandas(fit, "key long, n_obs long, slope_per_event double")
     )

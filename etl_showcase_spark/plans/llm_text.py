@@ -641,9 +641,15 @@ def cogroup_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # explicit hash repartition on user_id: the cogrouped sides are
+    # byte-light, so AQE would coalesce them to 1-2 partitions and
+    # serialize thousands of per-group Python calls (same guard as
+    # textops.grouped_trend; ~4x at sf0.1)
+    n_part = spark.sparkContext.defaultParallelism
     return (
-        p.groupBy("user_id")
-        .cogroup(v.groupBy("user_id"))
+        p.repartition(n_part, F.col("user_id"))
+        .groupBy("user_id")
+        .cogroup(v.repartition(n_part, F.col("user_id")).groupBy("user_id"))
         .applyInPandas(
             funnel,
             "user_id long, n_purchases long, n_views long, n_matched long",
