@@ -348,3 +348,53 @@ def grouped_rank_trend(df, key_col: str, ts_col: str, order_col: str, val_col: s
         .groupBy(key_col)
         .applyInPandas(fit, "key long, n_obs long, slope_per_event double")
     )
+
+
+def grouped_rank_trend_arrow(df, key_col: str, ts_col: str, order_col: str, val_col: str):
+    """Spark 4 grouped ``applyInArrow`` twin of grouped_rank_trend —
+    the same exact integer OLS, but each group arrives as a
+    pyarrow.Table (no per-group pandas construction). Equality with
+    the pandas variant is asserted in tests/test_textops_edges.py;
+    use whichever binding fits the caller — the math and results are
+    bit-identical.
+    """
+    def fit(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        ordv = t[order_col].to_numpy(zero_copy_only=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype("float64")
+        order = np.lexsort((ordv, ts))
+        vals = vals[order]
+        n = len(vals)
+        sx = n * (n + 1) // 2
+        sxx = n * (n + 1) * (2 * n + 1) // 6
+        valid = ~np.isnan(vals)
+        ranks = np.arange(1, n + 1, dtype="int64")[valid]
+        cents = np.rint(vals[valid] * 100).astype("int64")
+        maxc = 0 if cents.size == 0 else int(np.abs(cents).max())
+        if maxc * (n * (n + 1) // 2) < 1 << 62:
+            sy = int(cents.sum())
+            sxy = int((ranks * cents).sum())
+        else:
+            sy = sum(int(c) for c in cents)
+            sxy = sum(int(r) * int(c) for r, c in zip(ranks, cents))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = 0.0 if den == 0 else (float(num) / float(den)) / 100.0
+        return pa.table(
+            {
+                "key": pa.array([t[key_col][0].as_py()], type=pa.int64()),
+                "n_obs": pa.array([n], type=pa.int64()),
+                "slope_per_event": pa.array([slope], type=pa.float64()),
+            }
+        )
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(key_col, ts_col, order_col, val_col)
+        .repartition(n_part, F.col(key_col))
+        .groupBy(key_col)
+        .applyInArrow(fit, "key long, n_obs long, slope_per_event double")
+    )

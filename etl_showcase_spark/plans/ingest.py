@@ -632,3 +632,77 @@ def pyds_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("acctbal_str").cast("decimal(12,2)"), "total_acctbal"),
         F.min("s_name").alias("first_supplier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S1/S2/Q1 malformed-input robustness ([EXT] — any API-fed landing
+# (the reference ingests live HTTP JSON) eventually contains garbage
+# lines; at 100 TB a single corrupt record must neither kill the job
+# nor silently vanish). A JSONL landing is seeded with nation rows
+# PLUS deliberately broken lines; the PERMISSIVE read routes breakage
+# into _corrupt_record, and the query accounts for every line: good
+# rows aggregate per region, corrupt rows are counted under their own
+# label. The oracle reproduces the good-row aggregate from parquet
+# and the corrupt count from the fixture constant.
+# ---------------------------------------------------------------------------
+
+_N_CORRUPT_LINES = 3
+
+_CORRUPT_ORACLE = f"""
+SELECT r.r_name AS bucket, COUNT(*) AS n_rows,
+       CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+UNION ALL
+SELECT '__corrupt__', {_N_CORRUPT_LINES}, NULL
+"""
+
+
+@register("json_corrupt_record_audit", oracle=_CORRUPT_ORACLE, tags=("S1", "S2", "Q1"))
+def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    good = (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("n_nationkey", F.col("r_name").alias("region_name"))
+        .collect()  # 25 dim rows — bounded fixture prep, not data flow
+    )
+    path = tempfile.mkdtemp(prefix="corrupt_landing_")
+    with open(os.path.join(path, "part-0.jsonl"), "w") as fh:
+        for row in good:
+            fh.write(
+                _json.dumps(
+                    {"n_nationkey": row["n_nationkey"], "region_name": row["region_name"]}
+                )
+                + "\n"
+            )
+        fh.write('{"n_nationkey": 999, "region_name": \n')  # truncated
+        fh.write("not json at all\n")
+        fh.write('{"n_nationkey": "}\n')  # unterminated string
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("region_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.groupBy(
+        F.coalesce(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__")),
+            F.col("region_name"),
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))).alias(
+            "key_sum"
+        ),
+    )

@@ -87,3 +87,28 @@ def test_simhash_md5_empty_docs_pair_safely(spark):
     # both empty docs have signature 0 → hamming 0 pair; no crash
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert pairs.get((1, 2)) == 0
+
+
+def test_grouped_rank_trend_arrow_twin_equality(spark):
+    # the applyInArrow binding must produce bit-identical results to
+    # the applyInPandas one on real data (incl. NULL values and ties)
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.textops import (
+        grouped_rank_trend,
+        grouped_rank_trend_arrow,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    a = {
+        r["key"]: (r["n_obs"], r["slope_per_event"])
+        for r in grouped_rank_trend(ev, "user_id", "ts", "event_id", "value").collect()
+    }
+    b = {
+        r["key"]: (r["n_obs"], r["slope_per_event"])
+        for r in grouped_rank_trend_arrow(
+            ev, "user_id", "ts", "event_id", "value"
+        ).collect()
+    }
+    assert a == b and len(a) > 0
