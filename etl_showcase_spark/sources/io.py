@@ -816,3 +816,35 @@ def jsonl_pyds_sink(df: DataFrame, path: str) -> None:
 
     df.sparkSession.dataSource.register(_JsonlSink)
     df.write.format("etl_jsonl_sink").option("path", path).mode("append").save()
+
+
+def vacuum_snapshots(base_path: str, keep_last: int = 2) -> list[int]:
+    """Retention for the snapshot protocol: delete committed versions
+    older than the newest ``keep_last``, plus torn (uncommitted)
+    directories STRICTLY OLDER than the newest committed version —
+    those can only be crash debris (a writer never goes back in
+    version numbers), while a torn directory newer than the latest
+    commit may be an in-flight write and is left alone. The newest
+    committed version is never deletable (keep_last >= 1 enforced),
+    so readers of "latest" are always safe; readers pinned to an old
+    version lose it by explicit retention policy — the same contract
+    as Delta/Iceberg VACUUM. Returns the deleted version numbers.
+    """
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
+    committed = snapshot_versions(base_path)
+    if not committed:
+        return []
+    keep = set(committed[-keep_last:])
+    newest = committed[-1]
+    deleted = []
+    for v in _all_snapshot_versions(base_path):
+        torn = v not in committed
+        if v in keep or (torn and v > newest):
+            continue
+        shutil.rmtree(os.path.join(base_path, f"v={v}"), ignore_errors=True)
+        deleted.append(v)
+    return sorted(deleted)

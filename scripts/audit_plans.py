@@ -112,6 +112,11 @@ def main() -> int:
         print("dpp_probe                    NO dynamicpruning IN PARTITION FILTERS")
     else:
         print("dpp_probe                    ok (partition filter injected)")
+    if not probe_aqe_skew_join(spark):
+        failures.append("skew_join_probe")
+        print("skew_join_probe              NO skew=true IN ADAPTIVE JOIN")
+    else:
+        print("skew_join_probe              ok (AQE split the hot partition)")
     spark.stop()
     if failures:
         print(f"AUDIT FAILURES: {failures}")
@@ -196,6 +201,52 @@ def probe_dynamic_partition_pruning(spark, sf_dir: str) -> bool:
         return "dynamicpruning" in plan.lower()
     finally:
         shutil.rmtree(lake, ignore_errors=True)
+
+
+def probe_aqe_skew_join(spark) -> bool:
+    """Assert AQE's skew-join split actually fires (not just that the
+    conf is on): a deliberately skewed left side (one hot key holding
+    ~97% of rows) through a forced sort-merge join must execute with
+    SortMergeJoin(skew=true) in the final adaptive plan — at 100 TB
+    this is what keeps one hot customer/shingle from serializing a
+    stage. Test-scale thresholds; confs restored afterwards."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        )
+        cold = spark.range(9_900).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        j = (
+            hot.union(cold)
+            .join(right, "k")
+            .groupBy()
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        j.collect()  # the skew split only exists in the EXECUTED plan
+        return "skew=true" in j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 if __name__ == "__main__":

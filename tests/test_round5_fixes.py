@@ -313,3 +313,31 @@ def test_jsonl_pyds_sink_commit_and_abort(spark, tmp_path):
         jsonl_pyds_sink(poison, bad)
     assert not os.path.exists(os.path.join(bad, "_SUCCESS"))
     assert glob.glob(f"{bad}/*.jsonl") == []  # no published data files
+
+
+def test_vacuum_snapshots_retention_and_safety(spark, tmp_path):
+    import os
+
+    from etl_showcase_spark.sources.io import (
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "vac")
+    for i in range(4):
+        write_snapshot(spark.createDataFrame([(i,)], "v int"), base)
+    # torn debris OLDER than latest commit (strip v2's marker), and an
+    # in-flight dir NEWER than the latest commit
+    os.rename(os.path.join(base, "v=2", "_COMMITTED"), os.path.join(base, "v=2", "_X"))
+    os.makedirs(os.path.join(base, "v=9"))  # in-flight writer, no marker
+    deleted = vacuum_snapshots(base, keep_last=2)
+    assert deleted == [1, 2]  # old committed v1 + torn v2 debris
+    assert snapshot_versions(base) == [3, 4]
+    assert os.path.isdir(os.path.join(base, "v=9"))  # in-flight untouched
+    assert read_snapshot(spark, base).collect()[0]["v"] == 3
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        vacuum_snapshots(base, keep_last=0)

@@ -558,3 +558,36 @@ def test_stream_stream_full_outer_join_contract(spark):
             f"holes in {side}-side outer emission below {horizon}: "
             f"{sorted(missing)[:5]}"
         )
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    # the 100 TB state path: HDFS-backed in-memory state stores cap at
+    # executor heap; RocksDB is the production provider for large
+    # streaming state. Same stateful jobs, same results, under both
+    # providers — proving the engine's streaming surface is
+    # provider-agnostic and the RocksDB path actually executes here.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(key, None)
+
+    def run_both(job):
+        spark.conf.unset(key)
+        a = job(spark, SF_SMOKE).toPandas()
+        spark.conf.set(key, rocks)
+        try:
+            b = job(spark, SF_SMOKE).toPandas()
+        finally:
+            spark.conf.unset(key)
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        return a, b
+
+    for job in (jobs.stream_tumbling_daily, jobs.stream_session_windows):
+        a, b = run_both(job)
+        assert len(a) > 0
+        assert a.equals(b), f"{job.__name__} diverges under RocksDB state store"
+    if prev is not None:
+        spark.conf.set(key, prev)
