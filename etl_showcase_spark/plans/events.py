@@ -814,3 +814,86 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W3/G6 three-step funnel ([EXT] — the canonical product-analytics
+# funnel: view → click → purchase, each step strictly after the
+# user's previous step). Deterministic by construction: every step is
+# a per-user MIN timestamp (first view, first click at/after it,
+# first purchase at/after that), so the whole funnel is exact and
+# SQL-replayable. One shuffle on user_id (two Window passes over the
+# same partitioning — no second exchange), then a reduced cohort-day
+# rollup; conversion is one double division of exact counts.
+# ---------------------------------------------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH u AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v1
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c1
+  FROM events e JOIN u ON u.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= u.v1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p1
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.c1
+  GROUP BY e.user_id
+)
+SELECT CAST(u.v1 AS DATE) AS cohort_day,
+       COUNT(*) AS n_viewed,
+       COUNT(c.c1) AS n_clicked,
+       COUNT(p.p1) AS n_purchased,
+       COUNT(p.p1) * 1.0 / COUNT(*) AS full_conversion
+FROM u
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+WHERE u.v1 IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("funnel_view_click_purchase", oracle=_FUNNEL3_ORACLE, tags=("W3", "G6", "J5"))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    # pass 1: first view per user rides every row of that user
+    v1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_v1 = ev.withColumn("__v1", v1)
+    # pass 2 (same partitioning — Catalyst reuses the exchange):
+    # first click at/after the first view, then first purchase after it
+    c1 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("__v1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_c1 = with_v1.withColumn("__c1", c1)
+    p1 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("__c1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_c1.withColumn("__p1", p1)
+        .groupBy("user_id")
+        .agg(
+            F.first("__v1").alias("v1"),
+            F.first("__c1").alias("c1"),
+            F.first("__p1").alias("p1"),
+        )
+        .filter(F.col("v1").isNotNull())
+    )
+    return per_user.groupBy(F.col("v1").cast("date").alias("cohort_day")).agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.count("c1").alias("n_clicked"),
+        F.count("p1").alias("n_purchased"),
+        (F.count("p1") * F.lit(1.0) / F.count(F.lit(1))).alias("full_conversion"),
+    )
