@@ -660,25 +660,18 @@ SELECT '__corrupt__', {_N_CORRUPT_LINES}, NULL
 
 @register("json_corrupt_record_audit", oracle=_CORRUPT_ORACLE, tags=("S1", "S2", "Q1"))
 def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json as _json
     import os
 
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    good = (
-        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
-        .select("n_nationkey", F.col("r_name").alias("region_name"))
-        .collect()  # 25 dim rows — bounded fixture prep, not data flow
+    good = n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]).select(
+        "n_nationkey", F.col("r_name").alias("region_name")
     )
     path = tempfile.mkdtemp(prefix="corrupt_landing_")
-    with open(os.path.join(path, "part-0.jsonl"), "w") as fh:
-        for row in good:
-            fh.write(
-                _json.dumps(
-                    {"n_nationkey": row["n_nationkey"], "region_name": row["region_name"]}
-                )
-                + "\n"
-            )
+    # Good rows land distributed (no driver collect); the corrupt lines
+    # go in as a separate hand-written part file beside Spark's output.
+    good.write.mode("overwrite").json(path)
+    with open(os.path.join(path, "part-zcorrupt.json"), "w") as fh:
         fh.write('{"n_nationkey": 999, "region_name": \n')  # truncated
         fh.write("not json at all\n")
         fh.write('{"n_nationkey": "}\n')  # unterminated string
