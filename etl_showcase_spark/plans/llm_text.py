@@ -263,7 +263,10 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_HASHES, _MH_BANDS, _MH_THRESH = 16, 4, 0.3
 
 
-def _minhash_md5_oracle() -> str:
+def _md5_sig_band_sql() -> tuple[str, str]:
+    """(sig column list, banded UNION-ALL selects) shared by the md5
+    MinHash oracles — one text source so the pair and star-edge
+    replays can never drift apart."""
     rows = _MH_HASHES // _MH_BANDS
     sig_cols = ",\n         ".join(
         f"list_min(list_transform(grams, g -> md5('{i}|' || g))) AS m{i}"
@@ -276,6 +279,11 @@ def _minhash_md5_oracle() -> str:
         )
         for b in range(_MH_BANDS)
     )
+    return sig_cols, band_selects
+
+
+def _minhash_md5_oracle() -> str:
+    sig_cols, band_selects = _md5_sig_band_sql()
     return f"""
 WITH sh AS (
   SELECT doc_id,
@@ -742,13 +750,66 @@ def neardup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unchanged (every edge exact-verified); the recall semantics vs the
 # pair set are documented at operators/dedup.py:minhash_lsh_clusters_md5,
 # and tests/test_oracle_parity.py asserts cluster-for-cluster equality
-# with neardup_cluster_canonical on the testdata. Rows-only by design:
-# the star-edge choice (bucket-min rep per band) is plan-shaped, not
-# SQL-replayable at reasonable oracle cost.
+# with neardup_cluster_canonical on the testdata. The full chain —
+# signatures, banding, bucket-min star-edge choice, exact-Jaccard
+# verify, transitive closure — replays in DuckDB below, so the
+# scalable spelling carries its own hash-checked CORRECTNESS row.
 # ---------------------------------------------------------------------------
 
 
-@register("neardup_clusters_scalable", oracle=None, tags=("L2", "L7"))
+def _scalable_clusters_oracle() -> str:
+    sig_cols, band_selects = _md5_sig_band_sql()
+    return f"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+star AS (
+  SELECT DISTINCT MIN(doc_id) OVER (PARTITION BY band, key) AS id_a,
+                  doc_id AS id_b
+  FROM banded
+),
+v AS (
+  SELECT s.id_a, s.id_b
+  FROM star s JOIN sh x ON s.id_a = x.doc_id JOIN sh y ON s.id_b = y.doc_id
+  WHERE s.id_a <> s.id_b
+    AND CAST(LEN(list_intersect(x.grams, y.grams)) AS DOUBLE)
+        / (LEN(x.grams) + LEN(y.grams) - LEN(list_intersect(x.grams, y.grams)))
+        >= {_MH_THRESH}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM v
+  UNION
+  SELECT id_b AS a, id_a AS b FROM v
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+            AS BIGINT) AS cluster_size
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+"""
+
+
+@register("neardup_clusters_scalable", oracle=_scalable_clusters_oracle(), tags=("L2", "L7"))
 def neardup_clusters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 

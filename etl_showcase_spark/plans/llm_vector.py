@@ -785,12 +785,37 @@ def trimmed_mean_sqnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~0.44 of verified pairs at threshold 0.35), where the verified edge
 # set is O(edges) — NOT output-bound — so the exact pair operator IS
 # the right edge generator, and the cluster win is purely the O(n)
-# output. Rows-only; the invariant requires exact equality with a
-# union-find over the full verified pair set.
+# output. The oracle wraps the bit-exact LSH pair replay in the same
+# recursive-CTE transitive closure as neardup_cluster_canonical, so
+# the membership emission is hash-checked end to end.
 # ---------------------------------------------------------------------------
 
 
-@register("embedding_neardup_clusters", oracle=None, tags=("L2", "L3", "L7"))
+def _embedding_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+pairs AS ({_neardup_lsh_oracle()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id,
+       CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, e.vec_id))
+            AS BIGINT) AS cluster_size
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+"""
+
+
+@register("embedding_neardup_clusters", oracle=_embedding_clusters_oracle(), tags=("L2", "L3", "L7"))
 def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as _W
 

@@ -158,9 +158,17 @@ def _inv_multimodal_wav_features(spark, pdf):
         assert abs(r["rms"] - round(float(np.sqrt((s * s).mean())), 6)) < 1e-9
 
 
-def _inv_neardup_clusters_scalable(spark, pdf):
+# The two cluster emissions are oracle-checked (DuckDB recursive-CTE
+# closure) since round 6; these equivalence checks against the
+# pair-built paths remain as standalone tests below because they prove
+# a DIFFERENT property — that the scalable spelling equals the O(g²)
+# spelling — which the oracle alone does not.
+
+
+def test_scalable_clusters_match_pair_built(spark):
     # the O(n·bands) star-edge clustering must reproduce the clusters
     # of the O(g²) verified-pair build exactly on the testdata corpus
+    pdf = SPECS["neardup_clusters_scalable"].build(spark, SF_ORACLE).toPandas()
     ref = SPECS["neardup_cluster_canonical"].build(spark, SF_ORACLE).toPandas()
     key = ["doc_id", "cluster_id", "is_canonical", "cluster_size"]
     a = pdf[key].sort_values("doc_id").reset_index(drop=True)
@@ -174,9 +182,10 @@ def _inv_neardup_clusters_scalable(spark, pdf):
     ).all()
 
 
-def _inv_embedding_neardup_clusters(spark, pdf):
-    # star-edge clusters must equal union-find over the FULL verified
+def test_embedding_clusters_match_pair_union_find(spark):
+    # CC clusters must equal union-find over the FULL verified
     # pair set (the O(g²) path) on the testdata
+    pdf = SPECS["embedding_neardup_clusters"].build(spark, SF_ORACLE).toPandas()
     pairs = SPECS["embedding_neardup_pairs"].build(spark, SF_ORACLE).toPandas()
     parent = {}
 
@@ -200,8 +209,6 @@ def _inv_embedding_neardup_clusters(spark, pdf):
 
 
 INVARIANTS = {
-    "neardup_clusters_scalable": _inv_neardup_clusters_scalable,
-    "embedding_neardup_clusters": _inv_embedding_neardup_clusters,
     "sketch_quantiles_hll": _inv_sketch_quantiles_hll,
     "ann_ivf_topk": _inv_ann_ivf_topk,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
