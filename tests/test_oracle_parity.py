@@ -167,13 +167,32 @@ def _inv_multimodal_wav_features(spark, pdf):
 
 def test_scalable_clusters_match_pair_built(spark):
     # the O(n·bands) star-edge clustering must reproduce the clusters
-    # of the O(g²) verified-pair build exactly on the testdata corpus
+    # of the O(g²) verified-pair build exactly on the testdata corpus.
+    # The pair-built reference is constructed inline from the operators
+    # (it is deliberately no longer any registered query's build path).
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.dedup import minhash_lsh_pairs_md5
+    from etl_showcase_spark.operators.graph import connected_components
+    from etl_showcase_spark.plans.llm_text import _MH_BANDS, _MH_HASHES, _MH_THRESH
+
     pdf = SPECS["neardup_clusters_scalable"].build(spark, SF_ORACLE).toPandas()
-    ref = SPECS["neardup_cluster_canonical"].build(spark, SF_ORACLE).toPandas()
-    key = ["doc_id", "cluster_id", "is_canonical", "cluster_size"]
-    a = pdf[key].sort_values("doc_id").reset_index(drop=True)
-    b = ref[key].sort_values("doc_id").reset_index(drop=True)
-    assert a.equals(b), "star-edge clusters diverge from pair-built clusters"
+    d = table(spark, SF_ORACLE, "documents")
+    pairs = minhash_lsh_pairs_md5(
+        d,
+        "doc_id",
+        "text",
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_MH_THRESH,
+    )
+    cc = connected_components(pairs, "id_a", "id_b").toPandas()
+    label = dict(zip(cc["id"].astype(int), cc["component"].astype(int)))
+    got = dict(zip(pdf["doc_id"].astype(int), pdf["cluster_id"].astype(int)))
+    expect = {i: label.get(i, i) for i in got}
+    assert got == expect, "star-edge clusters diverge from pair-built clusters"
     # structural checks that hold regardless of the reference build
     assert (pdf.groupby("cluster_id")["is_canonical"].sum() == 1).all()
     sizes = pdf.groupby("cluster_id").size().to_dict()
