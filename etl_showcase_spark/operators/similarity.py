@@ -12,7 +12,7 @@ near-duplicate detection and ANN retrieval.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .relational import topk_per_group
@@ -189,19 +189,30 @@ def lsh_ann_topk(
     path. Recall ≈ 1-(1-p^n_planes)^n_tables, tunable per workload.
 
     Asymmetric sides, by design: the QUERY side is bounded (O(1) in
-    corpus size) so its postings carry the quantized vector + norm on
-    the broadcast itself — one pass computes signatures, vectors and
-    norms together, and scoring needs no second query-side join. The
+    corpus size), so BOTH its posting list and its vector table are
+    broadcast. Candidate dedup is ids-only — carrying the quantized
+    query vector through dropDuplicates would put an array<bigint>
+    inside the aggregation buffer and demote the whole dedup to
+    SortAggregate (sort by q_id,c_id instead of hashing them); with
+    bigint-only keys Catalyst keeps HashAggregate, and the query
+    vectors rejoin by a second (free) broadcast at scoring time. The
+    query frame is computed ONCE and persisted — its construction may
+    itself be a plan (e.g. the strided query-set build), and both the
+    posting explode and the vector table consume it in one action. The
     CORPUS side — the one that grows with data — stays ids-only through
     candidate dedup; corpus vectors rejoin exactly once, by id, for the
     exact-cosine scoring."""
-    q_all = queries.select(
+    q_base = queries.select(
         F.col(query_id).alias("q_id"),
         quantize(F.col(vec_col)).alias("q_vec"),
-        F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
-            "tbl", "key"
-        ),
-    ).withColumn("q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")))
+        lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables).alias("keys"),
+    ).persist()  # bounded: the query set is O(1) in corpus size
+    q_sig = q_base.select("q_id", F.posexplode("keys").alias("tbl", "key"))
+    q_vecs = q_base.select(
+        "q_id",
+        "q_vec",
+        F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")).alias("q_nrm"),
+    )
     cb = corpus.select(
         F.col(corpus_id).alias("c_id"),
         F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
@@ -211,15 +222,13 @@ def lsh_ann_topk(
     cv = corpus.select(
         F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
-    # dedup keeps the carried (q_vec, q_nrm) — every duplicate row holds
-    # identical values for them, so the kept row is value-deterministic
     candidates = (
-        cb.join(F.broadcast(q_all), ["tbl", "key"])
+        cb.join(F.broadcast(q_sig), ["tbl", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", "q_vec", "q_nrm")
+        .select("q_id", "c_id")
         .dropDuplicates(["q_id", "c_id"])
     )
-    scored = candidates.join(cv, "c_id").select(
+    scored = candidates.join(cv, "c_id").join(F.broadcast(q_vecs), "q_id").select(
         "q_id",
         "c_id",
         (
@@ -680,4 +689,3 @@ def random_projection_gemm(vec_q: Column, matrix: list[list[int]]) -> Column:
         return pd.Series(list(m @ R))
 
     return project(vec_q)
-
