@@ -26,6 +26,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    from etl_showcase_spark.caching import release_all
     from etl_showcase_spark.registry import bench_specs
     from etl_showcase_spark.session import get_spark
 
@@ -74,6 +75,7 @@ def main() -> None:
         # never make the headline total look FASTER than a healthy run
         if best != float("inf"):
             timings[name] = round(best, 3)
+        release_all()  # operator caches are per-query; don't accumulate
 
     out = {
         "metric": "headline-suite wall time",

@@ -1,0 +1,52 @@
+"""Bounded persist discipline for operator-internal caches.
+
+Operators persist() frames that are consumed 2+ times inside a single
+action (MinHash base shingles, ANN query postings, global-NTILE range
+partitions): without the cache, AQE's broadcast-plan compilation and
+multi-consumer joins recompute the subtree per consumer (measured
+−26% to −66% on the near-dup family). Spark's CacheManager, however,
+never evicts entries on its own — every registered query that chains
+such operators would otherwise leave its caches in executor storage
+for the SESSION's lifetime, and a 170-query driver run accumulates
+hundreds of dead cached plans.
+
+``tracked_persist`` is the repo-wide answer: persist + register in a
+FIFO. Old entries are unpersisted once the FIFO exceeds its cap — far
+above the persist count of any single query chain (max observed: 4),
+far below a session-lifetime leak. Harnesses that know a query is
+finished (bench.py between suite entries, the scale-stress lakes) call
+``release_all()`` for an exact bound.
+
+Unpersist is always non-blocking and correctness-neutral: evicting a
+frame an in-flight plan still references only costs recompute.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from pyspark.sql import DataFrame
+
+_TRACKED: deque[DataFrame] = deque()
+_CAP = 32
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist(df) with bounded-lifetime registration (see module doc)."""
+    out = df.persist()
+    _TRACKED.append(out)
+    while len(_TRACKED) > _CAP:
+        try:
+            _TRACKED.popleft().unpersist(False)
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return out
+
+
+def release_all() -> None:
+    """Unpersist every tracked cache (harness boundary between queries)."""
+    while _TRACKED:
+        try:
+            _TRACKED.popleft().unpersist(False)
+        except Exception:
+            pass

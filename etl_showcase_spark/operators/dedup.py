@@ -14,6 +14,8 @@ import random as _random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from .relational import latest_per_key
 from .textops import shingles, tokens
 
@@ -169,7 +171,7 @@ def minhash_lsh_pairs(
     # and Spark's CacheManager keys the entry by logical plan, so
     # repeated builds of the same query share one entry instead of
     # accumulating. Measured at sf0.1: 2.10s → 1.50s.
-    base = base.persist()
+    base = base.transform(tracked_persist)
     sig = base.select(
         "__id", F.size("__sh").alias("__n"), _minima(F.col("__sh")).alias("__m")
     )
@@ -275,7 +277,7 @@ def minhash_lsh_pairs_md5(
             F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
         )
         .filter(F.size("__sh") >= 1)
-    ).persist()  # three consumers in one action — see minhash_lsh_pairs
+    ).transform(tracked_persist)  # three consumers in one action — see minhash_lsh_pairs
     banded = _md5_banded(base, num_hashes, bands)
     left, right = banded.alias("l"), banded.alias("r")
     candidates = (
@@ -348,7 +350,7 @@ def minhash_lsh_pairs_md5_incremental(
             F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
         )
         .filter(F.size("__sh") >= 1)
-    ).persist()  # three consumers in one action — see minhash_lsh_pairs
+    ).transform(tracked_persist)  # three consumers in one action — see minhash_lsh_pairs
     banded = _md5_banded(base, num_hashes, bands)
     delta = banded.filter(F.col("__new")).alias("d")
     corpus = banded.filter(~F.col("__new")).alias("c")
@@ -465,7 +467,7 @@ def ngram_jaccard_pairs(
     # the per-doc size aggregate, and BOTH sides of the inverted-index
     # self-join — persist() materializes the tokenize+explode+dedup
     # work once (plan-keyed cache, shared across rebuilds)
-    dedup = dedup.persist()
+    dedup = dedup.transform(tracked_persist)
     if df_max is not None:
         # the blocklist (hot shingles only) is orders of magnitude
         # smaller than the posting list — AQE broadcasts the anti join
@@ -475,7 +477,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") >= df_max)
             .select("g")
         )
-        dedup = dedup.join(hot, "g", "left_anti").persist()
+        dedup = dedup.join(hot, "g", "left_anti").transform(tracked_persist)
     sizes = dedup.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     postings = dedup.join(sizes, "__id")
     a, b = postings.alias("a"), postings.alias("b")
@@ -565,7 +567,7 @@ def simhash_md5_pairs(
         F.col(id_col).alias("__id"),
         simhash32_md5(tokens(F.col(text_col))).alias("__sig"),
     # both self-join sides read this — one md5-simhash pass, not two
-    ).persist()
+    ).transform(tracked_persist)
     n_blocks = 32 // block_bits
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
@@ -625,7 +627,7 @@ def simhash_neardup_pairs(
         F.col(id_col).alias("__id"), simhash64(tokens(F.col(text_col))).alias("__sig")
     # the signature frame feeds BOTH sides of the block self-join —
     # persist() computes the per-doc simhash once, not twice
-    ).persist()
+    ).transform(tracked_persist)
     n_blocks = 64 // block_bits
     mask = (1 << block_bits) - 1
     blocked = sigs.select(
@@ -724,7 +726,7 @@ def minhash_lsh_clusters_md5(
             "__id",
             F.array_distinct(shingles(tokens(F.col("__t")), shingle_n)).alias("__sh"),
         ).filter(F.size("__sh") >= 1)
-    ).persist()  # three consumers in one action — see minhash_lsh_pairs
+    ).transform(tracked_persist)  # three consumers in one action — see minhash_lsh_pairs
     banded = _md5_banded(base, num_hashes, bands)
     # bucket representative: min (__id, __n) struct per (band, key) —
     # struct min orders by id first, so .__n rides along for free

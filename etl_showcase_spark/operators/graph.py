@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 def connected_components(
     edges: DataFrame,
@@ -120,8 +122,8 @@ def pagerank_fixed_point(
     # fact-table projection) per iteration; plan-keyed caching means
     # repeated builds share the entries
     e = edges.select(F.col("src").cast("bigint").alias("src"),
-                     F.col("dst").cast("bigint").alias("dst")).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+                     F.col("dst").cast("bigint").alias("dst")).transform(tracked_persist)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).transform(tracked_persist)
     # node count folded in as a broadcast 1-row aggregate — the whole
     # computation stays one lazy plan, no driver-side count()
     ncount = deg.agg(F.count(F.lit(1)).alias("__n"))

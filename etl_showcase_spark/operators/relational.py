@@ -17,6 +17,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 
 def latest_per_key(
     df: DataFrame,
@@ -301,7 +303,7 @@ def with_global_ntile(
     ranked = (
         df.repartitionByRange(*order)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .transform(tracked_persist)
     )
     counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # prefix offsets + total n: the counts frame has one row per

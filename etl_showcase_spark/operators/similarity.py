@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from .relational import topk_per_group
 
 QUANT_SCALE = 1000
@@ -206,7 +208,7 @@ def lsh_ann_topk(
         F.col(query_id).alias("q_id"),
         quantize(F.col(vec_col)).alias("q_vec"),
         lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables).alias("keys"),
-    ).persist()  # bounded: the query set is O(1) in corpus size
+    ).transform(tracked_persist)  # bounded: the query set is O(1) in corpus size
     q_sig = q_base.select("q_id", F.posexplode("keys").alias("tbl", "key"))
     q_vecs = q_base.select(
         "q_id",
@@ -522,13 +524,13 @@ def lsh_neardup_pairs(
         F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__vec")
     ).withColumn(
         "__nrm", F.sqrt(int_dot(F.col("__vec"), F.col("__vec")).cast("double"))
-    ).persist()
+    ).transform(tracked_persist)
     posting = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
             "tbl", "key"
         ),
-    ).persist()
+    ).transform(tracked_persist)
     pa = posting.select(F.col("__id").alias("id_a"), "tbl", "key")
     pb = posting.select(F.col("__id").alias("id_b"), "tbl", "key")
     cand = (

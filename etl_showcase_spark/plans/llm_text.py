@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from ..catalog import table
 from ..operators import textops
 from ..operators.dedup import (
@@ -1205,7 +1207,7 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df").between(_COOC_DF_MIN, _COOC_DF_MAX))
         .select("term")
     )
-    banded = post.join(band, "term", "left_semi").persist()
+    banded = post.join(band, "term", "left_semi").transform(tracked_persist)
     a = banded.select("doc_id", F.col("term").alias("term_a"))
     b = banded.select("doc_id", F.col("term").alias("term_b"))
     pairs = (

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import tracked_persist
+
 from ..catalog import table
 from ..operators.similarity import (
     _plane_signs,
@@ -506,7 +508,7 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/dedup.py's signature frames)
     cc = e.select(
         F.col("vec_id").alias("c_id"), quantize(F.col("embedding")).alias("cv")
-    ).persist()
+    ).transform(tracked_persist)
     cp = cc.select("c_id", random_projection(F.col("cv"), m).alias("pc"))
     pcos = int_dot(F.col("pq"), F.col("pc")).cast("double") / (
         F.sqrt(int_dot(F.col("pq"), F.col("pq")).cast("double"))
@@ -663,7 +665,7 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         quantize(F.col("embedding")).alias("v"),
         int8_quantize(F.col("embedding"), int8_scale(F.col("embedding"))).alias("v8"),
-    ).persist()
+    ).transform(tracked_persist)
     qq = (
         _strided_queries(e)
         .select("vec_id")

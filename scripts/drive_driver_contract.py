@@ -6,6 +6,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
+from etl_showcase_spark.caching import release_all
 import __spark_entry__ as ent
 from etl_showcase_spark.testing import compare_frames
 
@@ -41,4 +42,5 @@ for name, fn in sorted(qs.items()):
     except Exception as e:
         fails += 1
         print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+    release_all()
 print("RESULT:", "ALL-MATCH" if fails == 0 else f"{fails} FAILURES")

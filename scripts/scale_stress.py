@@ -116,6 +116,7 @@ def build_lake(spark: SparkSession, mult: int, out_dir: str) -> None:
 
 
 def run_suite(spark: SparkSession, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    from etl_showcase_spark.caching import release_all
     from etl_showcase_spark.registry import bench_specs
 
     out: dict[str, float] = {}
@@ -127,6 +128,7 @@ def run_suite(spark: SparkSession, sf_dir: str, reps: int = 3) -> dict[str, floa
             spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
+        release_all()
         print(f"  {sf_dir.split('/')[-1]} {name}: {out[name]}s", flush=True)
     return out
 
