@@ -818,20 +818,30 @@ def jsonl_pyds_sink(df: DataFrame, path: str) -> None:
     df.write.format("etl_jsonl_sink").option("path", path).mode("append").save()
 
 
-def vacuum_snapshots(base_path: str, keep_last: int = 2) -> list[int]:
+def vacuum_snapshots(
+    base_path: str, keep_last: int = 2, torn_grace_seconds: float = 3600.0
+) -> list[int]:
     """Retention for the snapshot protocol: delete committed versions
     older than the newest ``keep_last``, plus torn (uncommitted)
-    directories STRICTLY OLDER than the newest committed version —
-    those can only be crash debris (a writer never goes back in
-    version numbers), while a torn directory newer than the latest
-    commit may be an in-flight write and is left alone. The newest
-    committed version is never deletable (keep_last >= 1 enforced),
-    so readers of "latest" are always safe; readers pinned to an old
-    version lose it by explicit retention policy — the same contract
-    as Delta/Iceberg VACUUM. Returns the deleted version numbers.
+    directories that are BOTH older-versioned than the newest commit
+    AND quiescent past the grace window. Version order alone is not
+    proof of death with concurrent writers: slow writer A can be
+    mid-write on v=4 while writer B allocates v=5 and commits first —
+    deleting A's files then lets A's later _COMMITTED marker publish a
+    partially-deleted snapshot. So a torn directory is only removed
+    when its newest file mtime is older than ``torn_grace_seconds``
+    (Delta-style retention: the grace window must exceed the longest
+    plausible write duration — writers touch files continuously, so an
+    in-flight write keeps refreshing its own lease). A torn directory
+    newer-versioned than the latest commit is always left alone. The
+    newest committed version is never deletable (keep_last >= 1
+    enforced), so readers of "latest" are always safe; readers pinned
+    to an old version lose it by explicit retention policy — the same
+    contract as Delta/Iceberg VACUUM. Returns deleted version numbers.
     """
     import os
     import shutil
+    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
@@ -840,11 +850,27 @@ def vacuum_snapshots(base_path: str, keep_last: int = 2) -> list[int]:
         return []
     keep = set(committed[-keep_last:])
     newest = committed[-1]
+    now = time.time()
     deleted = []
     for v in _all_snapshot_versions(base_path):
         torn = v not in committed
         if v in keep or (torn and v > newest):
             continue
-        shutil.rmtree(os.path.join(base_path, f"v={v}"), ignore_errors=True)
+        d = os.path.join(base_path, f"v={v}")
+        if torn:
+            try:
+                last_write = max(
+                    (
+                        os.path.getmtime(os.path.join(root, f))
+                        for root, _, fs in os.walk(d)
+                        for f in fs
+                    ),
+                    default=os.path.getmtime(d),
+                )
+            except OSError:  # raced with its writer or a peer vacuum
+                continue
+            if now - last_write < torn_grace_seconds:
+                continue  # possibly in-flight — let it finish or expire
+        shutil.rmtree(d, ignore_errors=True)
         deleted.append(v)
     return sorted(deleted)

@@ -332,8 +332,15 @@ def test_vacuum_snapshots_retention_and_safety(spark, tmp_path):
     # in-flight dir NEWER than the latest commit
     os.rename(os.path.join(base, "v=2", "_COMMITTED"), os.path.join(base, "v=2", "_X"))
     os.makedirs(os.path.join(base, "v=9"))  # in-flight writer, no marker
+    # freshly-written torn dir is protected by the grace window even
+    # though a newer version committed first (slow-concurrent-writer
+    # safety): only committed v1 is old enough to go
     deleted = vacuum_snapshots(base, keep_last=2)
-    assert deleted == [1, 2]  # old committed v1 + torn v2 debris
+    assert deleted == [1]
+    assert os.path.isdir(os.path.join(base, "v=2"))
+    # once quiescent past the grace window, the torn debris is removed
+    deleted = vacuum_snapshots(base, keep_last=2, torn_grace_seconds=0.0)
+    assert deleted == [2]
     assert snapshot_versions(base) == [3, 4]
     assert os.path.isdir(os.path.join(base, "v=9"))  # in-flight untouched
     assert read_snapshot(spark, base).collect()[0]["v"] == 3
