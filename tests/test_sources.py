@@ -363,3 +363,68 @@ def test_schema_evolution_mergeschema_read(spark, tmp_path):
     rows = {r["k"]: r for r in df.collect()}
     assert rows[1]["score"] is None
     assert rows[2]["score"] == 9.5
+
+
+def test_http_fanout_over_real_loopback_sockets(spark):
+    """Live-socket proof of the S3 fan-out (reference analog:
+    dags/weather_etl_pipeline.py:72 actually fetches): an in-process
+    http.server serves the deterministic payloads; the executor-side
+    fetch performs a REAL urllib GET over 127.0.0.1 from the Python
+    workers. Both execution surfaces (mapInPandas + Python Data
+    Source) must return byte-identical rows to the fake-fetch path."""
+    import http.server
+    import threading
+    from urllib.parse import unquote
+
+    from etl_showcase_spark.sources.io import (
+        _make_fake_fetch,
+        http_pyds_source_for,
+    )
+
+    payload_for = _make_fake_fetch()
+
+    class _Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            # the original endpoint url rides percent-encoded in the path
+            body = payload_for(unquote(self.path[1:])).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+
+        def real_fetch(url, _port=port):
+            # runs in executor Python workers; pickled by value
+            from urllib.parse import quote
+            from urllib.request import urlopen
+
+            proxied = f"http://127.0.0.1:{_port}/{quote(url, safe='')}"
+            with urlopen(proxied, timeout=10) as resp:
+                return resp.read().decode()
+
+        urls = spark.createDataFrame(
+            [(f"https://api.example.com/v1/forecast?city=C{i}",) for i in range(6)],
+            ["url"],
+        )
+        via_fake = sorted(tuple(r) for r in http_fanout_source(urls).collect())
+        via_net = sorted(
+            tuple(r) for r in http_fanout_source(urls, fetch=real_fetch).collect()
+        )
+        assert via_net == via_fake and len(via_net) == 6
+        via_pyds = sorted(
+            tuple(r)
+            for r in http_pyds_source_for(urls, fetch=real_fetch).collect()
+        )
+        assert via_pyds == via_fake
+    finally:
+        srv.shutdown()
+        srv.server_close()
