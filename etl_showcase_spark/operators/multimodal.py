@@ -10,8 +10,15 @@ transforms — is real and tested. Two codec tiers:
   from the public netpbm spec with zero dependencies beyond numpy.
   attach_ppm_media manufactures deterministic P6 payloads so the whole
   decode→resize path computes real pixels end-to-end.
-- Compressed formats (JPEG/WAV/MP4): stubbed behind
-  NotImplementedError because codec libraries aren't in this
+- PNG: a REAL compressed-format codec pair over stdlib zlib — encoder
+  (deflate, CRC-correct chunks, all five scanline filters) and an
+  independently-written decoder (chunk walk + CRC verify + multi-IDAT
+  inflate + filter reconstruction), both from the public PNG spec
+  (RFC 2083). No external image library needed.
+- WAV (RIFF PCM): a REAL uncompressed-audio parser, verified against
+  stdlib `wave`.
+- Codec-library formats (JPEG/MP3/MP4): stubbed behind
+  NotImplementedError because entropy-codec libraries aren't in this
   container; the byte-level feature extractor is a genuine
   implementation (numpy histogram over the raw bytes), so that
   pipeline still runs end-to-end deterministically.
@@ -295,6 +302,255 @@ def decode_resize_ppm(
         "resized_dim INT, resized_sum DOUBLE"
     )
     parse = _parse_ppm  # closure capture: ships by value with the udf
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            ws, hs, ns, sums = [], [], [], []
+            for buf in pdf[media_col]:
+                w, h, pix = parse(bytes(buf))
+                ri = (np.arange(out_size) * h // out_size).clip(max=h - 1)
+                ci = (np.arange(out_size) * w // out_size).clip(max=w - 1)
+                resized = pix[np.ix_(ri, ci)].astype("float64") / 255.0
+                ws.append(w)
+                hs.append(h)
+                ns.append(pix.size)
+                sums.append(round(float(resized.sum()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": np.asarray(ws, dtype="int32"),
+                    "height": np.asarray(hs, dtype="int32"),
+                    "n_samples": np.asarray(ns, dtype="int32"),
+                    "resized_dim": np.full(len(ids), out_size * out_size * 3, "int32"),
+                    "resized_sum": np.asarray(sums, dtype="float64"),
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)
+
+
+def _make_encode_png():
+    """Factory (ships by value — see _make_parse_ppm) building a
+    from-scratch PNG encoder over stdlib zlib: 8-bit truecolor RGB,
+    non-interlaced, CRC-correct chunks. Every scanline y is written
+    with filter type y % 5, so a stream taller than 4 rows exercises
+    ALL FIVE filter reconstructions (None/Sub/Up/Average/Paeth) in the
+    decoder — the encoder is the adversarial test harness, not a
+    convenience. IDAT is deliberately split into 64-byte chunks to
+    force multi-IDAT reassembly."""
+
+    def encode_png(pix) -> bytes:  # (h, w, 3) uint8 array
+        import struct
+        import zlib
+
+        h, w, _ = pix.shape
+        bpp, stride = 3, w * 3
+        filtered = bytearray()
+        prior = bytes(stride)
+        for y in range(h):
+            line = pix[y].tobytes()
+            f = y % 5
+            if f == 0:
+                out = line
+            elif f == 1:  # Sub
+                out = bytes(
+                    (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                    for x in range(stride)
+                )
+            elif f == 2:  # Up
+                out = bytes((line[x] - prior[x]) & 0xFF for x in range(stride))
+            elif f == 3:  # Average
+                out = bytes(
+                    (line[x] - (((line[x - bpp] if x >= bpp else 0) + prior[x]) >> 1))
+                    & 0xFF
+                    for x in range(stride)
+                )
+            else:  # Paeth
+                out = bytearray()
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    out.append((line[x] - pred) & 0xFF)
+                out = bytes(out)
+            filtered.append(f)
+            filtered.extend(out)
+            prior = line
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        comp = zlib.compress(bytes(filtered), 6)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        idats = b"".join(
+            chunk(b"IDAT", comp[i : i + 64]) for i in range(0, len(comp), 64)
+        ) or chunk(b"IDAT", b"")
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + idats + chunk(b"IEND", b"")
+        )
+
+    return encode_png
+
+
+_encode_png = _make_encode_png()
+
+
+def _make_parse_png():
+    """Factory (ships by value — see _make_parse_ppm) building a
+    spec-compliant PNG decoder over stdlib zlib: signature check,
+    chunk walk with CRC verification, multi-IDAT reassembly, inflate,
+    and per-scanline reconstruction of all five filter types. Supports
+    the profile this pipeline emits (8-bit truecolor, non-interlaced);
+    anything else raises ValueError — a corrupt or unsupported payload
+    must fail its row loudly, not yield garbage pixels. Written
+    independently of _make_encode_png from the PNG spec (RFC 2083), so
+    the roundtrip test is two implementations agreeing, not one
+    function inverted."""
+
+    def parse_png(buf: bytes):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        if buf[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG payload")
+        pos, ihdr, idat, ended = 8, None, bytearray(), False
+        while pos < len(buf):
+            if pos + 8 > len(buf):
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + length]
+            if len(data) != length or pos + 12 + length > len(buf):
+                raise ValueError("truncated chunk body")
+            (crc,) = struct.unpack(">I", buf[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {typ!r} chunk")
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"IDAT":
+                idat.extend(data)
+            elif typ == b"IEND":
+                ended = True
+                break
+            pos += 12 + length
+        if ihdr is None or not ended:
+            raise ValueError("missing IHDR or IEND")
+        w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+        if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+            raise ValueError(
+                "unsupported PNG profile (need 8-bit truecolor non-interlaced)"
+            )
+        raw = zlib.decompress(bytes(idat))
+        bpp, stride = 3, w * 3
+        if len(raw) != h * (1 + stride):
+            raise ValueError(f"bad inflated size: {len(raw)} != {h * (1 + stride)}")
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prior = [0] * stride
+        pos = 0
+        for y in range(h):
+            f = raw[pos]
+            line = raw[pos + 1 : pos + 1 + stride]
+            pos += 1 + stride
+            if f == 0:
+                rec = list(line)
+            elif f == 2:  # Up
+                rec = [(line[x] + prior[x]) & 0xFF for x in range(stride)]
+            elif f in (1, 3, 4):
+                rec = [0] * stride
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    c = prior[x - bpp] if x >= bpp else 0
+                    if f == 1:  # Sub
+                        v = line[x] + a
+                    elif f == 3:  # Average
+                        v = line[x] + ((a + b) >> 1)
+                    else:  # Paeth
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        v = line[x] + (
+                            a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        )
+                    rec[x] = v & 0xFF
+            else:
+                raise ValueError(f"unknown filter type {f}")
+            out[y] = rec
+            prior = rec
+        return w, h, out.reshape(h, w, 3)
+
+    return parse_png
+
+
+_parse_png = _make_parse_png()
+
+
+def attach_png_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a deterministic REAL compressed image per row: an
+    8-bit RGB PNG (stdlib-zlib deflate, CRC-correct chunks, mixed
+    scanline filters) with the same doc_id-derived dimensions and
+    text-tiled pixels as attach_ppm_media — so the PPM and PNG decode
+    paths are provably looking at the same logical images through an
+    uncompressed vs a genuinely compressed container. One mapInPandas
+    stage; payload bytes any external PNG viewer could open."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, media BINARY, "
+        "media_meta STRUCT<format: STRING, n_bytes: INT, width: INT, height: INT>"
+    )
+    enc = _encode_png  # closure capture: ships by value with the udf
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            medias, metas = [], []
+            for did, txt in zip(ids, pdf[text_col]):
+                w = 8 + int(did) % 9  # 8..16, same rule as attach_ppm_media
+                h = 6 + int(did) % 5  # 6..10
+                body = (txt or "").encode("utf-8")
+                need = w * h * 3
+                if body:
+                    reps = -(-need // len(body))
+                    pix = (body * reps)[:need]
+                else:
+                    pix = bytes(need)
+                payload = enc(np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3))
+                medias.append(payload)
+                metas.append(
+                    {"format": "png", "n_bytes": len(payload), "width": w, "height": h}
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": medias, "media_meta": metas})
+
+    return df.select("doc_id", text_col).mapInPandas(encode, out_schema)
+
+
+def decode_resize_png(
+    df: DataFrame, out_size: int = 32, media_col: str = "media"
+) -> DataFrame:
+    """Fused PNG decode + nearest-neighbor resize — identical output
+    contract to decode_resize_ppm (full-resolution pixels never leave
+    the worker), but the decode is a genuine compressed-format parse:
+    chunk CRCs, inflate, filter reconstruction."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, width INT, height INT, n_samples INT, "
+        "resized_dim INT, resized_sum DOUBLE"
+    )
+    parse = _parse_png  # closure capture: ships by value with the udf
 
     def run(batches):
         for pdf in batches:

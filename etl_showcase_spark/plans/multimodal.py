@@ -164,6 +164,26 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5 compressed image: the SAME logical images as multimodal_decode_
+# resize, but through a genuinely COMPRESSED container — stdlib-zlib
+# PNG with CRC-verified chunks, multi-IDAT reassembly and all five
+# scanline-filter reconstructions (operators/multimodal.py:_make_parse
+# _png, written independently of the encoder from RFC 2083). Rows-only;
+# the parity invariant asserts bit-equality with the PPM decode path —
+# two codecs, two containers, one pixel truth (reference analog: the
+# multimodal north star in BASELINE.json).
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_png_decode", oracle=None, tags=("L5",))
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_png_media, decode_resize_png
+
+    d = attach_png_media(table(spark, sf_dir, "documents"))
+    return decode_resize_png(d, out_size=32)
+
+
+# ---------------------------------------------------------------------------
 # L5 × L7: shard packing by byte budget — media payloads packed into
 # 64 KiB shards per source (the training-data sharding step that turns
 # billions of small media blobs into bounded-size archive shards).

@@ -272,3 +272,64 @@ def test_map_in_arrow_twin_matches_map_in_pandas(spark):
     assert (a["n_bytes"] == b["n_bytes"]).all()
     for fa, fb in zip(a["features"], b["features"]):
         assert list(fa) == list(fb)
+
+
+def test_png_roundtrip_and_filter_coverage():
+    """Encoder and decoder are independent implementations of RFC 2083;
+    agreeing on random pixels across shapes (including heights > 4,
+    which exercise all five scanline filters) is the codec proof."""
+    import numpy as np
+
+    from etl_showcase_spark.operators.multimodal import _encode_png, _parse_png
+
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (3, 2), (5, 8), (10, 16), (7, 9)]:
+        pix = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = _encode_png(pix)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        w2, h2, out = _parse_png(buf)
+        assert (w2, h2) == (w, h)
+        assert (out == pix).all()
+    # multi-IDAT is genuinely exercised: 10x16 deflate exceeds one chunk
+    big = _encode_png(rng.randint(0, 256, (10, 16, 3), dtype=np.uint8))
+    assert big.count(b"IDAT") >= 2
+
+
+def test_png_decoder_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from etl_showcase_spark.operators.multimodal import _encode_png, _parse_png
+
+    pix = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    good = _encode_png(pix)
+    with pytest.raises(ValueError):  # bad signature
+        _parse_png(b"NOPE" + good[4:])
+    flipped = bytearray(good)
+    flipped[30] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError):
+        _parse_png(bytes(flipped))
+    with pytest.raises(ValueError):  # truncated: IEND never arrives
+        _parse_png(good[:-12])
+
+
+def test_png_decode_resize_matches_ppm_path(spark):
+    """Same doc_id-derived images through two containers (netpbm vs
+    zlib-deflate PNG) must decode to identical feature rows."""
+    from etl_showcase_spark.operators.multimodal import (
+        attach_png_media,
+        attach_ppm_media,
+        decode_resize_png,
+        decode_resize_ppm,
+    )
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(40)
+    a = {
+        tuple(r)
+        for r in decode_resize_png(attach_png_media(d), out_size=32).collect()
+    }
+    b = {
+        tuple(r)
+        for r in decode_resize_ppm(attach_ppm_media(d), out_size=32).collect()
+    }
+    assert a == b and len(a) == 40

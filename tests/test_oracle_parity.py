@@ -92,6 +92,19 @@ def _inv_multimodal_decode_resize(spark, pdf):
     assert (pdf["resized_sum"] <= 32 * 32 * 3).all()
 
 
+def _inv_multimodal_png_decode(spark, pdf):
+    # the compressed-container path must reproduce the PPM path's rows
+    # bit-for-bit: same doc_id-derived dimensions, same text-tiled
+    # pixels, same fused resize — two independent codecs (netpbm parse
+    # vs zlib inflate + filter reconstruction), one pixel truth
+    ref = SPECS["multimodal_decode_resize"].build(spark, SF_ORACLE).toPandas()
+    cols = ["doc_id", "width", "height", "n_samples", "resized_dim", "resized_sum"]
+    a = pdf[cols].sort_values("doc_id").reset_index(drop=True)
+    b = ref[cols].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), "PNG decode diverges from the PPM decode of the same images"
+    _inv_multimodal_decode_resize(spark, pdf)
+
+
 def _inv_http_fanout(spark, pdf):
     # the mapInPandas source and the Spark 4 Python Data Source must
     # produce the identical frame (the strongest available check for a
@@ -233,6 +246,7 @@ INVARIANTS = {
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
     "simhash_neardup": _inv_simhash_neardup,
     "multimodal_decode_resize": _inv_multimodal_decode_resize,
+    "multimodal_png_decode": _inv_multimodal_png_decode,
     "http_fanout_weather": _inv_http_fanout,
     "http_fanout_pyds": _inv_http_fanout,
     "audit_timestamp_injection": _inv_audit_timestamp_injection,
