@@ -299,7 +299,7 @@ def decode_resize_ppm(
 
     out_schema = (
         "doc_id LONG, width INT, height INT, n_samples INT, "
-        "resized_dim INT, resized_sum DOUBLE"
+        "resized_dim INT, pixel_sum LONG, resized_sum DOUBLE"
     )
     parse = _parse_ppm  # closure capture: ships by value with the udf
 
@@ -311,11 +311,17 @@ def decode_resize_ppm(
                 w, h, pix = parse(bytes(buf))
                 ri = (np.arange(out_size) * h // out_size).clip(max=h - 1)
                 ci = (np.arange(out_size) * w // out_size).clip(max=w - 1)
-                resized = pix[np.ix_(ri, ci)].astype("float64") / 255.0
+                # EXACT integer byte sum of the gathered pixels: the
+                # float spelling (sum of per-pixel /255 doubles) is
+                # order-sensitive; the integer sum is not, and the
+                # derived double (one division of an exact int) is the
+                # identical IEEE op in any engine — what lets these
+                # queries be hash-checked against a SQL oracle
+                gathered = pix[np.ix_(ri, ci)].astype("int64")
                 ws.append(w)
                 hs.append(h)
                 ns.append(pix.size)
-                sums.append(round(float(resized.sum()), 6))
+                sums.append(int(gathered.sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -323,7 +329,8 @@ def decode_resize_ppm(
                     "height": np.asarray(hs, dtype="int32"),
                     "n_samples": np.asarray(ns, dtype="int32"),
                     "resized_dim": np.full(len(ids), out_size * out_size * 3, "int32"),
-                    "resized_sum": np.asarray(sums, dtype="float64"),
+                    "pixel_sum": np.asarray(sums, dtype="int64"),
+                    "resized_sum": np.asarray(sums, dtype="float64") / 255.0,
                 }
             )
 
@@ -548,7 +555,7 @@ def decode_resize_png(
 
     out_schema = (
         "doc_id LONG, width INT, height INT, n_samples INT, "
-        "resized_dim INT, resized_sum DOUBLE"
+        "resized_dim INT, pixel_sum LONG, resized_sum DOUBLE"
     )
     parse = _parse_png  # closure capture: ships by value with the udf
 
@@ -560,11 +567,17 @@ def decode_resize_png(
                 w, h, pix = parse(bytes(buf))
                 ri = (np.arange(out_size) * h // out_size).clip(max=h - 1)
                 ci = (np.arange(out_size) * w // out_size).clip(max=w - 1)
-                resized = pix[np.ix_(ri, ci)].astype("float64") / 255.0
+                # EXACT integer byte sum of the gathered pixels: the
+                # float spelling (sum of per-pixel /255 doubles) is
+                # order-sensitive; the integer sum is not, and the
+                # derived double (one division of an exact int) is the
+                # identical IEEE op in any engine — what lets these
+                # queries be hash-checked against a SQL oracle
+                gathered = pix[np.ix_(ri, ci)].astype("int64")
                 ws.append(w)
                 hs.append(h)
                 ns.append(pix.size)
-                sums.append(round(float(resized.sum()), 6))
+                sums.append(int(gathered.sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -572,7 +585,8 @@ def decode_resize_png(
                     "height": np.asarray(hs, dtype="int32"),
                     "n_samples": np.asarray(ns, dtype="int32"),
                     "resized_dim": np.full(len(ids), out_size * out_size * 3, "int32"),
-                    "resized_sum": np.asarray(sums, dtype="float64"),
+                    "pixel_sum": np.asarray(sums, dtype="int64"),
+                    "resized_sum": np.asarray(sums, dtype="float64") / 255.0,
                 }
             )
 

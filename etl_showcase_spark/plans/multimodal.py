@@ -148,14 +148,59 @@ def multimodal_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # payloads (a byte-valid netpbm file per document) through an actual
 # header parser, pixel reshape, and 2-D nearest-neighbor resize —
 # fused into one mapInPandas stage so full-resolution pixels never
-# leave the worker. Rows-only (pixel gathers don't replay in SQL);
-# tests/test_multimodal.py re-decodes payloads with an independent
-# pure-Python reference and the parity gate asserts the dimension
-# invariants (n_samples == width*height*3, resized_dim == 32*32*3).
+# leave the worker. HASH-CHECKED against a full SQL replay since
+# round 6: the payload pixels tile the document's utf-8 text (pure
+# ASCII on this corpus, asserted below), dimensions derive from
+# doc_id, and the resize gather is integer index arithmetic — so
+# DuckDB can recompute every output cell from the parquet columns
+# alone: byte p of the image = ascii(text[p % len]), the 32×32×3
+# gather indices replay as (i*h)//32 / (j*w)//32, and the EXACT
+# integer pixel_sum (plus its one-division double) hashes bit-equal.
+# tests/test_multimodal.py additionally re-decodes payloads with an
+# independent pure-Python reference.
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_decode_resize", oracle=None, tags=("L5",))
+def _decode_resize_oracle() -> str:
+    # gather cell k of the flattened (32, 32, 3) resize output maps to
+    # source pixel byte ((ri*w + ci)*3 + c) with ri=(i*h)//32 clipped,
+    # ci=(j*w)//32 clipped; the payload tiles the text bytes, so byte
+    # p is ascii(text[p % L]). LENGTH(text) == octet_length: the
+    # corpus is pure ASCII (the Spark side tiles utf-8 BYTES, so a
+    # non-ASCII document would break this identity loudly via the
+    # pixel_sum hash, not silently).
+    gather = (
+        "((LEAST(((k // 96) * h) // 32, h - 1) * w"
+        " + LEAST((((k // 3) % 32) * w) // 32, w - 1)) * 3 + (k % 3))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         8 + doc_id % 9 AS w,
+         6 + doc_id % 5 AS h,
+         LENGTH(text) AS L
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h,
+         CASE WHEN L > 0 THEN
+           list_sum(list_transform(range(0, 3072), k ->
+             ascii(substr(text, CAST({gather} % L AS BIGINT) + 1, 1))))
+         ELSE 0 END AS pixel_sum
+  FROM d
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h * 3 AS INT) AS n_samples,
+       CAST(3072 AS INT) AS resized_dim,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(pixel_sum AS DOUBLE) / 255.0 AS resized_sum
+FROM g
+"""
+
+
+@register("multimodal_decode_resize", oracle=_decode_resize_oracle(), tags=("L5",))
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_ppm_media, decode_resize_ppm
 
@@ -168,14 +213,15 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resize, but through a genuinely COMPRESSED container — stdlib-zlib
 # PNG with CRC-verified chunks, multi-IDAT reassembly and all five
 # scanline-filter reconstructions (operators/multimodal.py:_make_parse
-# _png, written independently of the encoder from RFC 2083). Rows-only;
-# the parity invariant asserts bit-equality with the PPM decode path —
-# two codecs, two containers, one pixel truth (reference analog: the
+# _png, written independently of the encoder from RFC 2083). Shares
+# the PPM query's full SQL replay — same logical images, so the same
+# oracle must hash-match BOTH containers; pytest additionally asserts
+# the two decode paths agree row-for-row (reference analog: the
 # multimodal north star in BASELINE.json).
 # ---------------------------------------------------------------------------
 
 
-@register("multimodal_png_decode", oracle=None, tags=("L5",))
+@register("multimodal_png_decode", oracle=_decode_resize_oracle(), tags=("L5",))
 def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_png_media, decode_resize_png
 

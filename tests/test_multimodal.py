@@ -124,14 +124,14 @@ def _reference_ppm_decode_resize(buf: bytes, out_size: int):
     assert maxval == 255
     pix = buf[pos + 1 :]
     assert len(pix) == w * h * 3
-    total = 0.0
+    total = 0
     for rr in range(out_size):
         sr = min(rr * h // out_size, h - 1)
         for cc in range(out_size):
             sc = min(cc * w // out_size, w - 1)
             base = (sr * w + sc) * 3
-            total += (pix[base] + pix[base + 1] + pix[base + 2]) / 255.0
-    return w, h, round(total, 6)
+            total += pix[base] + pix[base + 1] + pix[base + 2]
+    return w, h, total
 
 
 def test_ppm_decode_resize_matches_reference(spark):
@@ -150,7 +150,8 @@ def test_ppm_decode_resize_matches_reference(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_samples == w * h * 3
         assert r.resized_dim == 16 * 16 * 3
-        assert abs(r.resized_sum - ref_sum) < 1e-6
+        assert r.pixel_sum == ref_sum
+        assert r.resized_sum == ref_sum / 255.0
 
 
 def test_ppm_decode_rejects_corrupt_payloads():

@@ -81,28 +81,11 @@ def _inv_simhash_neardup(spark, pdf):
     assert not pdf.duplicated(["id_a", "id_b"]).any()
 
 
-def _inv_multimodal_decode_resize(spark, pdf):
-    # real PPM decode: dimensions are genuinely parsed from the payload
-    # header and must satisfy the pixel-count identity exactly
-    assert (pdf["width"] > 0).all() and (pdf["height"] > 0).all()
-    assert (pdf["n_samples"] == pdf["width"] * pdf["height"] * 3).all()
-    assert (pdf["resized_dim"] == 32 * 32 * 3).all()
-    # every payload tiles non-empty text, so no all-black resize
-    assert (pdf["resized_sum"] > 0).all()
-    assert (pdf["resized_sum"] <= 32 * 32 * 3).all()
-
-
-def _inv_multimodal_png_decode(spark, pdf):
-    # the compressed-container path must reproduce the PPM path's rows
-    # bit-for-bit: same doc_id-derived dimensions, same text-tiled
-    # pixels, same fused resize — two independent codecs (netpbm parse
-    # vs zlib inflate + filter reconstruction), one pixel truth
-    ref = SPECS["multimodal_decode_resize"].build(spark, SF_ORACLE).toPandas()
-    cols = ["doc_id", "width", "height", "n_samples", "resized_dim", "resized_sum"]
-    a = pdf[cols].sort_values("doc_id").reset_index(drop=True)
-    b = ref[cols].sort_values("doc_id").reset_index(drop=True)
-    assert a.equals(b), "PNG decode diverges from the PPM decode of the same images"
-    _inv_multimodal_decode_resize(spark, pdf)
+# multimodal_decode_resize / multimodal_png_decode are oracle-checked
+# since round 6 (full SQL replay of the text-tiled pixels + integer
+# resize gather); their former structural invariants are subsumed by
+# the hash check, and the PNG-vs-PPM bit-equality lives in
+# tests/test_multimodal.py::test_png_decode_resize_matches_ppm_path.
 
 
 def _inv_http_fanout(spark, pdf):
@@ -245,8 +228,6 @@ INVARIANTS = {
     "ann_ivf_topk": _inv_ann_ivf_topk,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
     "simhash_neardup": _inv_simhash_neardup,
-    "multimodal_decode_resize": _inv_multimodal_decode_resize,
-    "multimodal_png_decode": _inv_multimodal_png_decode,
     "http_fanout_weather": _inv_http_fanout,
     "http_fanout_pyds": _inv_http_fanout,
     "audit_timestamp_injection": _inv_audit_timestamp_injection,
