@@ -32,8 +32,21 @@ _CAP = 32
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist(df) with bounded-lifetime registration (see module doc)."""
+    """persist(df) with bounded-lifetime registration (see module doc).
+
+    Rebuilding the same query produces a semantically identical frame
+    whose persist() resolves to the SAME CacheManager entry — tracking
+    it again would both inflate the FIFO and, on eviction, unpersist a
+    cache that other live references still rely on. So re-registration
+    is a dedupe no-op (sameSemantics scan over the ≤_CAP tracked
+    frames)."""
     out = df.persist()
+    for t in _TRACKED:
+        try:
+            if out.sameSemantics(t):
+                return out
+        except Exception:  # plan not comparable — treat as distinct
+            pass
     _TRACKED.append(out)
     while len(_TRACKED) > _CAP:
         try:

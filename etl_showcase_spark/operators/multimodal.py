@@ -744,8 +744,12 @@ def decode_wav_features(df: DataFrame, media_col: str = "media") -> DataFrame:
                 sums.append(int(s64.sum()))
                 peaks.append(int(np.abs(s64).max()) if len(s) else 0)
                 zcs.append(int(((s64[:-1] < 0) != (s64[1:] < 0)).sum()))
+                # exact integer sum-of-squares, then ONE double divide +
+                # sqrt — the identical IEEE op sequence in any engine,
+                # which is what lets this query be hash-checked against
+                # a SQL oracle (no float accumulation order, no rounding)
                 rmss.append(
-                    round(float(np.sqrt((s64 * s64).mean())), 6) if len(s) else 0.0
+                    float(np.sqrt(int((s64 * s64).sum()) / len(s))) if len(s) else 0.0
                 )
             yield pd.DataFrame(
                 {

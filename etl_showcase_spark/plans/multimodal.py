@@ -280,14 +280,38 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L5 audio: real WAV PCM decode + per-clip features ([EXT] — the audio
 # analog of multimodal_decode_resize: RIFF/WAVE PCM is uncompressed,
 # so the decoder is a genuine spec-compliant parser with zero codec
-# dependencies; compressed audio (MP3/AAC) stays stubbed). Rows-only:
-# the payloads are synthesized+parsed Python-side; the parity gate's
-# invariant recomputes every integer statistic from the doc_id formula
-# independently (tests/test_oracle_parity.py).
+# dependencies; compressed audio (MP3/AAC) stays stubbed).
+# HASH-CHECKED since round 6: the waveform is a pure integer formula
+# of doc_id ((did*31 + i*17) % 2048 - 1024 over 64 + did%64 samples),
+# so DuckDB recomputes every statistic from the parquet key alone —
+# while Spark derives the same numbers by round-tripping real RIFF
+# bytes through its parser. RMS is one double divide + sqrt over the
+# exact integer sum of squares (identical IEEE ops both engines).
+# tests/test_multimodal.py additionally opens payloads with stdlib
+# `wave` as an independent container check.
 # ---------------------------------------------------------------------------
 
+_WAV_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         64 + doc_id % 64 AS n,
+         list_transform(range(0, 64 + doc_id % 64),
+             i -> (doc_id * 31 + i * 17) % 2048 - 1024) AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(list_sum(w) AS BIGINT) AS sample_sum,
+       CAST(list_max(list_transform(w, x -> ABS(x))) AS INT) AS peak,
+       CAST(LEN(list_filter(range(1, n), i -> (w[i] < 0) <> (w[i+1] < 0)))
+            AS INT) AS zero_crossings,
+       SQRT(CAST(list_sum(list_transform(w, x -> x * x)) AS DOUBLE) / n) AS rms
+FROM s
+"""
 
-@register("multimodal_wav_features", oracle=None, tags=("L5",))
+
+@register("multimodal_wav_features", oracle=_WAV_ORACLE, tags=("L5",))
 def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_wav_media, decode_wav_features
 

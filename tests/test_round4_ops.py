@@ -257,6 +257,9 @@ def test_persist_cache_entries_do_not_accumulate(spark):
     # the multi-consumer persist pattern relies on Spark's CacheManager
     # keying entries by logical plan: rebuilding the same registered
     # query must REUSE its cache entry, not add one per build
+    from etl_showcase_spark.caching import release_all
+
+    release_all()  # start from a clean tracked-FIFO state
     fn = all_specs()["minhash_md5_neardup"].build
     fn(spark, SF_SMOKE).write.format("noop").mode("overwrite").save()
     jsc = spark.sparkContext._jsc.sc()
