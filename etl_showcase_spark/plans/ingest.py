@@ -153,8 +153,13 @@ def partitioned_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the reference's whole extract+transform dataflow
 # (dags/weather_etl_pipeline.py:45-92 → spark_jobs/transform_weather.py:64-113)
 # as one distributed plan. The fetch is the deterministic in-container
-# stub; no SQL oracle (an HTTP source isn't SQL-expressible) → the
-# driver's rows-only check applies.
+# stub (proven over real loopback sockets in tests/test_sources.py).
+# HASH-CHECKED since round 6: the stub payload is a pure integer
+# formula of the url string (polynomial hash → shifted residues in
+# tenths), so DuckDB replays fetch → parse → flatten → aggregate from
+# the nation table alone. The aggregates quantize the parsed doubles
+# back to EXACT integer tenths (the payload's own grid) so sums and
+# the half-up average are order-independent and engine-identical.
 # ---------------------------------------------------------------------------
 
 
@@ -177,12 +182,28 @@ def _weather_rollup(raw: DataFrame) -> DataFrame:
             )
         ).alias("d"),
     ).select("city", "extracted_at", "d.time", "d.tmax", "d.tmin", "d.prec")
+    # the payload's values live on a 0.1 grid: recover the exact integer
+    # tenths (floor(x*10 + 0.5) absorbs the double-parse epsilon), so
+    # the per-city sum is exact and the 1-decimal average is a single
+    # half-up integer rounding — bit-identical in any engine, in any
+    # aggregation order
+    tenths = flat.select(
+        "city",
+        "extracted_at",
+        F.floor(F.col("tmax") * 10 + F.lit(0.5)).cast("long").alias("t10"),
+        F.floor(F.col("prec") * 10 + F.lit(0.5)).cast("long").alias("p10"),
+    )
     return (
-        flat.groupBy("city")
+        tenths.groupBy("city")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("tmax"), 1).alias("avg_tmax"),
-            F.round(F.sum("prec"), 1).alias("total_prec"),
+            (
+                F.floor(
+                    F.sum("t10").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+                )
+                / 10.0
+            ).alias("avg_tmax"),
+            (F.sum("p10").cast("double") / 10.0).alias("total_prec"),
             F.max("extracted_at").alias("last_extracted_at"),
         )
         .orderBy("city")
@@ -192,7 +213,45 @@ def _weather_rollup(raw: DataFrame) -> DataFrame:
 _ENDPOINT_PREFIX = "https://api.example.com/v1/forecast?city="
 
 
-@register("http_fanout_weather", oracle=None, tags=("S3", "A1", "A2", "A3"))
+def _http_weather_oracle() -> str:
+    """DuckDB replay of the whole HTTP dataflow: url construction, the
+    stub fetcher's polynomial url hash (sources/io.py:_make_fake_fetch
+    — (h*1000003 + ord(ch)) & 0x7FFFFFFF, i.e. mod 2^31), the shifted
+    integer-tenths daily values, and the same flatten + exact-tenths
+    aggregate as _weather_rollup."""
+    t_days = ", ".join(f"((h >> {s}) % 400) - 100" for s in (1, 3, 5))
+    p_days = ", ".join(f"(h >> {s}) % 250" for s in (2, 4, 6))
+    return f"""
+WITH u AS (
+  SELECT n_name AS city, '{_ENDPOINT_PREFIX}' || n_name AS url FROM nation
+),
+hh AS (
+  SELECT city,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, LENGTH(url) + 1),
+                            i -> CAST(ascii(substr(url, i, 1)) AS BIGINT))),
+           (a, c) -> (a * 1000003 + c) % 2147483648) AS h
+  FROM u
+),
+days AS (
+  SELECT city,
+         UNNEST([{t_days}]) AS t10,
+         UNNEST([{p_days}]) AS p10
+  FROM hh
+)
+SELECT city,
+       COUNT(*) AS n_days,
+       FLOOR(CAST(SUM(t10) AS DOUBLE) / COUNT(*) + 0.5) / 10.0 AS avg_tmax,
+       CAST(SUM(p10) AS DOUBLE) / 10.0 AS total_prec,
+       '2026-01-04T00:00:00+00:00' AS last_extracted_at
+FROM days
+GROUP BY city
+ORDER BY city
+"""
+
+
+@register("http_fanout_weather", oracle=_http_weather_oracle(), tags=("S3", "A1", "A2", "A3"))
 def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     endpoints = n.select(
@@ -201,7 +260,7 @@ def http_fanout_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _weather_rollup(http_fanout_source(endpoints))
 
 
-@register("http_fanout_pyds", oracle=None, tags=("S3", "A1", "A2", "A3"))
+@register("http_fanout_pyds", oracle=_http_weather_oracle(), tags=("S3", "A1", "A2", "A3"))
 def http_fanout_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 via the Spark 4 Python Data Source API: same endpoints, same
     payloads, same rollup as http_fanout_weather, but the fan-out is a

@@ -88,17 +88,11 @@ def _inv_simhash_neardup(spark, pdf):
 # tests/test_multimodal.py::test_png_decode_resize_matches_ppm_path.
 
 
-def _inv_http_fanout(spark, pdf):
-    # the mapInPandas source and the Spark 4 Python Data Source must
-    # produce the identical frame (the strongest available check for a
-    # source whose real-socket variant the sandbox forbids)
-    a = SPECS["http_fanout_weather"].build(spark, SF_ORACLE).toPandas()
-    b = SPECS["http_fanout_pyds"].build(spark, SF_ORACLE).toPandas()
-    key = sorted(a.columns)
-    a = a[key].sort_values(key).reset_index(drop=True)
-    b = b[key].sort_values(key).reset_index(drop=True)
-    assert a.equals(b), "mapInPandas and PyDS http fan-outs diverge"
-    assert len(pdf) == 25  # one row per stubbed city endpoint
+# http_fanout_weather / http_fanout_pyds are oracle-checked since
+# round 6 (full SQL replay of the stub fetch + rollup); the
+# mapInPandas-vs-PyDS frame equality lives in
+# tests/test_sources.py::test_http_pyds_matches_mapinpandas_path, and
+# the real-socket proof in test_http_fanout_over_real_loopback_sockets.
 
 
 def _inv_audit_timestamp_injection(spark, pdf):
@@ -134,13 +128,14 @@ def _inv_approx_top_terms(spark, pdf):
     assert sorted(got.values(), reverse=True) == top_counts
 
 
-def _inv_multimodal_wav_features(spark, pdf):
-    # real WAV decode: recompute every integer statistic independently
-    # from the doc_id waveform formula (operators/multimodal.py
-    # attach_wav_media) — the decoder must have parsed the actual
-    # little-endian PCM bytes to reproduce them
+def test_wav_features_match_waveform_formula(spark):
+    # multimodal_wav_features is oracle-checked since round 6, but this
+    # numpy recomputation stays: it proves the decoder parsed the actual
+    # little-endian PCM bytes (the oracle replays the FORMULA; this
+    # replays the formula against the BYTES-derived output independently)
     import numpy as np
 
+    pdf = SPECS["multimodal_wav_features"].build(spark, SF_ORACLE).toPandas()
     assert (pdf["sample_rate"] == 8000).all()
     for _, r in pdf.sample(n=min(50, len(pdf)), random_state=7).iterrows():
         did = int(r["doc_id"])
@@ -151,7 +146,7 @@ def _inv_multimodal_wav_features(spark, pdf):
         assert r["sample_sum"] == int(s.sum())
         assert r["peak"] == int(np.abs(s).max())
         assert r["zero_crossings"] == int(((s[:-1] < 0) != (s[1:] < 0)).sum())
-        assert abs(r["rms"] - round(float(np.sqrt((s * s).mean())), 6)) < 1e-9
+        assert r["rms"] == float(np.sqrt(int((s * s).sum()) / n))
 
 
 # The two cluster emissions are oracle-checked (DuckDB recursive-CTE
@@ -228,11 +223,8 @@ INVARIANTS = {
     "ann_ivf_topk": _inv_ann_ivf_topk,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
     "simhash_neardup": _inv_simhash_neardup,
-    "http_fanout_weather": _inv_http_fanout,
-    "http_fanout_pyds": _inv_http_fanout,
     "audit_timestamp_injection": _inv_audit_timestamp_injection,
     "approx_top_terms": _inv_approx_top_terms,
-    "multimodal_wav_features": _inv_multimodal_wav_features,
 }
 
 
