@@ -364,3 +364,164 @@ def pps_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_weighted_sample(d, "doc_id", "n_chars").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# L6/L2 entity resolution ([EXT] — blocked fuzzy record linkage, the
+# curation step that reconciles "the same thing spelled differently"
+# across catalogs; no reference analog). Classic two-stage shape:
+# (1) EXACT-dedup to one row per distinct name (the same
+# dedupe-before-fuzzy principle as embedding_neardup_clusters — fuzzy
+# work must never scale with duplicate volume), (2) BLOCK on the first
+# name token and verify candidates with exact Levenshtein distance —
+# both Spark and DuckDB implement the identical classic edit-distance
+# integer, so the whole match set is hash-checked. At 100 TB: the
+# distinct-name frame is vocabulary-sized, the block join is a keyed
+# shuffle (no all-pairs stage), and the O(len²) Levenshtein DP runs
+# only inside blocks. Blocking recall is the documented trade: names
+# differing in their first token never pair (multi-pass blocking on
+# other keys is the standard recall amplifier, same OR-amplification
+# idea as LSH tables).
+# ---------------------------------------------------------------------------
+
+_ER_MAX_DIST = 3
+
+_ER_ORACLE = f"""
+WITH names AS (
+  SELECT p_name, COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+  FROM part GROUP BY p_name
+),
+t AS (SELECT *, string_split(p_name, ' ')[1] AS blk FROM names)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
+       CAST(a.n_parts AS BIGINT) AS n_parts_a,
+       CAST(b.n_parts AS BIGINT) AS n_parts_b,
+       CAST(a.min_partkey AS BIGINT) AS canonical_key
+FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}
+"""
+
+
+@register("entity_resolution_part_names", oracle=_ER_ORACLE, tags=("L6", "L2", "J2"))
+def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_partkey").alias("min_partkey"),
+    )
+    t = names.withColumn("blk", F.split(F.col("p_name"), " ")[0])
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= _ER_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("edit_distance"),
+            F.col("a.n_parts").cast("long").alias("n_parts_a"),
+            F.col("b.n_parts").cast("long").alias("n_parts_b"),
+            F.col("a.min_partkey").cast("long").alias("canonical_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7 graph analytics: per-node triangle counts on the co-purchase
+# graph ([EXT] — parts appearing in the same order are linked; the
+# triangle count is the classic cohesion/community signal and THE
+# canonical "joins explode if you're naive" graph kernel). Spark runs
+# the DEGREE-ORDERED node-iterator: every edge is oriented from its
+# lower-(degree, id) endpoint to the higher one, wedges are enumerated
+# only at each edge's low-degree side, and a wedge closes iff the
+# oriented closing edge exists — bounding wedge fan-out by arboricity
+# (sum of min-degree² instead of max-degree²), the standard
+# MapReduce-era fix for power-law hubs. The oracle replays the naive
+# id-ordered 3-way self-join: the triangle SET is orientation-
+# independent, so hash equality proves the optimized enumeration
+# exact. At 100 TB: one distinct-edge shuffle, one degree join, one
+# keyed wedge join, one closing-edge join — no all-pairs stage.
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT v AS part_key, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY v
+"""
+
+
+@register("triangle_count_copurchase", oracle=_TRIANGLE_ORACLE, tags=("L7", "J2", "G1"))
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_persist
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        # total order: degree then id — ids are unique so ranks never tie
+        .select("node", (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rank"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("rank").alias("ru"))
+    dv = deg.select(F.col("node").alias("v"), F.col("rank").alias("rv"))
+    oriented = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ru", "rv").alias("rdst"),
+        )
+        .transform(tracked_persist)  # consumed as e1, e2 and the closing e3
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.rdst") < F.col("e2.rdst")),
+    ).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    e3 = oriented.alias("e3")
+    tri = wedges.join(
+        e3, (F.col("e3.src") == F.col("y")) & (F.col("e3.dst") == F.col("z"))
+    ).select("x", "y", "z")
+    nodes = (
+        tri.select(F.col("x").alias("part_key"))
+        .unionAll(tri.select(F.col("y").alias("part_key")))
+        .unionAll(tri.select(F.col("z").alias("part_key")))
+    )
+    return nodes.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -790,6 +790,20 @@ def trimmed_mean_sqnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # output. The oracle wraps the bit-exact LSH pair replay in the same
 # recursive-CTE transitive closure as neardup_cluster_canonical, so
 # the membership emission is hash-checked end to end.
+#
+# Round-6 scale fix: EXACT-DEDUP PRE-PASS. On a corpus with exact
+# duplicate vectors (the replica-lake stress measured alpha 0.90 at
+# 10× without it), every dup group of g copies is a g-clique in the
+# pair graph — quadratic edges that carry zero information. Identical
+# (nonzero) vectors have identical signatures, identical candidates
+# and identical cosines, so mining pairs over one representative per
+# distinct quantized vector and expanding members afterwards yields
+# PROVABLY identical clusters: the rep is the min vec_id of its dup
+# group, hence the component's min-rep label equals the min-member
+# label. Zero-norm vectors are excluded from merging (their cosine is
+# undefined, so the pair graph never connects them — the shortcut must
+# not either). The oracle still replays the FULL pair graph, so the
+# driver hash-check re-proves this equivalence every round.
 # ---------------------------------------------------------------------------
 
 
@@ -825,8 +839,31 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_neardup_pairs
 
     e = table(spark, sf_dir, "embeddings")
+    keyed = e.select(
+        "vec_id",
+        "embedding",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(quantize(F.col("embedding")), lambda x: x.cast("string"))
+            )
+        ).alias("__vkey"),
+        int_dot(quantize(F.col("embedding")), quantize(F.col("embedding"))).alias(
+            "__sq"
+        ),
+    ).withColumn(
+        # zero-norm vectors never verify any pair (cosine undefined):
+        # give each a unique key so the dedup shortcut can't merge them
+        "__vkey",
+        F.when(F.col("__sq") > 0, F.col("__vkey")).otherwise(
+            F.concat(F.lit("z"), F.col("vec_id").cast("string"))
+        ),
+    ).transform(tracked_persist)  # consumed by reps AND the expansion join
+    reps = keyed.groupBy("__vkey").agg(F.min("vec_id").alias("rep_id"))
+    rep_rows = e.join(
+        reps.select(F.col("rep_id").alias("vec_id")), "vec_id", "left_semi"
+    )
     pairs = lsh_neardup_pairs(
-        e,
+        rep_rows,
         "vec_id",
         "embedding",
         threshold=_ND_THRESH,
@@ -835,9 +872,12 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_ND_TABLES,
     )
     cc = connected_components(pairs, "id_a", "id_b")
-    labeled = e.select("vec_id").join(cc, e["vec_id"] == cc["id"], "left").select(
-        "vec_id",
-        F.coalesce("component", F.col("vec_id")).cast("bigint").alias("cluster_id"),
+    rep_label = reps.join(cc, reps["rep_id"] == cc["id"], "left").select(
+        "__vkey",
+        F.coalesce("component", F.col("rep_id")).cast("bigint").alias("cluster_id"),
+    )
+    labeled = keyed.select("vec_id", "__vkey").join(rep_label, "__vkey").select(
+        "vec_id", "cluster_id"
     )
     return labeled.select(
         "vec_id",
