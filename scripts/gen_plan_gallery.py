@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Regenerate the plan gallery (default PLANS_r05.md): the `explain('formatted')` capture of every
+"""Regenerate the plan gallery (default PLANS_r06.md): the `explain('formatted')` capture of every
 bench-headline query — committed so plan quality is reviewable as an
 artifact (pushed filters, pruned ReadSchema, broadcast dims, codegen
 spans), not just asserted by scripts/audit_plans.py's checks.
@@ -21,7 +21,7 @@ def main() -> None:
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_r05.md"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS_r06.md"
     )
     spark = get_spark(
         app_name="plan-gallery",
