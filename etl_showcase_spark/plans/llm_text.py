@@ -1263,3 +1263,56 @@ def doc_length_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("bigint").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 token-frequency profile ([EXT] — the integer-exact cousin of
+# unigram-LM quality filtering: curation pipelines score documents by
+# how "ordinary" their vocabulary is, and docs dominated by rare
+# tokens are disproportionately OCR noise / boilerplate / garbage).
+# Per document: mean corpus frequency of its tokens (ONE double
+# division of exact integer sums — a true log-prob LM would hinge on
+# libm ln() bit-parity across engines, so the formulation stays on
+# the integer side deliberately) and the rare-token ratio (tokens
+# whose corpus count <= threshold). At 100 TB: the term-count table is
+# vocabulary-sized (broadcastable), the join is token-keyed, and the
+# doc-level reduce is one keyed aggregation — the exact shape a
+# CCNet-style filter runs before training.
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_COUNT = 50
+
+_TOKEN_FREQ_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tc.c) AS BIGINT) AS freq_sum,
+       CAST(SUM(tc.c) AS DOUBLE) / COUNT(*) AS mean_token_corpus_freq,
+       CAST(COUNT(CASE WHEN tc.c <= {_RARE_MAX_COUNT} THEN 1 END) AS BIGINT)
+         AS n_rare_tokens,
+       CAST(COUNT(CASE WHEN tc.c <= {_RARE_MAX_COUNT} THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS rare_token_ratio
+FROM tok t JOIN tc ON t.term = tc.term
+GROUP BY t.doc_id
+"""
+
+
+@register("token_frequency_profile", oracle=_TOKEN_FREQ_ORACLE, tags=("L4", "L6"))
+def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    joined = tok.join(F.broadcast(tc), "term")
+    rare = F.when(F.col("c") <= _RARE_MAX_COUNT, 1)
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("c").cast("long").alias("freq_sum"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+            "mean_token_corpus_freq"
+        ),
+        F.count(rare).cast("long").alias("n_rare_tokens"),
+        (F.count(rare).cast("double") / F.count(F.lit(1))).alias("rare_token_ratio"),
+    )
