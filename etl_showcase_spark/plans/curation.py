@@ -443,8 +443,14 @@ def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MapReduce-era fix for power-law hubs. The oracle replays the naive
 # id-ordered 3-way self-join: the triangle SET is orientation-
 # independent, so hash equality proves the optimized enumeration
-# exact. At 100 TB: one distinct-edge shuffle, one degree join, one
-# keyed wedge join, one closing-edge join — no all-pairs stage.
+# exact. At 100 TB: edges come from a per-basket pair expansion (one
+# groupBy shuffle — baskets are small, so the in-array pair generation
+# is O(k²) with tiny k, never a fact×fact join), and triangles come
+# from the EDGE-ITERATOR: out-neighbor arrays are intersected per
+# oriented edge, so the wedge set is never materialized or shuffled —
+# the classic wedge-join blowup (sum of out-degree² rows through an
+# exchange) becomes an in-memory array_intersect per edge, with array
+# sizes bounded by the degree ordering (≈ sqrt(2m) worst case).
 # ---------------------------------------------------------------------------
 
 _TRIANGLE_ORACLE = """
@@ -474,14 +480,20 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..caching import tracked_persist
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # distinct co-purchase edges via per-basket pair expansion: ONE
+    # groupBy shuffle; the k² pair generation runs inside each small
+    # sorted basket array (k ≈ items per order), never as a fact-table
+    # self-join
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
+    )
     e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.u", "p.v")
         .dropDuplicates(["u", "v"])
     )
     deg = (
@@ -500,28 +512,29 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.greatest("ru", "rv").alias("rdst"),
         )
-        .transform(tracked_persist)  # consumed as e1, e2 and the closing e3
+        .transform(tracked_persist)  # consumed by adjacency AND the edge scan
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.rdst") < F.col("e2.rdst")),
-    ).select(
-        F.col("e1.src").alias("x"),
-        F.col("e1.dst").alias("y"),
-        F.col("e2.dst").alias("z"),
+    # edge-iterator: triangles through oriented edge (u, v) are exactly
+    # |N+(u) ∩ N+(v)| — each triangle {r1<r2<r3} is found once, at its
+    # (r1, r2) base edge
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    au = adj.select(F.col("src").alias("u"), F.col("nb").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nb").alias("nv"))
+    common = F.array_intersect(
+        F.col("nu"), F.coalesce(F.col("nv"), F.array().cast("array<bigint>"))
     )
-    e3 = oriented.alias("e3")
-    tri = wedges.join(
-        e3, (F.col("e3.src") == F.col("y")) & (F.col("e3.dst") == F.col("z"))
-    ).select("x", "y", "z")
+    et = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v", "left")  # a sink node has no out-neighbor row
+        .select("u", "v", common.alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    # each triangle (u, v, w) credits all three corners
     nodes = (
-        tri.select(F.col("x").alias("part_key"))
-        .unionAll(tri.select(F.col("y").alias("part_key")))
-        .unionAll(tri.select(F.col("z").alias("part_key")))
+        et.select(F.col("u").alias("part_key"), F.size("ws").cast("long").alias("n"))
+        .unionAll(et.select(F.col("v").alias("part_key"), F.size("ws").cast("long")))
+        .unionAll(et.select(F.explode("ws").alias("part_key"), F.lit(1).cast("long")))
     )
-    return nodes.groupBy("part_key").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    return nodes.groupBy("part_key").agg(F.sum("n").cast("long").alias("n_triangles"))
