@@ -378,10 +378,10 @@ def pps_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer, so the whole match set is hash-checked. At 100 TB: the
 # distinct-name frame is vocabulary-sized, the block join is a keyed
 # shuffle (no all-pairs stage), and the O(len²) Levenshtein DP runs
-# only inside blocks. Blocking recall is the documented trade: names
-# differing in their first token never pair (multi-pass blocking on
-# other keys is the standard recall amplifier, same OR-amplification
-# idea as LSH tables).
+# only inside blocks. MULTI-PASS blocking (first token AND last token,
+# candidates unioned then deduped) is the recall amplifier — the same
+# OR-amplification idea as LSH tables: a true match is missed only if
+# the misspelling corrupts BOTH its first and last token.
 # ---------------------------------------------------------------------------
 
 _ER_MAX_DIST = 3
@@ -391,41 +391,84 @@ WITH names AS (
   SELECT p_name, COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
   FROM part GROUP BY p_name
 ),
-t AS (SELECT *, string_split(p_name, ' ')[1] AS blk FROM names)
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance,
-       CAST(a.n_parts AS BIGINT) AS n_parts_a,
-       CAST(b.n_parts AS BIGINT) AS n_parts_b,
-       CAST(a.min_partkey AS BIGINT) AS canonical_key
-FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_DIST}
+t AS (SELECT p_name, string_split(p_name, ' ') AS toks FROM names),
+keys AS (
+  SELECT p_name, 'first' AS bt, toks[1] AS blk FROM t
+  UNION ALL
+  SELECT p_name, 'last', toks[LEN(toks)] FROM t
+),
+cand AS (
+  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+  FROM keys a JOIN keys b
+    ON a.bt = b.bt AND a.blk = b.blk AND a.p_name < b.p_name
+)
+SELECT c.name_a, c.name_b,
+       CAST(levenshtein(c.name_a, c.name_b) AS INT) AS edit_distance,
+       CAST(x.n_parts AS BIGINT) AS n_parts_a,
+       CAST(y.n_parts AS BIGINT) AS n_parts_b,
+       CAST(x.min_partkey AS BIGINT) AS canonical_key
+FROM cand c
+JOIN names x ON c.name_a = x.p_name
+JOIN names y ON c.name_b = y.p_name
+WHERE levenshtein(c.name_a, c.name_b) <= {_ER_MAX_DIST}
 """
 
 
 @register("entity_resolution_part_names", oracle=_ER_ORACLE, tags=("L6", "L2", "J2"))
 def entity_resolution_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_persist
+
     p = table(spark, sf_dir, "part")
     names = p.groupBy("p_name").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.min("p_partkey").alias("min_partkey"),
-    )
-    t = names.withColumn("blk", F.split(F.col("p_name"), " ")[0])
-    a, b = t.alias("a"), t.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
+    ).transform(tracked_persist)  # consumed by the key explode + 2 rejoins
+    toks = F.split(F.col("p_name"), " ")
+    keys = names.select(
+        "p_name",
+        F.explode(
+            F.array(
+                F.struct(F.lit("first").alias("bt"), toks[0].alias("blk")),
+                F.struct(
+                    F.lit("last").alias("bt"),
+                    F.element_at(toks, F.size(toks)).alias("blk"),
+                ),
+            )
+        ).alias("k"),
+    ).select("p_name", "k.bt", "k.blk")
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col("a.bt") == F.col("b.bt"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.p_name") < F.col("b.p_name")),
         )
-        .filter(dist <= _ER_MAX_DIST)
         .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    x = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.col("min_partkey").alias("canonical_key"),
+    )
+    y = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    return (
+        cand.filter(dist <= _ER_MAX_DIST)
+        .join(F.broadcast(x), "name_a")
+        .join(F.broadcast(y), "name_b")
+        .select(
+            "name_a",
+            "name_b",
             dist.cast("int").alias("edit_distance"),
-            F.col("a.n_parts").cast("long").alias("n_parts_a"),
-            F.col("b.n_parts").cast("long").alias("n_parts_b"),
-            F.col("a.min_partkey").cast("long").alias("canonical_key"),
+            F.col("n_parts_a").cast("long").alias("n_parts_a"),
+            F.col("n_parts_b").cast("long").alias("n_parts_b"),
+            F.col("canonical_key").cast("long").alias("canonical_key"),
         )
     )
 
@@ -538,3 +581,105 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(et.select(F.explode("ws").alias("part_key"), F.lit(1).cast("long")))
     )
     return nodes.groupBy("part_key").agg(F.sum("n").cast("long").alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# L7 graph analytics, part 2: per-EDGE triangle support on the same
+# co-purchase graph ([EXT] — the k-truss building block: an edge's
+# support is how many triangles contain it, and iteratively peeling
+# edges with support < k-2 yields the k-truss community core). Same
+# edge-iterator enumeration as triangle_count_copurchase, but each
+# found triangle (u, v, w) credits its THREE edges — normalized back
+# to id order — instead of its corners. The oracle recounts edge
+# support from the naive 3-way-join triangle set. Output is capped to
+# edges with support >= the 95th-percentile-ish floor via a plain
+# threshold (support >= 8) so the row set stays bounded and the query
+# doubles as the "strong-tie subgraph" extraction a curation pipeline
+# actually materializes.
+# ---------------------------------------------------------------------------
+
+_EDGE_SUPPORT_MIN = 8
+
+_EDGE_SUPPORT_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_edges AS (
+  SELECT x AS u, y AS v FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+)
+SELECT u AS part_a, v AS part_b, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM tri_edges
+GROUP BY u, v
+HAVING COUNT(*) >= {_EDGE_SUPPORT_MIN}
+"""
+
+
+@register("edge_triangle_support", oracle=_EDGE_SUPPORT_ORACLE, tags=("L7", "J2", "G6"))
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_persist
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
+    )
+    e0 = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .select("p.u", "p.v")
+        .dropDuplicates(["u", "v"])
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select("node", (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("rank"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("rank").alias("ru"))
+    dv = deg.select(F.col("node").alias("v"), F.col("rank").alias("rv"))
+    oriented = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .transform(tracked_persist)
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    au = adj.select(F.col("src").alias("u"), F.col("nb").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nb").alias("nv"))
+    common = F.array_intersect(
+        F.col("nu"), F.coalesce(F.col("nv"), F.array().cast("array<bigint>"))
+    )
+    tri = (
+        oriented.select(F.col("src").alias("tu"), F.col("dst").alias("tv"))
+        .join(au, F.col("tu") == F.col("u"))
+        .join(av, F.col("tv") == F.col("v"), "left")
+        .select("tu", "tv", F.explode(common).alias("tw"))
+    )
+    # credit all three edges, normalized to id order (oracle's spelling)
+    lo, hi = F.least, F.greatest
+    tri_edges = (
+        tri.select(lo("tu", "tv").alias("pa"), hi("tu", "tv").alias("pb"))
+        .unionAll(tri.select(lo("tu", "tw").alias("pa"), hi("tu", "tw").alias("pb")))
+        .unionAll(tri.select(lo("tv", "tw").alias("pa"), hi("tv", "tw").alias("pb")))
+    )
+    return (
+        tri_edges.groupBy(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .filter(F.col("n_triangles") >= _EDGE_SUPPORT_MIN)
+    )
