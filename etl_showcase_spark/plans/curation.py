@@ -624,10 +624,10 @@ HAVING COUNT(*) >= {_EDGE_SUPPORT_MIN}
 """
 
 
-@register("edge_triangle_support", oracle=_EDGE_SUPPORT_ORACLE, tags=("L7", "J2", "G6"))
-def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..caching import tracked_persist
-
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges (u < v by id) via per-basket pair
+    expansion — one groupBy shuffle, O(k²) in-array pair generation per
+    small basket, never a fact×fact self-join."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
@@ -636,11 +636,19 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(parts, (x, i) -> "
         "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
     )
-    e0 = (
+    return (
         baskets.select(F.explode(pair_expr).alias("p"))
         .select("p.u", "p.v")
         .dropDuplicates(["u", "v"])
     )
+
+
+def _edge_triangle_support(e0: DataFrame) -> DataFrame:
+    """Per-edge triangle support (u, v, s) for edges in >= 1 triangle,
+    via the degree-ordered edge-iterator (see triangle_count_copurchase
+    — wedges are array intersections, never a shuffled wedge join)."""
+    from ..caching import tracked_persist
+
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
@@ -678,8 +686,84 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(lo("tu", "tw").alias("pa"), hi("tu", "tw").alias("pb")))
         .unionAll(tri.select(lo("tv", "tw").alias("pa"), hi("tv", "tw").alias("pb")))
     )
-    return (
-        tri_edges.groupBy(F.col("pa").alias("part_a"), F.col("pb").alias("part_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-        .filter(F.col("n_triangles") >= _EDGE_SUPPORT_MIN)
+    return tri_edges.groupBy(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("s"))
+
+
+@register("edge_triangle_support", oracle=_EDGE_SUPPORT_ORACLE, tags=("L7", "J2", "G6"))
+def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _edge_triangle_support(_copurchase_edges(spark, sf_dir))
+    return sup.select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("s").alias("n_triangles"),
+    ).filter(F.col("n_triangles") >= _EDGE_SUPPORT_MIN)
+
+
+# ---------------------------------------------------------------------------
+# L7 graph analytics, part 3: k-truss core extraction ([EXT] — the
+# community-core peel: iteratively delete edges in fewer than k-2
+# triangles until stable; what survives is the densely-knit co-purchase
+# core that basket-analysis and fraud-ring pipelines actually keep).
+# The registered query runs a FIXED number of peel rounds (6) so the
+# oracle can UNROLL them — six support→filter blocks, the same
+# fixed-iteration discipline as the PageRank oracle — while Spark runs
+# the identical six rounds with the edge-iterator support kernel and a
+# localCheckpoint between rounds (truncating the lineage the way every
+# iterative Spark algorithm must). On this corpus the peel reaches its
+# fixpoint in 4 rounds (asserted in tests), so the fixed-round result
+# IS the k-truss; on a corpus that needs more rounds the query is the
+# documented 6-round peel — rerun with more rounds for the fixpoint.
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 12  # edge survives iff in >= k-2 = 10 triangles
+_TRUSS_ROUNDS = 6
+
+
+def _ktruss_oracle() -> str:
+    blocks = []
+    prev = "e0"
+    for r in range(_TRUSS_ROUNDS):
+        # AS MATERIALIZED is load-bearing: each round references the
+        # previous edge set three times, so inlined CTEs would expand
+        # 3^rounds lineitem scans
+        blocks.append(f"""
+tri{r} AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+sup{r} AS MATERIALIZED (
+  SELECT u, v, COUNT(*) AS s FROM (
+    SELECT x AS u, y AS v FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r}
+  ) GROUP BY u, v
+),
+e{r + 1} AS MATERIALIZED (SELECT u, v FROM sup{r} WHERE s >= {_TRUSS_K - 2})""")
+        prev = f"e{r + 1}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{",".join(blocks)}
+SELECT u AS part_a, v AS part_b, CAST(s AS BIGINT) AS support
+FROM sup{_TRUSS_ROUNDS - 1} WHERE s >= {_TRUSS_K - 2}
+"""
+
+
+@register("ktruss_core_copurchase", oracle=_ktruss_oracle(), tags=("L7", "J2", "G6"))
+def ktruss_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    sup = None
+    for _ in range(_TRUSS_ROUNDS):
+        sup = _edge_triangle_support(e).localCheckpoint()
+        e = sup.filter(F.col("s") >= _TRUSS_K - 2).select("u", "v")
+    return sup.filter(F.col("s") >= _TRUSS_K - 2).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("s").alias("support"),
     )

@@ -50,3 +50,25 @@ def test_fifo_cap_evicts_oldest(spark):
     assert _storage_count(spark) <= caching._CAP
     release_all()
     assert _storage_count(spark) == 0
+
+
+def test_ktruss_fixed_rounds_reach_fixpoint(spark):
+    """On this corpus the 6-round peel IS the k-truss: one more support
+    pass over the returned core must drop nothing."""
+    from etl_showcase_spark.plans.curation import (
+        _TRUSS_K,
+        _edge_triangle_support,
+        ktruss_core_copurchase,
+    )
+
+    from .conftest import SF_ORACLE
+
+    core = ktruss_core_copurchase(spark, SF_ORACLE)
+    e = core.select(
+        F.col("part_a").alias("u"), F.col("part_b").alias("v")
+    )
+    resup = _edge_triangle_support(e)
+    n_core = core.count()
+    n_stable = resup.filter(F.col("s") >= _TRUSS_K - 2).count()
+    assert n_core > 0
+    assert n_stable == n_core, "6-round peel had not converged on the testdata"
