@@ -758,3 +758,59 @@ def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_sum"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S9/S4 schema evolution ([EXT] — every long-lived lake hits it: a new
+# pipeline version starts writing an extra column, and readers must
+# keep working across the old and new file generations). Two parquet
+# generations land in one dataset — the 1995-96 files WITHOUT
+# o_orderpriority, the 1997+ files WITH it — and the read uses
+# mergeSchema so Spark's parquet source unions the footers into one
+# evolved schema (old files surface NULL for the new column). The
+# oracle recomputes the same relation from the original table with the
+# generation rule inlined. At 100 TB: schema merge happens on file
+# FOOTERS at planning time, the data itself is never rewritten — the
+# exact reason mergeSchema (not a backfill) is the evolution story.
+# ---------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1997
+                  THEN o_orderpriority END) AS n_with_priority,
+       MIN(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1997
+                THEN o_orderpriority END) AS first_priority
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+@register("schema_evolution_mergeread", oracle=_EVOLUTION_ORACLE, tags=("S9", "S4", "P4"))
+def schema_evolution_mergeread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        dec2("o_totalprice").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    path = tempfile.mkdtemp(prefix="evolving_lake_")
+    # generation 1: the original writer never knew about priority
+    o.filter(F.year("o_orderdate") < 1997).drop("o_orderpriority").write.mode(
+        "append"
+    ).parquet(path)
+    # generation 2: the upgraded writer adds the column
+    o.filter(F.year("o_orderdate") >= 1997).write.mode("append").parquet(path)
+    evolved = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        evolved.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").cast("double").alias("revenue"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.min("o_orderpriority").alias("first_priority"),
+        )
+        .orderBy("order_year")
+    )
