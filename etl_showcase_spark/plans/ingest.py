@@ -814,3 +814,61 @@ def schema_evolution_mergeread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4/Q3 dynamic partition overwrite ([EXT] — INSERT OVERWRITE semantics
+# done right at scale: the default "static" overwrite mode would WIPE
+# the whole table before writing, so re-running one day's batch deletes
+# every other day; dynamic mode replaces ONLY the partitions present in
+# the incoming frame). A year-partitioned orders table gets its 1997
+# partition re-published with a 5% price bump via a dynamic-mode
+# overwrite — every other year's files are untouched (pytest asserts
+# file-identity on an unrelated partition), and the read-back must show
+# exactly one bumped year. The decimal bump is exact (price has 2
+# decimals, ×1.05 fits DECIMAL(14,4)), so the oracle replays the final
+# table state from the original parquet.
+# ---------------------------------------------------------------------------
+
+_DYN_OVERWRITE_ORACLE = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                     * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(14,4))
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4))
+           END) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+@register("dynamic_partition_overwrite", oracle=_DYN_OVERWRITE_ORACLE, tags=("S4", "Q3", "S8"))
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        dec2("o_totalprice").cast("decimal(14,4)").alias("total_price"),
+        F.year(F.col("o_orderdate").cast("date")).cast("long").alias("order_year"),
+    )
+    path = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    bumped = o.filter(F.col("order_year") == 1997).withColumn(
+        "total_price",
+        (F.col("total_price") * F.lit(1.05).cast("decimal(4,2)")).cast(
+            "decimal(14,4)"
+        ),
+    )
+    # dynamic mode: ONLY the 1997 partition directory is replaced
+    bumped.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_price").cast("double").alias("revenue"),
+        )
+        .orderBy("order_year")
+    )

@@ -428,3 +428,32 @@ def test_http_fanout_over_real_loopback_sockets(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_dynamic_overwrite_touches_only_incoming_partitions(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming frame — file identity of every other
+    partition is preserved (static mode would wipe the whole table)."""
+    import glob
+    import os
+
+    path = str(tmp_path / "dyn")
+    df = spark.createDataFrame(
+        [(1, 10.0, 1995), (2, 20.0, 1996), (3, 30.0, 1997)], ["k", "v", "yr"]
+    )
+    df.write.mode("overwrite").partitionBy("yr").parquet(path)
+
+    def files(yr):
+        return sorted(
+            (f, os.path.getmtime(f))
+            for f in glob.glob(f"{path}/yr={yr}/*.parquet")
+        )
+
+    before_95, before_96 = files(1995), files(1996)
+    upd = spark.createDataFrame([(3, 99.0, 1997)], ["k", "v", "yr"])
+    upd.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("yr").parquet(path)
+    assert files(1995) == before_95 and files(1996) == before_96
+    rows = {(r.k, r.v, r.yr) for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, 10.0, 1995), (2, 20.0, 1996), (3, 99.0, 1997)}
