@@ -1316,3 +1316,53 @@ def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(rare).cast("long").alias("n_rare_tokens"),
         (F.count(rare).cast("double") / F.count(F.lit(1))).alias("rare_token_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 curation decision matrix ([EXT] — the pipeline's FINAL select:
+# every upstream signal joined per document into one keep/drop verdict
+# with a reason code, which is exactly the relation a data team ships
+# and audits). Composes two independently-oracle-checked signals —
+# the Gopher-style quality gate and the star-edge near-dup canonical
+# flag — by doc_id; the oracle nests both signal oracles as CTEs, so
+# the composition is hash-checked end to end on top of already-proven
+# parts. At 100 TB: each signal is its own bounded-shuffle pipeline
+# and the final join is doc-keyed — signals compute once, decisions
+# are a cheap last join, the same layering every curation DAG uses.
+# ---------------------------------------------------------------------------
+
+_DECISION_ORACLE = f"""
+WITH g AS ({_GOPHER_ORACLE}),
+c AS ({_CLUSTER_ORACLE})
+SELECT g.doc_id,
+       CAST(g.keep AS INT) AS quality_keep,
+       CAST(c.is_canonical AS INT) AS dedup_keep,
+       CAST(g.keep = 1 AND c.is_canonical AS INT) AS keep,
+       CASE WHEN g.keep = 0 AND NOT c.is_canonical THEN 'quality+duplicate'
+            WHEN g.keep = 0 THEN 'quality'
+            WHEN NOT c.is_canonical THEN 'duplicate'
+            ELSE 'keep' END AS decision
+FROM g JOIN c ON g.doc_id = c.doc_id
+"""
+
+
+@register("curation_decision_matrix", oracle=_DECISION_ORACLE, tags=("L6", "L4", "L2"))
+def curation_decision_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    quality = d.select("doc_id", flags["keep"].alias("quality_keep"))
+    dedup = _star_edge_cluster_membership(spark, sf_dir).select(
+        "doc_id", F.col("is_canonical").cast("int").alias("dedup_keep")
+    )
+    q, dd = F.col("quality_keep"), F.col("dedup_keep")
+    return quality.join(dedup, "doc_id").select(
+        "doc_id",
+        q.cast("int").alias("quality_keep"),
+        dd.cast("int").alias("dedup_keep"),
+        ((q == 1) & (dd == 1)).cast("int").alias("keep"),
+        F.when((q == 0) & (dd == 0), "quality+duplicate")
+        .when(q == 0, "quality")
+        .when(dd == 0, "duplicate")
+        .otherwise("keep")
+        .alias("decision"),
+    )
