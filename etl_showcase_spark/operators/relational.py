@@ -300,6 +300,27 @@ def with_global_ntile(
     broadcast; all parallel. The input is consumed twice (counts +
     rank), so it is persisted here.
     """
+    ranked = _with_global_rank(df, order)
+    # NTILE's exact rule in pure integer `div` arithmetic (CASE is
+    # lazy, so the ELSE's div-by-base never evaluates when base=0,
+    # i.e. n < n_tiles — the WHEN then covers every rank)
+    t = int(n_tiles)
+    tile = F.expr(
+        f"CAST(CASE WHEN __rank <= (__n % {t}) * ((__n div {t}) + 1) "
+        f"THEN (__rank - 1) div ((__n div {t}) + 1) + 1 "
+        f"ELSE (__n % {t}) "
+        f"  + (__rank - (__n % {t}) * ((__n div {t}) + 1) - 1) div (__n div {t}) + 1 "
+        f"END AS INT)"
+    )
+    return ranked.withColumn(out_col, tile).drop("__n", "__rank")
+
+
+def _with_global_rank(df: DataFrame, order: Sequence[Column]) -> DataFrame:
+    """Range-partition + prefix-offset global ROW_NUMBER: adds
+    ``__rank`` (1-based bigint over the total order) and ``__n``
+    (total row count) without a single-reducer sort. The only serial
+    step is the prefix-sum over per-partition counts — broadcast-sized
+    regardless of data volume."""
     ranked = (
         df.repartitionByRange(*order)
         .withColumn("__pid", F.spark_partition_id())
@@ -315,20 +336,21 @@ def with_global_ntile(
         F.sum("__cnt").over(Window.partitionBy()).alias("__n"),
     )
     local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
-    # NTILE's exact rule in pure integer `div` arithmetic (CASE is
-    # lazy, so the ELSE's div-by-base never evaluates when base=0,
-    # i.e. n < n_tiles — the WHEN then covers every rank)
-    t = int(n_tiles)
-    tile = F.expr(
-        f"CAST(CASE WHEN __rank <= (__n % {t}) * ((__n div {t}) + 1) "
-        f"THEN (__rank - 1) div ((__n div {t}) + 1) + 1 "
-        f"ELSE (__n % {t}) "
-        f"  + (__rank - (__n % {t}) * ((__n div {t}) + 1) - 1) div (__n div {t}) + 1 "
-        f"END AS INT)"
-    )
     return (
         ranked.join(F.broadcast(offs), "__pid")
         .withColumn("__rank", (F.col("__off") + local).cast("bigint"))
-        .withColumn(out_col, tile)
-        .drop("__pid", "__off", "__n", "__rank")
+        .drop("__pid", "__off")
+    )
+
+
+def with_global_row_number(
+    df: DataFrame, order: Sequence[Column], out_col: str
+) -> DataFrame:
+    """Global ROW_NUMBER() over a total order, distributed (the dense
+    re-ID / vocab-building primitive). Same contract as
+    with_global_ntile: callers must make ``order`` a total order."""
+    return (
+        _with_global_rank(df, order)
+        .withColumnRenamed("__rank", out_col)
+        .drop("__n")
     )

@@ -767,3 +767,279 @@ def ktruss_core_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("part_b"),
         F.col("s").alias("support"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L7 graph analytics, part 4: degree assortativity of the co-purchase
+# graph ([EXT] — the one-number mixing summary: do high-degree parts
+# co-occur with other hubs (r > 0) or with the periphery (r < 0)?
+# Newman's r is the Pearson correlation of endpoint degrees over all
+# directed edge ends). Degrees are exact integers, all five moments
+# accumulate as exact BIGINT sums, and by end-symmetry Σx=Σy and
+# Σx²=Σy², so r reduces to (n·Σxy − Σx²)/(n·Σx² − (Σx)²) — computed
+# as ONE double expression of exact integer sums, spelled identically
+# in both engines (the pearson_corr_exact recipe, sqrt-free). At
+# 100 TB: edges from the per-basket expansion (one shuffle), the
+# degree join is node-keyed, the reduce is a single global agg row.
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY node
+),
+ends AS (SELECT u AS x, v AS y FROM e0 UNION ALL SELECT v, u FROM e0),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dx.d) AS BIGINT) AS sx,
+         CAST(SUM(dx.d * dy.d) AS BIGINT) AS sxy,
+         CAST(SUM(dx.d * dx.d) AS BIGINT) AS sxx
+  FROM ends e
+  JOIN deg dx ON e.x = dx.node
+  JOIN deg dy ON e.y = dy.node
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       sx AS sum_deg, sxy AS sum_prod, sxx AS sum_sq,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+FROM m
+"""
+
+
+@register("copurchase_degree_assortativity", oracle=_ASSORT_ORACLE, tags=("L7", "G8", "J2"))
+def copurchase_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_persist
+
+    e0 = _copurchase_edges(spark, sf_dir).transform(tracked_persist)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ends = e0.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e0.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    m = (
+        ends.join(dx, "x")
+        .join(dy, "y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dx").cast("long").alias("sx"),
+            F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, sxyd, sxxd = (F.col(c).cast("double") for c in ("sx", "sxy", "sxx"))
+    return m.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        F.col("sx").alias("sum_deg"),
+        F.col("sxy").alias("sum_prod"),
+        F.col("sxx").alias("sum_sq"),
+        ((nd * sxyd - sxd * sxd) / (nd * sxxd - sxd * sxd)).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7 graph analytics, part 5: local clustering coefficient ([EXT] —
+# the per-node closure ratio triangles(v) / C(deg(v), 2), the standard
+# "how clique-like is this part's neighborhood" signal next to the
+# raw triangle count). Reuses the degree-ordered edge-iterator for
+# per-node triangle counts (never a wedge join) and the exact integer
+# degree; the coefficient is ONE double division of exact integers —
+# 2·tri / (deg·(deg−1)) — spelled identically in both engines. Nodes
+# with deg < 2 have no wedges and are excluded (the division would be
+# 0/0). At 100 TB: same cost envelope as triangle_count_copurchase
+# plus one node-keyed join.
+# ---------------------------------------------------------------------------
+
+_CLUSTCOEF_ORACLE = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tc AS (
+  SELECT v, COUNT(*) AS t
+  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY v
+)
+SELECT d.node AS part_key,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
+         / (CAST(d.d AS DOUBLE) * CAST(d.d - 1 AS DOUBLE))
+         AS clustering_coefficient
+FROM deg d LEFT JOIN tc ON d.node = tc.v
+WHERE d.d >= 2
+"""
+
+
+@register(
+    "clustering_coefficient_copurchase",
+    oracle=_CLUSTCOEF_ORACLE,
+    tags=("L7", "J2", "G8"),
+)
+def clustering_coefficient_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..caching import tracked_persist
+
+    e0 = _copurchase_edges(spark, sf_dir).transform(tracked_persist)
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # per-node triangle counts from the per-edge support: each edge's
+    # support credits both endpoints, and every triangle at a node lies
+    # on exactly two of its incident edges — tri(v) = Σ_e∋v s(e) / 2
+    sup = _edge_triangle_support(e0)
+    tc = (
+        sup.select(F.col("u").alias("v"), F.col("s"))
+        .unionAll(sup.select(F.col("v").alias("v"), F.col("s")))
+        .groupBy("v")
+        .agg((F.sum("s") / 2).cast("long").alias("t"))
+    )
+    dd = F.col("d").cast("double")
+    return (
+        deg.join(tc, deg["node"] == tc["v"], "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                (2 * F.coalesce(F.col("t"), F.lit(0))).cast("double")
+                / (dd * (dd - 1))
+            ).alias("clustering_coefficient"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8/L7 market-basket association rules ([EXT] — the classic
+# support/confidence/lift mining pass over co-purchase baskets; the
+# product-analytics twin of the co-purchase graph kernels). All three
+# measures stay exact: supports are integer basket counts (the pair
+# expansion is per-basket, one groupBy shuffle — never a fact×fact
+# join), confidence is ONE double division sup(ab)/sup(a), and lift
+# multiplies integers BEFORE its single division
+# (sup(ab)·N / (sup(a)·sup(b))) so both engines divide the same two
+# exact integers. Item supports are vocabulary-sized → broadcast
+# joins. Rules emitted in both directions for pairs clearing the
+# minimum support.
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_SUP = 3
+
+_RULES_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM b),
+item AS (SELECT l_partkey AS it, COUNT(*) AS sup FROM b GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS u, b2.l_partkey AS v, COUNT(*) AS sup_ab
+  FROM b a JOIN b b2
+    ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+  GROUP BY a.l_partkey, b2.l_partkey
+  HAVING COUNT(*) >= {_RULES_MIN_SUP}
+),
+rules AS (
+  SELECT u AS antecedent, v AS consequent, sup_ab FROM pair
+  UNION ALL
+  SELECT v, u, sup_ab FROM pair
+)
+SELECT r.antecedent, r.consequent,
+       CAST(r.sup_ab AS BIGINT) AS support_ab,
+       CAST(ia.sup AS BIGINT) AS support_a,
+       CAST(ic.sup AS BIGINT) AS support_b,
+       CAST(r.sup_ab AS DOUBLE) / CAST(ia.sup AS DOUBLE) AS confidence,
+       CAST(r.sup_ab * n.n_baskets AS DOUBLE)
+         / CAST(ia.sup * ic.sup AS DOUBLE) AS lift
+FROM rules r
+JOIN item ia ON r.antecedent = ia.it
+JOIN item ic ON r.consequent = ic.it
+CROSS JOIN n
+"""
+
+
+@register(
+    "association_rules_copurchase",
+    oracle=_RULES_ORACLE,
+    tags=("L8", "L7", "G1", "J1"),
+)
+def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    n = b.agg(F.count_distinct("l_orderkey").alias("n_baskets"))
+    item = b.groupBy(F.col("l_partkey").alias("it")).agg(
+        F.count(F.lit(1)).alias("sup")
+    )
+    # per-basket pair expansion (k² inside the small sorted basket
+    # array), then pair-keyed count — same shape as _copurchase_edges
+    # but keeping multiplicity
+    baskets = b.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
+    )
+    pair = (
+        baskets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= _RULES_MIN_SUP)
+    )
+    rules = pair.select(
+        F.col("u").alias("antecedent"), F.col("v").alias("consequent"), "sup_ab"
+    ).unionAll(
+        pair.select(
+            F.col("v").alias("antecedent"), F.col("u").alias("consequent"), "sup_ab"
+        )
+    )
+    ia = item.select(F.col("it").alias("antecedent"), F.col("sup").alias("sup_a"))
+    ic = item.select(F.col("it").alias("consequent"), F.col("sup").alias("sup_b"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup_ab").cast("long").alias("support_ab"),
+            F.col("sup_a").cast("long").alias("support_a"),
+            F.col("sup_b").cast("long").alias("support_b"),
+            (F.col("sup_ab").cast("double") / F.col("sup_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("sup_ab") * F.col("n_baskets")).cast("double")
+                / (F.col("sup_a") * F.col("sup_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -1366,3 +1366,165 @@ def curation_decision_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 unigram-LM surprisal scoring ([EXT] — the actual log-prob
+# document score that CCNet/RedPajama-style curation uses: documents
+# whose tokens are improbable under a corpus unigram LM are OCR noise,
+# boilerplate, or the wrong language. A float ln() spelling would
+# hinge on libm bit-parity across engines, so the surprisal is
+# QUANTIZED TO WHOLE BITS with pure integer machinery:
+# bits(t) = floor(log2(N div c(t))) = LENGTH(bin(N div c(t))) - 1,
+# exact and identical in Spark and DuckDB — the fixed-point LM
+# spelling promised in token_frequency_profile's design note. At
+# 100 TB: the term-count table is vocabulary-sized (broadcast), the
+# per-token join is token-keyed, and the doc reduce is one keyed agg —
+# identical shape to the CCNet perplexity filter, minus libm.
+# ---------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+n AS (SELECT SUM(c) AS total FROM tc),
+s AS (
+  SELECT term, LENGTH(bin(total // c)) - 1 AS bits FROM tc, n
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s.bits) AS BIGINT) AS total_bits,
+       CAST(MAX(s.bits) AS INT) AS max_bits,
+       CAST(SUM(s.bits) AS DOUBLE) / COUNT(*) AS bits_per_token
+FROM tok t JOIN s ON t.term = s.term
+GROUP BY t.doc_id
+"""
+
+
+@register("unigram_lm_surprisal", oracle=_SURPRISAL_ORACLE, tags=("L4", "L6"))
+def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tc.agg(F.sum("c").alias("total"))
+    # bits = floor(log2(N div c)) via the binary-representation length
+    # — integer-exact in both engines (N >= c >= 1 always)
+    bits = (F.length(F.bin(F.expr("total div c"))) - F.lit(1)).alias("bits")
+    s = tc.crossJoin(F.broadcast(total)).select("term", bits)
+    return (
+        tok.join(F.broadcast(s), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("total_bits"),
+            F.max("bits").cast("int").alias("max_bits"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 vocabulary building with dense token ids ([EXT] — the
+# tokenizer-prep step every training pipeline runs: distinct terms get
+# CONTIGUOUS integer ids ordered by (count DESC, term ASC). The naive
+# spelling is a partition-less ROW_NUMBER — a single-reducer global
+# sort, the classic scale killer — so this routes through
+# with_global_row_number (operators/relational.py): range-partition on
+# the total order, rank locally, lift by broadcast prefix offsets;
+# bit-identical to single-reducer ROW_NUMBER given the deterministic
+# tie-break. At 100 TB: the ranked frame is vocabulary-sized, every
+# step parallel, the only serial piece is the ~num_partitions-row
+# prefix sum.
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+),
+tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term)
+SELECT term,
+       CAST(c AS BIGINT) AS n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS BIGINT)
+         AS token_id
+FROM tc
+"""
+
+
+@register("vocab_dense_ids", oracle=_VOCAB_ORACLE, tags=("L4", "L6", "W3", "O1"))
+def vocab_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens(F.col("text"))).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = with_global_row_number(
+        tc, [F.desc("c"), F.asc("term")], "token_id"
+    )
+    return ranked.select(
+        "term",
+        F.col("c").cast("long").alias("n_occurrences"),
+        F.col("token_id").cast("long").alias("token_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 corpus-adaptive stopword discovery ([EXT] — quality signals
+# that ship with a FIXED stopword list break on new domains/languages;
+# the robust spelling derives the list from the corpus itself: a term
+# is a stopword iff it appears in >= 60% of documents. Document
+# frequency (not corpus count — that is token_frequency_profile's
+# axis) via a distinct doc×term agg, the threshold as a pure integer
+# cross-multiplication (docfreq*100 >= 60*ndocs — no float ratio), and
+# the per-doc stop-token share as ONE final double division. At
+# 100 TB: docfreq is vocabulary-sized (broadcast), the distinct agg
+# and doc reduce are the only shuffles.
+# ---------------------------------------------------------------------------
+
+_STOP_DF_PCT = 60
+
+_STOPWORD_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+),
+d AS (SELECT COUNT(*) AS ndocs FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS docfreq FROM tok GROUP BY term),
+stop AS (
+  SELECT term FROM df, d WHERE docfreq * 100 >= {_STOP_DF_PCT} * ndocs
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN s.term IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_stop_tokens,
+       CAST(COUNT(CASE WHEN s.term IS NOT NULL THEN 1 END) AS DOUBLE)
+         / COUNT(*) AS stop_ratio
+FROM tok t LEFT JOIN stop s ON t.term = s.term
+GROUP BY t.doc_id
+"""
+
+
+@register("adaptive_stopword_ratio", oracle=_STOPWORD_ORACLE, tags=("L4", "L6"))
+def adaptive_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens(F.col("text"))).alias("term"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("ndocs"))
+    docfreq = tok.dropDuplicates(["doc_id", "term"]).groupBy("term").agg(
+        F.count(F.lit(1)).alias("docfreq")
+    )
+    stop = (
+        docfreq.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("docfreq") * 100 >= F.lit(_STOP_DF_PCT) * F.col("ndocs"))
+        .select("term", F.lit(1).alias("__is_stop"))
+    )
+    hit = F.when(F.col("__is_stop").isNotNull(), 1)
+    return (
+        tok.join(F.broadcast(stop), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count(hit).cast("long").alias("n_stop_tokens"),
+            (F.count(hit).cast("double") / F.count(F.lit(1))).alias("stop_ratio"),
+        )
+    )

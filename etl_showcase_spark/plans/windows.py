@@ -242,3 +242,69 @@ def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(wall).cast("double").alias("first_order_price"),
         F.last("o_totalprice").over(wall).cast("double").alias("last_order_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W4/T6-adjacent: per-user integer EWMA over the ordered event stream
+# ([EXT] — the classic smoothed-activity signal; alpha = 1/2 so each
+# step is e = (v + e_prev) >> 1, a PURE-INTEGER left fold over cents,
+# bit-identical in any engine — float EWMA would hinge on rounding
+# order). This is the batch twin of a per-key stateful fold (the
+# applyInPandasWithState shape) spelled with the engines' own ordered
+# array folds: Spark sort_array + aggregate(), DuckDB
+# list(... ORDER BY) + list_reduce — both fold left from the first
+# element, so the recursion replays exactly. At 100 TB: one keyed
+# shuffle; per-user event lists are session-bounded (the same
+# boundedness contract every collect_list session op here relies on),
+# and the fold itself is O(events) with no further exchange.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         list(vc ORDER BY ts, event_id) AS vals
+  FROM v GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(list_reduce(vals, (acc, x) -> (acc + x) >> 1) AS BIGINT)
+         AS ewma_cents,
+       CAST(list_reduce(vals, (acc, x) -> (acc + x) >> 1) AS DOUBLE) / 100
+         AS ewma_value
+FROM g
+"""
+
+
+@register("ewma_user_value", oracle=_EWMA_ORACLE, tags=("W4", "T6"))
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    rows = e.select(
+        "user_id", F.struct("ts", "event_id", vc.alias("vc")).alias("s")
+    )
+    g = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.transform(
+            F.sort_array(F.collect_list("s")), lambda s: s["vc"]
+        ).alias("vals"),
+    )
+    # fold left from the first element (list_reduce semantics): init =
+    # vals[1], fold the tail; arithmetic shift >>1 = div-2 on the
+    # non-negative cent values, identical in both engines
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.shiftright(acc + x, 1),
+    )
+    return g.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        ewma.cast("long").alias("ewma_cents"),
+        (ewma.cast("double") / 100).alias("ewma_value"),
+    )
