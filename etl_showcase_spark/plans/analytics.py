@@ -1399,3 +1399,246 @@ GROUP BY a.node
 def recursive_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("__rec_events")
     return spark.sql(_SUBTREE_SQL.format(events="__rec_events", div="DIV"))
+
+
+# ---------------------------------------------------------------------------
+# G8/O1 join-key skew diagnostic: Gini coefficient of the per-key row
+# distribution ([EXT] — the one-number answer to "will this key
+# shuffle skew at 100 TB?"; ops dashboards track it per ingest). Key
+# counts are exact integers; the Lorenz-order rank comes from the
+# distributed global ROW_NUMBER (range partition + prefix offsets —
+# no single-reducer sort over the key table), and Gini reduces to
+# (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) — every sum an exact BIGINT, ONE
+# final double division spelled identically in both engines. Output
+# also carries the max-key share (same single-division discipline).
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH kc AS (
+  SELECT l_partkey AS k, COUNT(*) AS x FROM lineitem GROUP BY l_partkey
+),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS i FROM kc
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six,
+         CAST(MAX(x) AS BIGINT) AS mx
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_keys,
+       sx AS total_rows,
+       mx AS max_key_rows,
+       (2 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS gini,
+       CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE) AS max_key_share
+FROM m
+"""
+
+
+@register("join_key_skew_gini", oracle=_GINI_ORACLE, tags=("G8", "O1", "W3"))
+def join_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    r = with_global_row_number(kc, [F.asc("x"), F.asc("k")], "i")
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_keys"),
+        F.col("sx").alias("total_rows"),
+        F.col("mx").alias("max_key_rows"),
+        (
+            (2 * F.col("six").cast("double") - (nd + 1) * sxd) / (nd * sxd)
+        ).alias("gini"),
+        (F.col("mx").cast("double") / sxd).alias("max_key_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 completion: PERCENT_RANK + CUME_DIST per event type ([EXT] — the
+# remaining analytic ranking functions after rank/lag/lead/NTILE; the
+# quantile-normalization step feature pipelines apply before training).
+# Both are rationals of integer counts ((rank−1)/(n−1), n_le/n) that
+# each engine computes as the same single double division, so results
+# hash-match without any float games. Value ties are real (cents) —
+# PERCENT_RANK/CUME_DIST are tie-stable by definition, no tie-break
+# column needed. At 100 TB: one window per event_type partition, the
+# same keyed-window envelope as every W query here.
+# ---------------------------------------------------------------------------
+
+_PCTRANK_ORACLE = """
+SELECT event_id, event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       PERCENT_RANK() OVER (PARTITION BY event_type
+                            ORDER BY FLOOR(value * 100 + 0.5)) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY event_type
+                         ORDER BY FLOOR(value * 100 + 0.5)) AS cume
+FROM events
+"""
+
+
+@register("event_value_percentile_ranks", oracle=_PCTRANK_ORACLE, tags=("W3",))
+def event_value_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5))
+    w = Window.partitionBy("event_type").orderBy(vc)
+    return e.select(
+        "event_id",
+        "event_type",
+        vc.cast("long").alias("value_cents"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/G8 maximum drawdown of the daily revenue series ([EXT] — the
+# classic running-peak-to-trough stress metric; one window pass
+# instead of the naive O(n²) pairs scan). Daily revenue aggregates as
+# exact DECIMAL cents (keyed shuffle); the running max and drawdown
+# stay integer; the final ordering picks the single worst trough with
+# a deterministic (drawdown DESC, day ASC) tie-break. The only global
+# window runs over the DAY-grain frame — calendar-bounded (a few
+# thousand rows at any data scale), the same boundedness argument as
+# gapfill_daily_totals.
+# ---------------------------------------------------------------------------
+
+_DRAWDOWN_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, rev_c,
+         MAX(rev_c) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak_c
+  FROM d
+),
+dd AS (
+  SELECT day, rev_c, peak_c, peak_c - rev_c AS draw_c,
+         ROW_NUMBER() OVER (ORDER BY peak_c - rev_c DESC, day ASC) AS rn
+  FROM r
+)
+SELECT day AS trough_day,
+       CAST(rev_c AS BIGINT) AS trough_revenue_cents,
+       CAST(peak_c AS BIGINT) AS peak_revenue_cents,
+       CAST(draw_c AS BIGINT) AS max_drawdown_cents,
+       CAST(draw_c AS DOUBLE) / 100 AS max_drawdown
+FROM dd WHERE rn = 1
+"""
+
+
+@register("revenue_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("W4", "G8", "O2"))
+def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("rev_c")
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    r = d.select(
+        "day", "rev_c", F.max("rev_c").over(wrun).alias("peak_c")
+    ).withColumn("draw_c", F.col("peak_c") - F.col("rev_c"))
+    wpick = Window.orderBy(F.desc("draw_c"), F.asc("day"))
+    return (
+        r.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("rev_c").cast("long").alias("trough_revenue_cents"),
+            F.col("peak_c").cast("long").alias("peak_revenue_cents"),
+            F.col("draw_c").cast("long").alias("max_drawdown_cents"),
+            (F.col("draw_c").cast("double") / 100).alias("max_drawdown"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/G8 ABC (Pareto) supplier classification ([EXT] — the 80/15/5
+# cumulative-revenue banding every procurement/analytics team runs;
+# the canonical "cumulative share with exact money" window op).
+# Revenue accumulates as exact quarter-cent integers (DECIMAL(12,2)
+# product has scale 4 — ×10000 keeps it integral), the running total
+# is an integer window sum, and the class thresholds are integer
+# cross-multiplications (cum·100 <= 80·total), so the whole banding
+# is division-free; the reported share is ONE double division. The
+# global window runs over the SUPPLIER-grain frame — dimension-
+# bounded at any fact volume (same argument as revenue_max_drawdown's
+# day grain).
+# ---------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH r AS (
+  SELECT l_suppkey AS suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)
+           AS rev_c4
+  FROM lineitem GROUP BY l_suppkey
+),
+w AS (
+  SELECT suppkey, rev_c4,
+         SUM(rev_c4) OVER (ORDER BY rev_c4 DESC, suppkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_c4,
+         SUM(rev_c4) OVER () AS total_c4
+  FROM r
+)
+SELECT suppkey,
+       CAST(rev_c4 AS DOUBLE) / 10000 AS revenue,
+       CAST(rev_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) AS revenue_share,
+       CASE WHEN CAST(cum_c4 AS BIGINT) * 100 <= 80 * CAST(total_c4 AS BIGINT)
+              THEN 'A'
+            WHEN CAST(cum_c4 AS BIGINT) * 100 <= 95 * CAST(total_c4 AS BIGINT)
+              THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM w
+"""
+
+
+@register("abc_supplier_classification", oracle=_ABC_ORACLE, tags=("W4", "G8", "G4"))
+def abc_supplier_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+    r = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        (F.sum(rev) * 10000).cast("long").alias("rev_c4")
+    )
+    wrun = Window.orderBy(F.desc("rev_c4"), F.asc("suppkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    w = r.select(
+        "suppkey",
+        "rev_c4",
+        F.sum("rev_c4").over(wrun).alias("cum_c4"),
+        F.sum("rev_c4").over(wall).alias("total_c4"),
+    )
+    cum, tot = F.col("cum_c4"), F.col("total_c4")
+    return w.select(
+        "suppkey",
+        (F.col("rev_c4").cast("double") / 10000).alias("revenue"),
+        (F.col("rev_c4").cast("double") / tot.cast("double")).alias(
+            "revenue_share"
+        ),
+        F.when(cum * 100 <= 80 * tot, "A")
+        .when(cum * 100 <= 95 * tot, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

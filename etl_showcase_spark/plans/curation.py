@@ -520,25 +520,18 @@ FROM nodes GROUP BY v
 
 @register("triangle_count_copurchase", oracle=_TRIANGLE_ORACLE, tags=("L7", "J2", "G1"))
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _node_triangle_counts(_copurchase_edges(spark, sf_dir)).select(
+        "part_key", "n_triangles"
+    )
+
+
+def _node_triangle_counts(e0: DataFrame) -> DataFrame:
+    """Per-node triangle counts (part_key, n_triangles) for nodes in
+    >= 1 triangle, via the degree-ordered edge-iterator (see the
+    design note above triangle_count_copurchase — wedges are array
+    intersections, never a shuffled wedge join)."""
     from ..caching import tracked_persist
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # distinct co-purchase edges via per-basket pair expansion: ONE
-    # groupBy shuffle; the k² pair generation runs inside each small
-    # sorted basket array (k ≈ items per order), never as a fact-table
-    # self-join
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
-    )
-    pair_expr = F.expr(
-        "flatten(transform(parts, (x, i) -> "
-        "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS u, y AS v))))"
-    )
-    e0 = (
-        baskets.select(F.explode(pair_expr).alias("p"))
-        .select("p.u", "p.v")
-        .dropDuplicates(["u", "v"])
-    )
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
@@ -915,15 +908,11 @@ def clustering_coefficient_copurchase(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # per-node triangle counts from the per-edge support: each edge's
-    # support credits both endpoints, and every triangle at a node lies
-    # on exactly two of its incident edges — tri(v) = Σ_e∋v s(e) / 2
-    sup = _edge_triangle_support(e0)
-    tc = (
-        sup.select(F.col("u").alias("v"), F.col("s"))
-        .unionAll(sup.select(F.col("v").alias("v"), F.col("s")))
-        .groupBy("v")
-        .agg((F.sum("s") / 2).cast("long").alias("t"))
+    # per-node triangle counts via the corner-credit enumeration —
+    # cheaper than deriving them from per-edge support (each triangle
+    # is found once and credits its three corners directly)
+    tc = _node_triangle_counts(e0).select(
+        F.col("part_key").alias("v"), F.col("n_triangles").alias("t")
     )
     dd = F.col("d").cast("double")
     return (
@@ -1042,4 +1031,87 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sup_a") * F.col("sup_b")).cast("double")
             ).alias("lift"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 entity resolution, part 2: Fellegi–Sunter-style weighted field
+# agreement ([EXT] — real record linkage scores MULTIPLE fields with
+# integer agreement weights instead of a single edit-distance gate;
+# the score is the audit trail a data steward reads). Candidate pairs
+# come from exact blocking on (p_brand, p_size) — both fields are
+# functions of the row, so each pair surfaces in exactly one block
+# (no dedup stage needed) — and every weight is pure integer:
+# name similarity (10 − min(lev, 10))·5, plus flat bonuses for type
+# equality and retail-price proximity (|Δcents| <= 100 — the numeric
+# agreement axis). Both engines share the classic
+# Levenshtein integer, so the full scored match set hash-checks.
+# At 100 TB: dimension-sized blocked self-join, O(len²) DP only
+# inside blocks — the same envelope as entity_resolution_part_names.
+# ---------------------------------------------------------------------------
+
+_FS_MIN_SCORE = 60
+
+_FS_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM part
+),
+cand AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         (10 - LEAST(levenshtein(a.p_name, b.p_name), 10)) * 5 AS w_name,
+         CASE WHEN a.p_type = b.p_type THEN 30 ELSE 0 END AS w_type,
+         CASE WHEN ABS(a.price_c - b.price_c) <= 100 THEN 20 ELSE 0 END AS w_price
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+)
+SELECT key_a, key_b,
+       CAST(w_name AS INT) AS w_name,
+       CAST(w_type AS INT) AS w_type,
+       CAST(w_price AS INT) AS w_price,
+       CAST(w_name + w_type + w_price AS INT) AS match_score
+FROM cand
+WHERE w_name + w_type + w_price >= {_FS_MIN_SCORE}
+"""
+
+
+@register("er_weighted_field_agreement", oracle=_FS_ORACLE, tags=("L6", "L2", "J2"))
+def er_weighted_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    w_name = (
+        F.lit(10)
+        - F.least(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")), F.lit(10))
+    ) * 5
+    w_type = F.when(F.col("a.p_type") == F.col("b.p_type"), 30).otherwise(0)
+    w_price = F.when(
+        F.abs(F.col("a.price_c") - F.col("b.price_c")) <= 100, 20
+    ).otherwise(0)
+    scored = cand.select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        w_name.cast("int").alias("w_name"),
+        w_type.cast("int").alias("w_type"),
+        w_price.cast("int").alias("w_price"),
+    )
+    total = F.col("w_name") + F.col("w_type") + F.col("w_price")
+    return scored.withColumn("match_score", total.cast("int")).filter(
+        F.col("match_score") >= _FS_MIN_SCORE
     )

@@ -361,6 +361,68 @@ def stream_user_profile_state(
     return latest_per_key(emitted, ["user_id"], [F.col("n_events").desc()])
 
 
+def stream_user_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ``ewma_user_value`` batch query (SURVEY.md
+    §2.11): per-user integer EWMA (alpha = 1/2, e = (v + e_prev) >> 1
+    over cents) carried across micro-batches in explicit GroupState.
+
+    The fold is PURE INTEGER, so the streamed result is bit-identical
+    to the batch sort_array+aggregate fold whenever events arrive in
+    (ts, event_id) order — which the single-file replay and the
+    ordered multi-file replay both guarantee per user. State is two
+    bigints per user; at scale it lives in the state store keyed by
+    user_id, same envelope as stream_user_profile_state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def update_ewma(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, ewma = state.get
+            ewma = None if ewma < 0 else ewma  # -1 encodes "no events yet"
+        else:
+            n, ewma = 0, None
+        cols = ["ts", "event_id", "value"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if len(df):
+            df = df.sort_values(["ts", "event_id"])
+            for v in df["value"].to_numpy():
+                cents = int(v * 100 + 0.5)  # same floor(v*100+0.5), v >= 0
+                ewma = cents if ewma is None else (ewma + cents) >> 1
+                n += 1
+        state.update((n, -1 if ewma is None else ewma))
+        out_ewma = None if ewma is None else ewma
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_cents": [out_ewma],
+                "ewma_value": [None if out_ewma is None else out_ewma / 100.0],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_ewma,
+        outputStructType=(
+            "user_id long, n_events long, ewma_cents long, ewma_value double"
+        ),
+        stateStructType="n long, ewma long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_available_now(out, "stream_ewma", mode="update")
+    # update-mode emission log -> current value = emission with the
+    # largest (strictly monotone) n_events per user
+    from ..operators.relational import latest_per_key
+
+    return latest_per_key(emitted, ["user_id"], [F.col("n_events").desc()])
+
+
 def stream_user_event_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running event counts via Spark 4's transformWithState
     API (StatefulProcessor + typed ValueState) — the successor surface

@@ -83,6 +83,17 @@ def test_stateful_profile_matches_batch(spark):
     assert not compare_frames(streamed, batch)
 
 
+def test_stateful_ewma_matches_batch(spark):
+    # the integer (v + e) >> 1 fold is order-dependent by design; the
+    # streamed per-user fold across micro-batches must land on the
+    # bit-identical cents as the batch sort_array+aggregate fold
+    from etl_showcase_spark.plans.windows import ewma_user_value
+
+    streamed = jobs.stream_user_ewma_state(spark, SF_SMOKE).toPandas()
+    batch = ewma_user_value(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
+
+
 def test_stream_upsert_sink_idempotent(spark):
     batch = tumbling_daily_by_type(spark, SF_SMOKE).toPandas()
     with tempfile.TemporaryDirectory() as tmp:
