@@ -1642,3 +1642,135 @@ def abc_supplier_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G8/W3 exact per-group median ([EXT] — approx-percentile sketches
+# (sketch_quantiles_hll, quantiles_quantity) answer the at-scale
+# question; dashboards and SLA gates still want the EXACT median per
+# group, and it is computable with one keyed window pass: rank values
+# within each event_type, keep the one/two middle positions, reduce.
+# Everything stays integer — values as cents, and the median is
+# reported as median_cents_x2 (sum of the two middle values; twice the
+# middle value when n is odd) so even-n interpolation never divides;
+# the double `median_cents` is x2/2, exact in IEEE. The DuckDB oracle
+# deliberately uses the INDEPENDENT spelling (built-in MEDIAN =
+# interpolated quantile_cont) rather than replaying the window
+# arithmetic. At 100 TB: one event_type-keyed shuffle for the window,
+# one keyed agg — no global sort anywhere.
+# ---------------------------------------------------------------------------
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(2 * MEDIAN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS median_cents_x2,
+       CAST(MEDIAN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         AS median_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("event_value_median_exact", oracle=_MEDIAN_ORACLE, tags=("G8", "W3", "G1"))
+def event_value_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = e.select("event_type", "event_id", vc.alias("cents"))
+    wtype = Window.partitionBy("event_type")
+    wrank = wtype.orderBy(F.asc("cents"), F.asc("event_id"))
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor((F.col("n") + 2) / 2)
+    mid = ranked.filter((F.col("rn") >= lo) & (F.col("rn") <= hi))
+    x2 = F.when(
+        F.max("n") % 2 == 1, 2 * F.sum("cents")
+    ).otherwise(F.sum("cents"))
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        x2.cast("long").alias("median_cents_x2"),
+        (x2.cast("double") / 2).alias("median_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/W4 Pareto frontier (skyline) of parts on (price low, size high)
+# ([EXT] — the multi-objective shortlist query: keep every part not
+# DOMINATED by another that is both no-pricier and no-smaller, strict
+# on one axis. The scalable spelling is prune-then-resolve: (1) a
+# coarse price-bucket pre-aggregation computes, per bucket, the max
+# size in all STRICTLY CHEAPER buckets (bucket-grain window — the
+# frame is #buckets-sized, broadcast back), and rows at or below that
+# running max are provably dominated and dropped WITHOUT any global
+# sort of the fact table; (2) the exact frontier condition runs on the
+# surviving candidates via a RANGE window (strictly-cheaper running
+# max) plus a same-price group max. Duplicates (same price AND size)
+# are both kept — neither dominates, nothing is strict. The DuckDB
+# oracle uses the INDEPENDENT quadratic NOT EXISTS spelling, so the
+# window algebra is cross-checked against the definition itself.
+# Worst case every point is on the frontier (candidate prune removes
+# nothing) — inherent to the skyline, noted, and irrelevant to the
+# common monotone-ish distributions the prune is built for.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+)
+SELECT a.p_partkey, a.price_c, a.size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.size >= a.size
+    AND (b.price_c < a.price_c OR b.size > a.size)
+)
+"""
+
+
+@register("pareto_frontier_parts", oracle=_PARETO_ORACLE, tags=("O1", "W4"))
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    # stage 1: bucket-grain prune — max size per 10-dollar price bucket,
+    # running max over strictly cheaper buckets (bounded bucket frame)
+    p = p.withColumn("bucket", F.expr("price_c div 1000"))
+    bmax = p.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cheaper = bmax.select(
+        "bucket", F.max("bmax").over(wb).alias("cheaper_bucket_max")
+    )
+    cand = p.join(F.broadcast(cheaper), "bucket").filter(
+        F.col("cheaper_bucket_max").isNull()
+        | (F.col("size") > F.col("cheaper_bucket_max"))
+    )
+    # stage 2: exact frontier on the pruned candidates
+    wlt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    weq = Window.partitionBy("price_c")
+    scored = cand.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(wlt).alias("max_cheaper"),
+        F.max("size").over(weq).alias("max_same"),
+    )
+    return scored.filter(
+        (F.col("max_cheaper").isNull() | (F.col("size") > F.col("max_cheaper")))
+        & (F.col("size") == F.col("max_same"))
+    ).select("p_partkey", "price_c", "size")

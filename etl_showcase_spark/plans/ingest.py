@@ -872,3 +872,57 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# S9/L5 binary-file source ([EXT] — Spark's `binaryFile` format is the
+# standard on-ramp for raw media/blob corpora: each file becomes one
+# row of (path, modificationTime, length, content) with NO parsing on
+# read, so decode stays a downstream Arrow-batched stage — exactly the
+# multimodal ingestion shape in operators/multimodal.py. The fixture
+# is a deterministic set of ASCII payload files (pure formula of the
+# file index, regenerated idempotently, no driver collect) and the
+# oracle REBUILDS every payload with SQL string machinery and md5s it
+# — so filename routing, byte lengths, and content integrity of the
+# whole scan path are hash-checked without the oracle touching the
+# filesystem. At 100 TB: one row per file, content bytes never leave
+# the executor (md5/length reduce them in the scan stage); listing
+# cost is the known driver-side concern and the production pattern is
+# partitioned manifest dirs, noted here.
+# ---------------------------------------------------------------------------
+
+_N_BINARY_FILES = 16
+
+_BINARYFILE_ORACLE = f"""
+SELECT printf('part_%02d.bin', t.i) AS file_name,
+       CAST(LENGTH(printf('payload %02d', t.i) || chr(10)
+                   || repeat('x', 100 + 7 * t.i) || chr(10)) AS BIGINT)
+         AS n_bytes,
+       md5(printf('payload %02d', t.i) || chr(10)
+           || repeat('x', 100 + 7 * t.i) || chr(10)) AS content_md5,
+       printf('payload %02d', t.i) AS header_line
+FROM range(0, {_N_BINARY_FILES}) AS t(i)
+"""
+
+
+@register("binaryfile_blob_scan", oracle=_BINARYFILE_ORACLE, tags=("S9", "L5"))
+def binaryfile_blob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = tempfile.mkdtemp(prefix="binary_blobs_")
+    for i in range(_N_BINARY_FILES):
+        payload = ("payload %02d\n" % i) + "x" * (100 + 7 * i) + "\n"
+        with open(os.path.join(path, "part_%02d.bin" % i), "wb") as fh:
+            fh.write(payload.encode("ascii"))
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    content_str = F.col("content").cast("string")
+    return scan.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.split(content_str, "\n").getItem(0).alias("header_line"),
+    )

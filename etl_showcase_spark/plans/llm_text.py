@@ -1528,3 +1528,176 @@ def adaptive_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(hit).cast("double") / F.count(F.lit(1))).alias("stop_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 train/test token-distribution drift ([EXT] — the distribution-
+# shift check run after every corpus split or refresh: if the held-out
+# side's unigram distribution drifts from the train side, eval numbers
+# stop meaning anything. The metric is TOTAL VARIATION DISTANCE, chosen
+# over KL/PSI because it needs NO logarithm: with per-term counts
+# c_tr/c_te and totals N_tr/N_te,
+#   TVD = (1/2) * SUM |c_tr/N_tr - c_te/N_te|
+#       = SUM |c_tr*N_te - c_te*N_tr| / (2*N_tr*N_te)
+# — the numerator is an exact BIGINT sum over the term union (order-
+# independent), and the single double division happens once at the
+# end. The split is the same deterministic md5(doc_id) predicate as
+# decontaminate_train_test. At 100 TB: one term-keyed agg producing a
+# vocabulary-sized frame, totals as a broadcast 1-row aggregate, one
+# final reduce; the BIGINT cross-products would need DECIMAL(38,0)
+# widening past ~10^9-token sides (c*N < 2^63), a one-line cast.
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
+  FROM documents
+),
+tc AS (
+  SELECT term,
+         SUM(CASE WHEN is_test THEN 0 ELSE 1 END) AS c_tr,
+         SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS c_te
+  FROM tok GROUP BY term
+),
+n AS (
+  SELECT CAST(SUM(c_tr) AS BIGINT) AS n_tr,
+         CAST(SUM(c_te) AS BIGINT) AS n_te
+  FROM tc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms_union,
+       MIN(n.n_tr) AS n_train_tokens,
+       MIN(n.n_te) AS n_test_tokens,
+       CAST(SUM(ABS(c_tr * n.n_te - c_te * n.n_tr)) AS BIGINT)
+         AS tvd_numerator,
+       CAST(SUM(ABS(c_tr * n.n_te - c_te * n.n_tr)) AS DOUBLE)
+         / (2.0 * CAST(MIN(n.n_tr) AS DOUBLE) * CAST(MIN(n.n_te) AS DOUBLE))
+         AS tvd
+FROM tc, n
+"""
+
+
+@register("token_distribution_drift", oracle=_DRIFT_ORACLE, tags=("L4", "L6"))
+def token_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(textops.tokens("text")).alias("term"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+            "is_test"
+        ),
+    )
+    tc = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("is_test"), 0).otherwise(1)).alias("c_tr"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("c_te"),
+    )
+    n = tc.agg(
+        F.sum("c_tr").cast("long").alias("n_tr"),
+        F.sum("c_te").cast("long").alias("n_te"),
+    )
+    joined = tc.crossJoin(F.broadcast(n))
+    num = F.abs(F.col("c_tr") * F.col("n_te") - F.col("c_te") * F.col("n_tr"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_union"),
+        F.min("n_tr").alias("n_train_tokens"),
+        F.min("n_te").alias("n_test_tokens"),
+        F.sum(num).cast("long").alias("tvd_numerator"),
+        (
+            F.sum(num).cast("double")
+            / (
+                F.lit(2.0)
+                * F.min("n_tr").cast("double")
+                * F.min("n_te").cast("double")
+            )
+        ).alias("tvd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 collocation strength via fixed-point PMI ([EXT] — phrase mining
+# ranks co-occurring pairs by POINTWISE MUTUAL INFORMATION, not raw
+# count, so ubiquitous-but-independent pairs sink. Doc-level PMI =
+# log2(P(a,b) / (P(a)P(b))) = log2(n_ab * N / (df_a * df_b)); a float
+# log would hinge on libm parity, so like unigram_lm_surprisal the
+# score is QUANTIZED TO WHOLE BITS with integer machinery only:
+# floor(log2(num/den)) = LENGTH(bin(num DIV den)) - 1 whenever
+# num >= den (floor(log2(floor(x))) = floor(log2(x)) for x >= 1), and
+# pairs with num < den (negative PMI) are excluded by definition of a
+# collocation. Candidate pairs reuse the df-banded posting self-join
+# discipline of token_cooccurrence_pairs (stopword-grade terms never
+# enter the pair space). At 100 TB: same inverted-index shape; the
+# banded df table is broadcast back for the scoring join.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR_DOCS = 5
+
+_PMI_ORACLE = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(list_distinct({_SQL_TOKS})) AS t(term)
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM post),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term
+  HAVING COUNT(*) BETWEEN {_COOC_DF_MIN} AND {_COOC_DF_MAX}
+),
+banded AS (SELECT p.doc_id, p.term FROM post p JOIN df ON p.term = df.term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_PAIR_DOCS}
+)
+SELECT p.term_a, p.term_b, p.n_ab,
+       da.df AS df_a, db.df AS df_b,
+       CAST(LENGTH(bin((p.n_ab * n.n_docs) // (da.df * db.df))) - 1 AS INT)
+         AS pmi_bits
+FROM pairs p
+JOIN df da ON p.term_a = da.term
+JOIN df db ON p.term_b = db.term
+CROSS JOIN n
+WHERE p.n_ab * n.n_docs >= da.df * db.df
+"""
+
+
+@register("pmi_collocation_bits", oracle=_PMI_ORACLE, tags=("L4",))
+def pmi_collocation_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.explode(F.array_distinct(textops.tokens("text"))).alias("term")
+    ).distinct()
+    n = post.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    df_t = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df").between(_COOC_DF_MIN, _COOC_DF_MAX))
+        .transform(tracked_persist)
+    )
+    banded = post.join(F.broadcast(df_t.select("term")), "term", "left_semi")
+    a = banded.select("doc_id", F.col("term").alias("term_a"))
+    b = banded.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIR_DOCS)
+    )
+    da = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    scored = (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n))
+    )
+    num = F.col("n_ab") * F.col("n_docs")
+    den = F.col("df_a") * F.col("df_b")
+    return scored.filter(num >= den).select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        "df_a",
+        "df_b",
+        (F.length(F.bin(F.expr("(n_ab * n_docs) div (df_a * df_b)"))) - 1)
+        .cast("int")
+        .alias("pmi_bits"),
+    )
