@@ -811,3 +811,47 @@ def extract_byte_features_arrow(df: DataFrame, media_col: str = "media") -> Data
             )
 
     return df.select("doc_id", media_col).mapInArrow(featurize, out_schema)
+
+
+def ahash_ppm(df: DataFrame, grid: int = 8, media_col: str = "media") -> DataFrame:
+    """Perceptual AVERAGE-HASH fingerprints over PPM payloads — the
+    image near-dup primitive (two images with the same aHash are
+    visually near-identical even when their bytes differ): decode,
+    nearest-neighbor downsample to (grid, grid), collapse RGB to an
+    integer gray (r+g+b — no luma weights, so no float), threshold
+    each cell against the FLOOR mean, and pack the grid*grid bits into
+    a bitstring column. Every step is integer arithmetic, so the hash
+    is deterministic across engines and partitionings; the bitstring
+    spelling (not a packed BIGINT) sidesteps 64-bit sign overflow
+    under ANSI mode. Fused decode→hash in ONE mapInPandas stage: at
+    100 TB only (doc_id, 64-char hash, gray_sum) leaves the worker.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id LONG, ahash STRING, gray_sum LONG"
+    parse = _parse_ppm  # closure capture: ships by value with the udf
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            hashes, sums = [], []
+            for buf in pdf[media_col]:
+                w, h, pix = parse(bytes(buf))
+                ri = (np.arange(grid) * h // grid).clip(max=h - 1)
+                ci = (np.arange(grid) * w // grid).clip(max=w - 1)
+                gray = pix[np.ix_(ri, ci)].astype("int64").sum(axis=2)
+                total = int(gray.sum())
+                mean_floor = total // (grid * grid)
+                bits = (gray.ravel() > mean_floor).astype("uint8")
+                hashes.append("".join("1" if b else "0" for b in bits))
+                sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "ahash": hashes,
+                    "gray_sum": np.asarray(sums, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)

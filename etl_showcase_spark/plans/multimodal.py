@@ -317,3 +317,76 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = attach_wav_media(table(spark, sf_dir, "documents"))
     return decode_wav_features(d)
+
+
+# ---------------------------------------------------------------------------
+# L5 × L2 image perceptual-hash fingerprints ([EXT] — aHash is the
+# workhorse image near-dup signal in web-scale training-data curation:
+# byte-level dedup misses re-encoded copies, but two images with the
+# same average-hash are visually near-identical). Same deterministic
+# PPM payloads as multimodal_decode_resize, so the ENTIRE hash — 8×8
+# nearest-neighbor gather, RGB→gray integer collapse, floor-mean
+# threshold, 64-bit bitstring — replays in DuckDB from the parquet
+# text column alone, and the per-hash group sizes (the dedup signal
+# itself) hash-check too. At 100 TB: decode→hash fused in one
+# mapInPandas stage (operators/multimodal.py:ahash_ppm), then ONE
+# hash-keyed window for group sizes — the same envelope as
+# dedup_exact_text with ahash as the key.
+# ---------------------------------------------------------------------------
+
+
+def _ahash_oracle() -> str:
+    # gathered gray cell k (k = i*8+j): ri=(i*h)//8 clipped,
+    # ci=(j*w)//8 clipped, gray = sum of the 3 channel bytes at
+    # ((ri*w+ci)*3+c) tiled over the text (byte p = ascii(text[p % L]))
+    cell = (
+        "(LEAST(((k // 8) * h) // 8, h - 1) * w"
+        " + LEAST(((k % 8) * w) // 8, w - 1)) * 3"
+    )
+    gray = (
+        f"ascii(substr(text, CAST(({cell} + 0) % L AS BIGINT) + 1, 1))"
+        f" + ascii(substr(text, CAST(({cell} + 1) % L AS BIGINT) + 1, 1))"
+        f" + ascii(substr(text, CAST(({cell} + 2) % L AS BIGINT) + 1, 1))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         8 + doc_id % 9 AS w,
+         6 + doc_id % 5 AS h,
+         LENGTH(text) AS L
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN L > 0
+              THEN list_transform(range(0, 64), k -> {gray})
+              ELSE list_transform(range(0, 64), k -> 0) END AS gray
+  FROM d
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_sum(gray) AS BIGINT) AS gray_sum,
+         array_to_string(
+           list_transform(gray,
+             v -> CASE WHEN v > list_sum(gray) // 64 THEN '1' ELSE '0' END),
+           '') AS ahash
+  FROM g
+)
+SELECT doc_id, ahash, gray_sum,
+       CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
+FROM hashed
+"""
+
+
+@register("image_ahash_fingerprint", oracle=_ahash_oracle(), tags=("L5", "L2"))
+def image_ahash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import ahash_ppm, attach_ppm_media
+
+    d = attach_ppm_media(table(spark, sf_dir, "documents"))
+    hashed = ahash_ppm(d, grid=8)
+    return hashed.withColumn(
+        "n_same_hash",
+        F.count(F.lit(1)).over(Window.partitionBy("ahash")).cast("long"),
+    )
