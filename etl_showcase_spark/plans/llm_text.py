@@ -1701,3 +1701,107 @@ def pmi_collocation_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("pmi_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 tokenizer prep: BPE first-iteration pair statistics ([EXT] —
+# byte-pair-encoding training starts by counting ADJACENT SYMBOL PAIRS
+# weighted by word frequency; the arg-max pair becomes the first
+# merge. The classic scale trick is built in: pairs are enumerated
+# over the DISTINCT word table (vocabulary-sized) and weighted by the
+# word counts, never over the raw token stream — a word occurring 10^9
+# times contributes its pair positions once, times an integer weight.
+# Multiple occurrences of a pair inside one word all count (true BPE
+# semantics: 'aaa' contributes 'aa' twice). Everything is an exact
+# integer; the pair space is charset²-bounded, so the output frame
+# is tiny at any corpus size. At 100 TB: one token-keyed agg to the
+# vocab table, one narrow per-word expansion, one pair-keyed agg.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST({_SQL_TOKS}) AS w FROM documents
+),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+p AS (
+  SELECT w, c,
+         UNNEST(list_transform(range(1, LENGTH(w)),
+                               i -> substr(w, CAST(i AS BIGINT), 2))) AS pair
+  FROM wc WHERE LENGTH(w) >= 2
+)
+SELECT pair,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+FROM p GROUP BY pair
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_ORACLE, tags=("L4", "L6"))
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens("text")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        "w",
+        "c",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("c").cast("long").alias("n_occurrences"),
+        F.countDistinct("w").cast("long").alias("n_distinct_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L2 boilerplate detection via repeated character n-grams ([EXT] —
+# web corpora are full of templated chrome (cookie banners, nav bars,
+# license footers) that token-level dedup misses because surrounding
+# text differs; the standard signal is a CHARACTER n-gram that recurs
+# far more often than natural text allows. Every 16-char gram (stride
+# 1, so alignment can't hide a repeat) feeds one gram-keyed count; the
+# threshold keeps grams occurring >= 20 times, reported with corpus
+# and document frequencies — exactly the inverted-posting envelope of
+# decontaminate_train_test, with partial aggregation absorbing the
+# hot-gram skew map-side. At 100 TB the stride (and a cheap first-pass
+# frequency sketch) is the volume knob; the semantics stay identical.
+# ---------------------------------------------------------------------------
+
+_BOILER_N, _BOILER_MIN = 16, 20
+
+_BOILER_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, LENGTH(text) - {_BOILER_N - 2}),
+                               i -> substr(text, CAST(i AS BIGINT), {_BOILER_N})))
+           AS gram
+  FROM documents WHERE LENGTH(text) >= {_BOILER_N}
+)
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY gram HAVING COUNT(*) >= {_BOILER_MIN}
+"""
+
+
+@register("boilerplate_ngram_detect", oracle=_BOILER_ORACLE, tags=("L4", "L2"))
+def boilerplate_ngram_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = d.filter(F.length("text") >= _BOILER_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_BOILER_N - 1}),"
+                f" i -> substring(text, i, {_BOILER_N}))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= _BOILER_MIN)
+    )
