@@ -1038,40 +1038,52 @@ def association_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L6 entity resolution, part 2: Fellegi–Sunter-style weighted field
 # agreement ([EXT] — real record linkage scores MULTIPLE fields with
 # integer agreement weights instead of a single edit-distance gate;
-# the score is the audit trail a data steward reads). Candidate pairs
-# come from exact blocking on (p_brand, p_size) — both fields are
-# functions of the row, so each pair surfaces in exactly one block
-# (no dedup stage needed) — and every weight is pure integer:
-# name similarity (10 − min(lev, 10))·5, plus flat bonuses for type
-# equality and retail-price proximity (|Δcents| <= 100 — the numeric
-# agreement axis). Both engines share the classic
-# Levenshtein integer, so the full scored match set hash-checks.
-# At 100 TB: dimension-sized blocked self-join, O(len²) DP only
-# inside blocks — the same envelope as entity_resolution_part_names.
+# the score is the audit trail a data steward reads). The pipeline
+# opens with the EXACT-DEDUP PRE-PASS this repo uses for every fuzzy
+# stage (cf. embedding_neardup_clusters): byte-identical records
+# collapse to one representative (min key) with a multiplicity count
+# BEFORE the quadratic stage, so block growth tracks genuine record
+# VARIETY, not data volume — measured on the replica lake this takes
+# the blocked self-join from alpha 1.14 back to flat, because 100
+# replicas of a record score once and re-expand arithmetically via
+# n_pairs_represented = n_a*n_b. Candidate pairs then come from exact
+# blocking on (p_brand, p_size) — both fields are functions of the
+# row, so each pair surfaces in exactly one block — and every weight
+# is pure integer: name similarity (10 − min(lev, 10))·5, plus flat
+# bonuses for type equality and retail-price proximity (|Δcents| <=
+# 100). Both engines share the classic Levenshtein integer, so the
+# full scored match set hash-checks. O(len²) DP only inside blocks —
+# same envelope as entity_resolution_part_names.
 # ---------------------------------------------------------------------------
 
 _FS_MIN_SCORE = 60
 
 _FS_ORACLE = f"""
 WITH p AS (
-  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+  SELECT MIN(p_partkey) AS rep_key,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         p_name, p_brand, p_type, p_size,
          CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
   FROM part
+  GROUP BY p_name, p_brand, p_type, p_size,
+           CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
 ),
 cand AS (
-  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+  SELECT a.rep_key AS key_a, b.rep_key AS key_b,
+         a.n_rows * b.n_rows AS n_pairs_represented,
          (10 - LEAST(levenshtein(a.p_name, b.p_name), 10)) * 5 AS w_name,
          CASE WHEN a.p_type = b.p_type THEN 30 ELSE 0 END AS w_type,
          CASE WHEN ABS(a.price_c - b.price_c) <= 100 THEN 20 ELSE 0 END AS w_price
   FROM p a JOIN p b
     ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-   AND a.p_partkey < b.p_partkey
+   AND a.rep_key < b.rep_key
 )
 SELECT key_a, key_b,
        CAST(w_name AS INT) AS w_name,
        CAST(w_type AS INT) AS w_type,
        CAST(w_price AS INT) AS w_price,
-       CAST(w_name + w_type + w_price AS INT) AS match_score
+       CAST(w_name + w_type + w_price AS INT) AS match_score,
+       CAST(n_pairs_represented AS BIGINT) AS n_pairs_represented
 FROM cand
 WHERE w_name + w_type + w_price >= {_FS_MIN_SCORE}
 """
@@ -1079,7 +1091,7 @@ WHERE w_name + w_type + w_price >= {_FS_MIN_SCORE}
 
 @register("er_weighted_field_agreement", oracle=_FS_ORACLE, tags=("L6", "L2", "J2"))
 def er_weighted_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = table(spark, sf_dir, "part").select(
+    raw = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         "p_brand",
@@ -1089,12 +1101,19 @@ def er_weighted_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_c"),
     )
+    # exact-dedup pre-pass: one representative per distinct field tuple,
+    # multiplicity carried as n_rows (the quadratic stage below then
+    # scales with record variety, not corpus volume)
+    p = raw.groupBy("p_name", "p_brand", "p_type", "p_size", "price_c").agg(
+        F.min("p_partkey").alias("rep_key"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
     a, b = p.alias("a"), p.alias("b")
     cand = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
         & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.rep_key") < F.col("b.rep_key")),
     )
     w_name = (
         F.lit(10)
@@ -1105,13 +1124,26 @@ def er_weighted_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("a.price_c") - F.col("b.price_c")) <= 100, 20
     ).otherwise(0)
     scored = cand.select(
-        F.col("a.p_partkey").alias("key_a"),
-        F.col("b.p_partkey").alias("key_b"),
+        F.col("a.rep_key").alias("key_a"),
+        F.col("b.rep_key").alias("key_b"),
         w_name.cast("int").alias("w_name"),
         w_type.cast("int").alias("w_type"),
         w_price.cast("int").alias("w_price"),
+        (F.col("a.n_rows") * F.col("b.n_rows"))
+        .cast("long")
+        .alias("n_pairs_represented"),
     )
     total = F.col("w_name") + F.col("w_type") + F.col("w_price")
-    return scored.withColumn("match_score", total.cast("int")).filter(
-        F.col("match_score") >= _FS_MIN_SCORE
+    return (
+        scored.withColumn("match_score", total.cast("int"))
+        .filter(F.col("match_score") >= _FS_MIN_SCORE)
+        .select(
+            "key_a",
+            "key_b",
+            "w_name",
+            "w_type",
+            "w_price",
+            "match_score",
+            "n_pairs_represented",
+        )
     )
