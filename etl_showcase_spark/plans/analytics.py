@@ -1774,3 +1774,84 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_cheaper").isNull() | (F.col("size") > F.col("max_cheaper")))
         & (F.col("size") == F.col("max_same"))
     ).select("p_partkey", "price_c", "size")
+
+
+# ---------------------------------------------------------------------------
+# G8/W4 CUSUM changepoint on the daily order volume ([EXT] — the
+# classic Page-style drift detector every ingest monitor runs: the
+# day where the cumulative deviation from the series mean peaks is
+# the most likely level-shift point. The float spelling (mean
+# subtraction) dies on cross-engine rounding, so deviations are
+# CROSS-MULTIPLIED into exact integers: d_i = c_i·D − T (D = number
+# of days, T = total orders) makes Σd_i a BIGINT running sum whose
+# argmax |·| is the changepoint; the normalized statistic divides
+# once at the end. The running sum and the argmax pick run on the
+# DAY-grain frame — calendar-bounded at any fact volume, the same
+# argument as revenue_max_drawdown.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS t FROM d),
+s AS (
+  SELECT day, c,
+         SUM(c * m.nd - m.t) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+         m.nd AS nd, m.t AS t
+  FROM d, m
+),
+pick AS (
+  SELECT day, c, cusum, nd, t,
+         ROW_NUMBER() OVER (ORDER BY ABS(cusum) DESC, day ASC) AS rn
+  FROM s
+)
+SELECT day AS changepoint_day,
+       c AS day_orders,
+       CAST(cusum AS BIGINT) AS cusum_peak,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(t AS BIGINT) AS total_orders,
+       CAST(ABS(cusum) AS DOUBLE) / (CAST(nd AS DOUBLE) * CAST(t AS DOUBLE))
+         AS cusum_stat
+FROM pick WHERE rn = 1
+"""
+
+
+@register("orders_volume_changepoint", oracle=_CUSUM_ORACLE, tags=("G8", "W4"))
+def orders_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("c").cast("long").alias("t"),
+    )
+    wrun = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "c",
+        "nd",
+        "t",
+        F.sum(F.col("c") * F.col("nd") - F.col("t")).over(wrun).alias("cusum"),
+    )
+    wpick = Window.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day"))
+    return (
+        s.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("c").alias("day_orders"),
+            F.col("cusum").cast("long").alias("cusum_peak"),
+            F.col("nd").alias("n_days"),
+            F.col("t").alias("total_orders"),
+            (
+                F.abs(F.col("cusum")).cast("double")
+                / (F.col("nd").cast("double") * F.col("t").cast("double"))
+            ).alias("cusum_stat"),
+        )
+    )

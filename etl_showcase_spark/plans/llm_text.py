@@ -1805,3 +1805,95 @@ def boilerplate_ngram_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= _BOILER_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 IDF-weighted near-dup ([EXT] — unweighted Jaccard lets common
+# boilerplate shingles vote as loudly as distinctive content; the
+# standard upgrade weights each shingle by its inverse document
+# frequency so two documents sharing RARE material score high. A float
+# idf would break cross-engine hashing, so the weight is the integer
+# idf BIT COUNT w(g) = LENGTH(bin(N div df(g))) — same fixed-point
+# log2 machinery as unigram_lm_surprisal — and weighted Jaccard
+# = W(A∩B) / W(A∪B) stays a rational of exact integers; the keep
+# predicate is the cross-multiplication 100·w_inter >= 5·w_union
+# (threshold 0.05, matching ngram_jaccard_neardup) and the reported
+# score is one double division. Same inverted-index envelope as the
+# unweighted query: df >= 100 hot-shingle cut BEFORE pairing, weights
+# attached in the same g-keyed shuffle the self-join already pays.
+# ---------------------------------------------------------------------------
+
+_WJ_DF_MAX, _WJ_THR_PCT = 100, 5
+
+_WJACCARD_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+post0 AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM post0),
+dfw AS (
+  SELECT g, CAST(LENGTH(bin(nd.n_docs // COUNT(*))) AS BIGINT) AS w
+  FROM post0, nd GROUP BY g, nd.n_docs
+  HAVING COUNT(*) < {_WJ_DF_MAX}
+),
+post AS (SELECT p.doc_id, p.g, d.w FROM post0 p JOIN dfw d ON p.g = d.g),
+sz AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wn FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.w) AS BIGINT) AS w_inter
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.w_inter,
+       CAST(x.wn + y.wn - i.w_inter AS BIGINT) AS w_union,
+       CAST(i.w_inter AS DOUBLE) / (x.wn + y.wn - i.w_inter) AS wjaccard
+FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+WHERE 100 * i.w_inter >= {_WJ_THR_PCT} * (x.wn + y.wn - i.w_inter)
+"""
+
+
+@register("weighted_jaccard_neardup", oracle=_WJACCARD_ORACLE, tags=("L2", "L4"))
+def weighted_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    post0 = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(textops.shingles(textops.tokens("text"), 3))
+            ).alias("g"),
+        )
+        .transform(tracked_persist)
+    )
+    nd = post0.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    dfw = (
+        post0.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") < _WJ_DF_MAX)
+        .crossJoin(F.broadcast(nd))
+        .select("g", F.length(F.bin(F.expr("n_docs div __df"))).cast("long").alias("w"))
+    )
+    post = post0.join(dfw, "g").transform(tracked_persist)
+    sz = post.groupBy("doc_id").agg(F.sum("w").cast("long").alias("wn"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum("a.w").cast("long").alias("w_inter"))
+    )
+    x = sz.select(F.col("doc_id").alias("id_a"), F.col("wn").alias("wn_a"))
+    y = sz.select(F.col("doc_id").alias("id_b"), F.col("wn").alias("wn_b"))
+    joined = inter.join(x, "id_a").join(y, "id_b")
+    union = F.col("wn_a") + F.col("wn_b") - F.col("w_inter")
+    return (
+        joined.filter(100 * F.col("w_inter") >= _WJ_THR_PCT * union)
+        .select(
+            "id_a",
+            "id_b",
+            "w_inter",
+            union.cast("long").alias("w_union"),
+            (F.col("w_inter").cast("double") / union).alias("wjaccard"),
+        )
+    )
