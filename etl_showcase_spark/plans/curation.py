@@ -1147,3 +1147,79 @@ def er_weighted_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pairs_represented",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L7 graph analytics, part 5: k-CORE decomposition of the co-purchase
+# graph ([EXT] — the node-grain sibling of the k-truss edge peel:
+# iteratively delete NODES with degree < k; what survives is the
+# maximal subgraph of minimum degree k, the standard "dense blob"
+# extraction for community seeding and spam/fraud cores). Same
+# fixed-round discipline as ktruss_core_copurchase: the registered
+# query runs exactly 6 peel rounds so the oracle can UNROLL them —
+# degree→keep→semi-join blocks with AS MATERIALIZED (each round reads
+# the previous edge set three times; inlined CTEs would expand
+# 3^rounds scans) — while Spark runs the identical rounds with a
+# localCheckpoint truncating lineage per round. On this corpus k=80
+# cascades for 5 rounds and reaches its fixpoint within the 6 (e5 ==
+# e6, so the result IS the 80-core); elsewhere it is the documented
+# 6-round peel. At 100 TB: per round, one node-keyed degree agg and
+# two semi joins — no quadratic stage anywhere.
+# ---------------------------------------------------------------------------
+
+_CORE_K = 80
+_CORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    blocks = []
+    prev = "e0"
+    for r in range(_CORE_ROUNDS):
+        blocks.append(f"""
+deg{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY node
+),
+keep{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE d >= {_CORE_K}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  SEMI JOIN keep{r} ka ON e.u = ka.node
+  SEMI JOIN keep{r} kb ON e.v = kb.node
+)""")
+        prev = f"e{r + 1}"
+    return f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),{",".join(blocks)}
+SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT u AS node FROM e{_CORE_ROUNDS} UNION ALL SELECT v FROM e{_CORE_ROUNDS})
+GROUP BY node
+"""
+
+
+@register("kcore_copurchase", oracle=_kcore_oracle(), tags=("L7", "J2", "G6"))
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    for _ in range(_CORE_ROUNDS):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _CORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy(F.col("node").alias("part_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -163,3 +163,39 @@ def test_weighted_jaccard_matches_bruteforce(spark):
         for r in weighted_jaccard_neardup(spark, SF).collect()
     }
     assert got == expected and got
+
+
+def test_kcore_matches_python_peel(spark):
+    from etl_showcase_spark.plans.curation import (
+        _CORE_K,
+        _CORE_ROUNDS,
+        kcore_copurchase,
+    )
+
+    orders = _col("lineitem", "l_orderkey")
+    parts = _col("lineitem", "l_partkey")
+    baskets: dict[int, set[int]] = {}
+    for o, p in zip(orders, parts):
+        baskets.setdefault(o, set()).add(p)
+    edges = {
+        (a, b)
+        for items in baskets.values()
+        for a in items
+        for b in items
+        if a < b
+    }
+    for _ in range(_CORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= _CORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    expected: dict[int, int] = {}
+    for a, b in edges:
+        expected[a] = expected.get(a, 0) + 1
+        expected[b] = expected.get(b, 0) + 1
+    got = {r.part_key: r.core_degree for r in kcore_copurchase(spark, SF).collect()}
+    # equality holds whether or not the smoke-scale graph has an
+    # 80-core at all (at sf0.001 it usually peels to empty)
+    assert got == expected
