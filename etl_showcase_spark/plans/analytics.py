@@ -1709,15 +1709,18 @@ def event_value_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # size in all STRICTLY CHEAPER buckets (bucket-grain window — the
 # frame is #buckets-sized, broadcast back), and rows at or below that
 # running max are provably dominated and dropped WITHOUT any global
-# sort of the fact table; (2) the exact frontier condition runs on the
-# surviving candidates via a RANGE window (strictly-cheaper running
-# max) plus a same-price group max. Duplicates (same price AND size)
+# sort of the fact table; (2) the exact frontier condition collapses
+# the candidates to the PRICE GRAIN (one keyed agg: max size per
+# exact price), takes the strictly-cheaper running max on that frame
+# — bounded by the PRICE DOMAIN (distinct cent values), not data
+# volume, the same boundedness class as the day-grain windows — and
+# broadcasts it back, so no data-sized frame ever enters a global
+# window even in the all-points-on-frontier worst case. A row is on
+# the frontier iff its size beats every strictly-cheaper price's max
+# AND equals its own price's max. Duplicates (same price AND size)
 # are both kept — neither dominates, nothing is strict. The DuckDB
 # oracle uses the INDEPENDENT quadratic NOT EXISTS spelling, so the
 # window algebra is cross-checked against the definition itself.
-# Worst case every point is on the frontier (candidate prune removes
-# nothing) — inherent to the skyline, noted, and irrelevant to the
-# common monotone-ish distributions the prune is built for.
 # ---------------------------------------------------------------------------
 
 _PARETO_ORACLE = """
@@ -1760,16 +1763,17 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cheaper_bucket_max").isNull()
         | (F.col("size") > F.col("cheaper_bucket_max"))
     )
-    # stage 2: exact frontier on the pruned candidates
-    wlt = Window.orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
-    weq = Window.partitionBy("price_c")
-    scored = cand.select(
-        "p_partkey",
+    # stage 2: exact frontier via the price-grain frame — one keyed agg,
+    # a running max over the (price-domain-bounded) distinct-price
+    # table, broadcast back to the candidates
+    pm = cand.groupBy("price_c").agg(F.max("size").alias("max_same"))
+    wlt = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    grain = pm.select(
         "price_c",
-        "size",
-        F.max("size").over(wlt).alias("max_cheaper"),
-        F.max("size").over(weq).alias("max_same"),
+        "max_same",
+        F.max("max_same").over(wlt).alias("max_cheaper"),
     )
+    scored = cand.join(F.broadcast(grain), "price_c")
     return scored.filter(
         (F.col("max_cheaper").isNull() | (F.col("size") > F.col("max_cheaper")))
         & (F.col("size") == F.col("max_same"))
