@@ -354,3 +354,39 @@ def with_global_row_number(
         .withColumnRenamed("__rank", out_col)
         .drop("__n")
     )
+
+
+def with_global_running_sum(
+    df: DataFrame, order: Sequence[Column], value_col: str, out_col: str
+) -> DataFrame:
+    """Global running SUM(value) over a total order, distributed — the
+    cumulative-share primitive (Pareto/ABC banding, Lorenz curves)
+    freed from the single-reducer window. Same machinery and contract
+    as _with_global_rank: range-partition on the total order, local
+    running sum per partition, lift by broadcast per-partition prefix
+    sums; ``order`` must be a total order (include a tie-break) for
+    bit-identical parity with the partition-less window spelling.
+    """
+    ranked = (
+        df.repartitionByRange(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .transform(tracked_persist)
+    )
+    sums = ranked.groupBy("__pid").agg(F.sum(value_col).alias("__psum"))
+    # one row per shuffle partition — tiny forever (same argument as
+    # _with_global_rank's counts frame)
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sums.select(
+        "__pid",
+        F.coalesce(F.sum("__psum").over(woff), F.lit(0)).alias("__off"),
+    )
+    local = F.sum(value_col).over(
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranked.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__off") + local)
+        .drop("__pid", "__off")
+    )

@@ -1575,12 +1575,13 @@ def revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the canonical "cumulative share with exact money" window op).
 # Revenue accumulates as exact quarter-cent integers (DECIMAL(12,2)
 # product has scale 4 — ×10000 keeps it integral), the running total
-# is an integer window sum, and the class thresholds are integer
-# cross-multiplications (cum·100 <= 80·total), so the whole banding
-# is division-free; the reported share is ONE double division. The
-# global window runs over the SUPPLIER-grain frame — dimension-
-# bounded at any fact volume (same argument as revenue_max_drawdown's
-# day grain).
+# comes from the DISTRIBUTED global running sum
+# (operators/relational.py:with_global_running_sum — range partition
+# on the total order, local cumsum, broadcast prefix sums; no
+# single-reducer window even for an unbounded supplier dimension),
+# and the class thresholds are integer cross-multiplications
+# (cum·100 <= 80·total), so the whole banding is division-free; the
+# reported share is ONE double division.
 # ---------------------------------------------------------------------------
 
 _ABC_ORACLE = """
@@ -1613,23 +1614,17 @@ FROM w
 
 @register("abc_supplier_classification", oracle=_ABC_ORACLE, tags=("W4", "G8", "G4"))
 def abc_supplier_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.relational import with_global_running_sum
 
     li = table(spark, sf_dir, "lineitem")
     rev = dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
     r = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         (F.sum(rev) * 10000).cast("long").alias("rev_c4")
     )
-    wrun = Window.orderBy(F.desc("rev_c4"), F.asc("suppkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    w = r.select(
-        "suppkey",
-        "rev_c4",
-        F.sum("rev_c4").over(wrun).alias("cum_c4"),
-        F.sum("rev_c4").over(wall).alias("total_c4"),
-    )
+    total = r.agg(F.sum("rev_c4").alias("total_c4"))
+    w = with_global_running_sum(
+        r, [F.desc("rev_c4"), F.asc("suppkey")], "rev_c4", "cum_c4"
+    ).crossJoin(F.broadcast(total))
     cum, tot = F.col("cum_c4"), F.col("total_c4")
     return w.select(
         "suppkey",

@@ -295,3 +295,33 @@ def test_with_global_ntile_matches_python_ntile(spark, vals, tiles):
             expect[k] = b
         pos += size
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_global_running_sum_matches_single_reducer(spark, rows):
+    from pyspark.sql.window import Window
+
+    from etl_showcase_spark.operators.relational import with_global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    got = {
+        r.id: r.cum
+        for r in with_global_running_sum(
+            df, [F.asc("k"), F.asc("id")], "v", "cum"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("k"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    expected = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == expected
