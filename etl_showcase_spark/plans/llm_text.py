@@ -1897,3 +1897,63 @@ def weighted_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w_inter").cast("double") / union).alias("wjaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 × L2 leakage-safe train/test split ([EXT] — the correctness trap
+# in every eval pipeline: a doc-level hash split puts near-duplicate
+# documents on OPPOSITE sides, leaking test content into training.
+# The fix is to assign the split at the near-dup CLUSTER grain: the
+# md5 draw is taken on cluster_id, so every member of a cluster lands
+# on the same side by construction. Built on the canonical star-edge
+# cluster membership (same frame as neardup_clusters_scalable); the
+# oracle nests that query's full DuckDB replay — signatures, banding,
+# verify, recursive closure — then applies the same split predicate.
+# The output also carries the doc-level naive split and a per-cluster
+# naive_would_leak flag (cluster members straddling naive sides),
+# making the prevented leakage itself an auditable, hash-checked
+# column. At 100 TB: clustering cost is the star-edge path's; the
+# split adds one md5 per row and one cluster-keyed window.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SAFE_ORACLE = f"""
+WITH m AS ({_scalable_clusters_oracle()})
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) < '4'
+            THEN 'test' ELSE 'train' END AS split,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+            THEN 'test' ELSE 'train' END AS naive_split,
+       MIN(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                THEN 'test' ELSE 'train' END)
+         OVER (PARTITION BY cluster_id)
+       <> MAX(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                   THEN 'test' ELSE 'train' END)
+         OVER (PARTITION BY cluster_id) AS naive_would_leak
+FROM m
+"""
+
+
+@register("leakage_safe_split", oracle=_SPLIT_SAFE_ORACLE, tags=("L6", "L2"))
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    m = _star_edge_cluster_membership(spark, sf_dir)
+    naive = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4", "test"
+    ).otherwise("train")
+    wclu = Window.partitionBy("cluster_id")
+    return m.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.when(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1) < "4",
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+        naive.alias("naive_split"),
+        (F.min(naive).over(wclu) != F.max(naive).over(wclu)).alias(
+            "naive_would_leak"
+        ),
+    )
