@@ -199,3 +199,25 @@ def test_kcore_matches_python_peel(spark):
     # equality holds whether or not the smoke-scale graph has an
     # 80-core at all (at sf0.001 it usually peels to empty)
     assert got == expected
+
+
+def test_bitlen_log2_lemma():
+    """The fixed-point log2 identity behind unigram_lm_surprisal,
+    pmi_collocation_bits, and weighted_jaccard_neardup:
+    LENGTH(bin(num div den)) - 1 == floor(log2(num/den)) for
+    num >= den >= 1. Verified against the exact integer definition
+    (2^k <= num/den < 2^(k+1)  <=>  den<<k <= num < den<<(k+1)),
+    no floats involved.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(num=st.integers(1, 10**15), den=st.integers(1, 10**15))
+    @settings(max_examples=300, deadline=None)
+    def check(num, den):
+        if num < den:
+            num, den = den, num
+        k = (num // den).bit_length() - 1
+        assert (den << k) <= num < (den << (k + 1))
+
+    check()
