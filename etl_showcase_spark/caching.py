@@ -23,12 +23,18 @@ frame an in-flight plan still references only costs recompute.
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 
 from pyspark.sql import DataFrame
 
 _TRACKED: deque[DataFrame] = deque()
 _CAP = 32
+# A streaming job and a batch build may call tracked_persist from
+# different threads; the dedupe scan iterates the deque, so every
+# mutation and scan happens under this lock (iterating a deque while
+# another thread appends raises RuntimeError).
+_LOCK = threading.Lock()
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -41,16 +47,20 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     is a dedupe no-op (sameSemantics scan over the ≤_CAP tracked
     frames)."""
     out = df.persist()
-    for t in _TRACKED:
+    evict: list[DataFrame] = []
+    with _LOCK:
+        for t in _TRACKED:
+            try:
+                if out.sameSemantics(t):
+                    return out
+            except Exception:  # plan not comparable — treat as distinct
+                pass
+        _TRACKED.append(out)
+        while len(_TRACKED) > _CAP:
+            evict.append(_TRACKED.popleft())
+    for t in evict:  # unpersist outside the lock (JVM round-trip)
         try:
-            if out.sameSemantics(t):
-                return out
-        except Exception:  # plan not comparable — treat as distinct
-            pass
-    _TRACKED.append(out)
-    while len(_TRACKED) > _CAP:
-        try:
-            _TRACKED.popleft().unpersist(False)
+            t.unpersist(False)
         except Exception:  # session already stopped — nothing to release
             pass
     return out
@@ -58,8 +68,11 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 
 def release_all() -> None:
     """Unpersist every tracked cache (harness boundary between queries)."""
-    while _TRACKED:
+    with _LOCK:
+        evict = list(_TRACKED)
+        _TRACKED.clear()
+    for t in evict:
         try:
-            _TRACKED.popleft().unpersist(False)
+            t.unpersist(False)
         except Exception:
             pass

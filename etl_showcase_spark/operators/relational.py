@@ -366,7 +366,19 @@ def with_global_running_sum(
     running sum per partition, lift by broadcast per-partition prefix
     sums; ``order`` must be a total order (include a tie-break) for
     bit-identical parity with the partition-less window spelling.
+
+    ``value_col`` must be an EXACT numeric type (integral or decimal):
+    the per-partition SUM + broadcast prefix offsets reassociate
+    additions, so bit parity with the single-window spelling only holds
+    when addition is associative — float/double callers are rejected.
     """
+    vtype = df.schema[value_col].dataType.typeName()
+    if vtype in ("float", "double"):
+        raise TypeError(
+            f"with_global_running_sum requires an exact numeric value_col; "
+            f"{value_col!r} is {vtype} (reassociated float addition breaks "
+            f"bit parity) — cast to decimal first"
+        )
     ranked = (
         df.repartitionByRange(*order)
         .withColumn("__pid", F.spark_partition_id())

@@ -1305,7 +1305,10 @@ def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(textops.tokens(F.col("text"))).alias("term"))
     tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    joined = tok.join(F.broadcast(tc), "term")
+    # no broadcast hint: a web-scale vocabulary can exceed the 8 GB
+    # broadcast hard limit — let AQE broadcast when the stats allow and
+    # degrade to a shuffle join when they don't
+    joined = tok.join(tc, "term")
     rare = F.when(F.col("c") <= _RARE_MAX_COUNT, 1)
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1412,8 +1415,10 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — integer-exact in both engines (N >= c >= 1 always)
     bits = (F.length(F.bin(F.expr("total div c"))) - F.lit(1)).alias("bits")
     s = tc.crossJoin(F.broadcast(total)).select("term", bits)
+    # vocabulary-sized s: no broadcast hint (8 GB hard limit at web
+    # scale) — AQE picks broadcast vs shuffle from runtime stats
     return (
-        tok.join(F.broadcast(s), "term")
+        tok.join(s, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -1956,4 +1961,135 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(naive).over(wclu) != F.max(naive).over(wclu)).alias(
             "naive_would_leak"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 weighted-Jaccard, BANDED scale path ([EXT] — the scale companion
+# to weighted_jaccard_neardup above). The inverted-index envelope is
+# exact but its candidate set is |postings|² per shingle; at corpus
+# scale the standard fix is MinHash-LSH banding: candidates come from
+# md5 band-bucket collisions (O(n·bands) emission, the same
+# _md5_banded stage the minhash family already proves), and only
+# those candidates pay the weighted verify. Verification is the SAME
+# integer-idf weighted Jaccard as the exact query (bit-count weights,
+# cross-multiplied threshold, one final double division), so the
+# DuckDB oracle replays the ENTIRE pipeline — signatures, band keys,
+# candidate pairs, idf weights, verify — hash-exact. Semantics:
+# "near-dup pairs the LSH recalls", deterministic in both engines;
+# the exact twin remains the recall reference.
+# At 100 TB: signature math is per-row, banding emission O(n·bands),
+# the bucket self-join is bounded by band-bucket density, and the
+# verify joins are candidate-keyed — no |postings|² stage anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _wjaccard_banded_oracle() -> str:
+    sig_cols, band_selects = _md5_sig_band_sql()
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+post0 AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM post0),
+dfw AS (
+  SELECT g, CAST(LENGTH(bin(nd.n_docs // COUNT(*))) AS BIGINT) AS w
+  FROM post0, nd GROUP BY g, nd.n_docs
+  HAVING COUNT(*) < {_WJ_DF_MAX}
+),
+post AS (SELECT p.doc_id, p.g, d.w FROM post0 p JOIN dfw d ON p.g = d.g),
+sz AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wn FROM post GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(pa.w) AS BIGINT) AS w_inter
+  FROM cand c
+  JOIN post pa ON pa.doc_id = c.id_a
+  JOIN post pb ON pb.doc_id = c.id_b AND pb.g = pa.g
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.w_inter,
+       CAST(x.wn + y.wn - i.w_inter AS BIGINT) AS w_union,
+       CAST(i.w_inter AS DOUBLE) / (x.wn + y.wn - i.w_inter) AS wjaccard
+FROM inter i JOIN sz x ON i.id_a = x.doc_id JOIN sz y ON i.id_b = y.doc_id
+WHERE 100 * i.w_inter >= {_WJ_THR_PCT} * (x.wn + y.wn - i.w_inter)
+"""
+
+
+@register(
+    "weighted_jaccard_banded_neardup", oracle=_wjaccard_banded_oracle(), tags=("L2", "L4")
+)
+def weighted_jaccard_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _md5_banded
+
+    d = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    base = (
+        d.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        .repartition(n_part, F.col("__id"))
+        .select(
+            "__id",
+            F.array_distinct(textops.shingles(textops.tokens(F.col("__t")), 3)).alias(
+                "__sh"
+            ),
+        )
+        .filter(F.size("__sh") >= 1)
+        .transform(tracked_persist)  # banding + both verify posting sides
+    )
+    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS)
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    post0 = base.select("__id", F.explode("__sh").alias("g"))
+    nd = post0.agg(F.countDistinct("__id").cast("long").alias("n_docs"))
+    dfw = (
+        post0.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") < _WJ_DF_MAX)
+        .crossJoin(F.broadcast(nd))
+        .select("g", F.length(F.bin(F.expr("n_docs div __df"))).cast("long").alias("w"))
+    )
+    post = post0.join(dfw, "g").transform(tracked_persist)
+    sz = post.groupBy("__id").agg(F.sum("w").cast("long").alias("wn"))
+    inter = (
+        cand.join(
+            post.select(F.col("__id").alias("id_a"), "g", "w"), "id_a"
+        )
+        .join(post.select(F.col("__id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w").cast("long").alias("w_inter"))
+    )
+    x = sz.select(F.col("__id").alias("id_a"), F.col("wn").alias("wn_a"))
+    y = sz.select(F.col("__id").alias("id_b"), F.col("wn").alias("wn_b"))
+    joined = inter.join(x, "id_a").join(y, "id_b")
+    union = F.col("wn_a") + F.col("wn_b") - F.col("w_inter")
+    return joined.filter(100 * F.col("w_inter") >= _WJ_THR_PCT * union).select(
+        "id_a",
+        "id_b",
+        "w_inter",
+        union.cast("long").alias("w_union"),
+        (F.col("w_inter").cast("double") / union).alias("wjaccard"),
     )

@@ -379,6 +379,8 @@ def stream_user_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def update_ewma(key, pdfs, state):
         # self-contained (pickled by value): no references to this module
+        import math
+
         import pandas as pd
 
         if state.exists:
@@ -392,7 +394,10 @@ def stream_user_ewma_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(df):
             df = df.sort_values(["ts", "event_id"])
             for v in df["value"].to_numpy():
-                cents = int(v * 100 + 0.5)  # same floor(v*100+0.5), v >= 0
+                # math.floor, not int(): int truncates toward zero, so
+                # the two spellings diverge for v < 0 — floor matches
+                # the batch twin's F.floor(value*100 + 0.5) for any sign
+                cents = math.floor(v * 100 + 0.5)
                 ewma = cents if ewma is None else (ewma + cents) >> 1
                 n += 1
         state.update((n, -1 if ewma is None else ewma))
