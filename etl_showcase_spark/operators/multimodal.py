@@ -855,3 +855,79 @@ def ahash_ppm(df: DataFrame, grid: int = 8, media_col: str = "media") -> DataFra
             )
 
     return df.select("doc_id", media_col).mapInPandas(run, out_schema)
+
+
+def png_roundtrip_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoder-side codec pin: build the deterministic text-tiled pixel
+    matrix (same doc_id rule as attach_ppm_media/attach_png_media),
+    ENCODE it to a PNG container, DECODE the container back, and emit
+    the md5 of the post-roundtrip pixel bytes plus the count of
+    distinct scanline filter types actually present in the container
+    (read by an independent chunk walk, not taken from the encoder).
+
+    The md5 is what pins the ENCODER: the SQL oracle rebuilds the
+    pre-encode bytes from the parquet text column alone, so the hashes
+    only match if encode∘decode is the identity on every payload. A
+    roundtrip mismatch additionally raises inside the stage (loud,
+    not a silently-false audit column). One fused mapInPandas stage —
+    full-resolution pixels and containers never leave the worker."""
+    import hashlib
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, width INT, height INT, pixel_md5 STRING, n_filter_types INT"
+    )
+    enc, parse = _encode_png, _parse_png  # closure capture: ship by value
+
+    def _container_filters(payload: bytes, w: int, h: int) -> int:
+        # independent walk: signature, chunk scan, IDAT reassembly,
+        # inflate, first byte of each scanline = its filter type
+        pos, idat = 8, bytearray()
+        while pos < len(payload):
+            (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            if typ == b"IDAT":
+                idat += payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(bytes(idat))
+        stride = w * 3
+        return len({raw[y * (stride + 1)] for y in range(h)})
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            ws, hs, md5s, nf = [], [], [], []
+            for did, txt in zip(ids, pdf[text_col]):
+                w = 8 + int(did) % 9
+                h = 6 + int(did) % 5
+                body = (txt or "").encode("utf-8")
+                need = w * h * 3
+                if body:
+                    reps = -(-need // len(body))
+                    pix = (body * reps)[:need]
+                else:
+                    pix = bytes(need)
+                payload = enc(np.frombuffer(pix, dtype=np.uint8).reshape(h, w, 3))
+                dw, dh, dec = parse(payload)
+                out = dec.tobytes()
+                if (dw, dh) != (w, h) or out != pix:
+                    raise ValueError(f"png roundtrip mismatch for doc {did}")
+                ws.append(w)
+                hs.append(h)
+                md5s.append(hashlib.md5(out).hexdigest())
+                nf.append(_container_filters(payload, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": np.asarray(ws, dtype="int32"),
+                    "height": np.asarray(hs, dtype="int32"),
+                    "pixel_md5": md5s,
+                    "n_filter_types": np.asarray(nf, dtype="int32"),
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, out_schema)

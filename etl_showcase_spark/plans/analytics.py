@@ -1746,6 +1746,13 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         F.col("p_size").cast("long").alias("size"),
     )
+    # bounded-domain precondition: the stage-2 window frame is keyed by
+    # price_c, so its size is the DISTINCT-PRICE domain — bounded only
+    # because the grain is quantized to integer cents above. A
+    # continuous (float/double) grain would silently make that frame
+    # data-sized; this check makes the misuse loud instead.
+    if dict(p.dtypes)["price_c"] not in ("bigint", "int"):
+        raise TypeError("skyline price grain must be quantized to an integer domain")
     # stage 1: bucket-grain prune — max size per 10-dollar price bucket,
     # running max over strictly cheaper buckets (bounded bucket frame)
     p = p.withColumn("bucket", F.expr("price_c div 1000"))

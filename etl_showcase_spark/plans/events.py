@@ -554,11 +554,11 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = s.select(
         F.concat_ws(">", "event_type", "__e2", "__e3").alias("path")
     ).groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    # global top-k as TakeOrdered (orderBy+limit) — see
+    # token_cooccurrence_pairs; the rank window then runs on <= 20 rows
+    topk = counted.orderBy(F.desc("n_paths"), F.asc("path")).limit(20)
     wr = Window.orderBy(F.desc("n_paths"), F.asc("path"))
-    return (
-        counted.withColumn("rnk", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rnk") <= 20)
-    )
+    return topk.withColumn("rnk", F.row_number().over(wr).cast("int"))
 
 
 # ---------------------------------------------------------------------------

@@ -1216,11 +1216,15 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    # global top-k as TakeOrdered (orderBy+limit), not a partition-less
+    # row_number window: plan-shape-independent of the WindowGroupLimit
+    # rewrite — only k rows ever reach one place. The rank column is
+    # then a window over the ALREADY-k-row frame (bounded by k).
+    topk = pairs.orderBy(
+        F.desc("n_docs"), F.asc("term_a"), F.asc("term_b")
+    ).limit(_COOC_TOP)
     wr = Window.orderBy(F.desc("n_docs"), F.asc("term_a"), F.asc("term_b"))
-    return (
-        pairs.withColumn("rnk", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rnk") <= _COOC_TOP)
-    )
+    return topk.withColumn("rnk", F.row_number().over(wr).cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -2092,4 +2096,187 @@ def weighted_jaccard_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFra
         "w_inter",
         union.cast("long").alias("w_union"),
         (F.col("w_inter").cast("double") / union).alias("wjaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 frequent terms via Misra-Gries + exact verify ([EXT] — the
+# sketch-then-verify scale pattern: at 100 TB a full token groupBy is
+# a vocabulary-sized shuffle, but the heavy hitters (count > n/k) fit
+# in O(k) memory per partition. Stage 1 runs the Misra-Gries counter
+# fold (256 counters) inside one mapInPandas pass — per-partition
+# state, value_counts-vectorized batches, decrement-by-minimum
+# maintaining the MG invariant, so every term with LOCAL count >
+# local_n/257 survives its partition's summary; by averaging, every
+# GLOBAL heavy hitter (count·200 > n, and 200 < 257) is in the
+# candidate union regardless of partitioning. Stage 2 exactly
+# recounts ONLY the candidates (semi join + keyed agg — a k-bounded
+# shuffle, not vocabulary-sized) and applies the exact
+# cross-multiplied threshold. The sketch choses candidates; the
+# EXACT filter decides — so the output is deterministic and
+# partitioning-independent, which is what lets a sketch-stage query
+# carry a full value-hash oracle (the plain HAVING spelling below).
+# ---------------------------------------------------------------------------
+
+_HH_K = 200  # heavy-hitter threshold: count * _HH_K > total tokens
+_HH_COUNTERS = 256  # MG counters per partition; must be >= _HH_K
+
+_FREQUENT_TERMS_ORACLE = f"""
+WITH tok AS (SELECT UNNEST({_SQL_TOKS}) AS term FROM documents),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM tok GROUP BY term),
+n AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total FROM tc)
+SELECT term, n_occurrences, n.total AS total_tokens,
+       CAST(n_occurrences AS DOUBLE) / n.total AS share
+FROM tc, n WHERE n_occurrences * {_HH_K} > n.total
+"""
+
+
+@register("frequent_terms_exact", oracle=_FREQUENT_TERMS_ORACLE, tags=("L4", "G10"))
+def frequent_terms_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens(F.col("text"))).alias("term")).transform(
+        tracked_persist  # consumed by the MG pass AND the exact recount
+    )
+    n_counters = _HH_COUNTERS
+
+    def mg(batches):
+        # per-PARTITION Misra-Gries state (the generator spans every
+        # Arrow batch of one partition); self-contained for pickling
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            while len(counters) > n_counters:
+                m = min(counters.values())
+                counters = {t: c - m for t, c in counters.items() if c > m}
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = tok.mapInPandas(mg, "term string").distinct()
+    counted = (
+        tok.join(cand, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * _HH_K > F.col("total"))
+        .select(
+            "term",
+            "n_occurrences",
+            F.col("total").alias("total_tokens"),
+            (F.col("n_occurrences").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 × L6 importance-resampling weights ([EXT] — the DSIR-style data
+# selection signal (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling", public): score each document by
+# how much more likely its tokens are under a TARGET distribution
+# (here: the lang='en' slice) than under the raw corpus distribution.
+# The log-ratio Σ log2(p_tgt/p_raw) is carried in WHOLE BITS with the
+# same libm-free machinery as unigram_lm_surprisal — per-term
+# surprisal floor(log2((N+V)/(c+1))) under each distribution (add-one
+# smoothing keeps unseen-in-target terms finite), importance = raw
+# bits − target bits. Whole-bit quantization flattens sub-bit ratios
+# (documented trade: on this synthetic corpus the per-language
+# separation is small but correctly ordered, en on top) — the point
+# is the SHAPE: two keyed count tables + one broadcast stats row +
+# one doc-keyed agg, no floats until the final per-token division.
+# ---------------------------------------------------------------------------
+
+_IS_TARGET_LANG = "en"
+
+_IMPORTANCE_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, UNNEST({_SQL_TOKS}) AS term FROM documents),
+ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_all FROM tok GROUP BY term),
+ct AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c_tgt FROM tok
+       WHERE lang = '{_IS_TARGET_LANG}' GROUP BY term),
+st AS (
+  SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+         CAST(COUNT(*) AS BIGINT) AS v,
+         (SELECT CAST(COALESCE(SUM(c_tgt), 0) AS BIGINT) FROM ct) AS n_tgt
+  FROM ca
+),
+tb AS (
+  SELECT ca.term,
+         CAST(LENGTH(bin((st.n_tgt + st.v) // (COALESCE(ct.c_tgt, 0) + 1))) - 1
+              AS BIGINT) AS bits_t,
+         CAST(LENGTH(bin((st.n_all + st.v) // (ca.c_all + 1))) - 1
+              AS BIGINT) AS bits_a
+  FROM ca LEFT JOIN ct ON ca.term = ct.term, st
+)
+SELECT t.doc_id,
+       MIN(t.lang) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tb.bits_t) AS BIGINT) AS target_bits,
+       CAST(SUM(tb.bits_a) AS BIGINT) AS corpus_bits,
+       CAST(SUM(tb.bits_a - tb.bits_t) AS BIGINT) AS importance_bits,
+       CAST(SUM(tb.bits_a - tb.bits_t) AS DOUBLE) / COUNT(*)
+         AS importance_per_token
+FROM tok t JOIN tb ON t.term = tb.term
+GROUP BY t.doc_id
+"""
+
+
+@register("importance_sampling_bits", oracle=_IMPORTANCE_ORACLE, tags=("L4", "L6"))
+def importance_sampling_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(textops.tokens(F.col("text"))).alias("term")
+    ).transform(tracked_persist)  # term counts (x2) + the scoring join
+    ca = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_all"))
+    ct = (
+        tok.filter(F.col("lang") == _IS_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    st = (
+        ca.agg(
+            F.sum("c_all").cast("long").alias("n_all"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        .crossJoin(ct.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("n_tgt")))
+    )
+    tb = (
+        ca.join(ct, "term", "left")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "term",
+            (
+                F.length(
+                    F.bin(
+                        F.expr("(n_tgt + v) div (coalesce(c_tgt, 0) + 1)")
+                    )
+                )
+                - 1
+            )
+            .cast("long")
+            .alias("bits_t"),
+            (F.length(F.bin(F.expr("(n_all + v) div (c_all + 1)"))) - 1)
+            .cast("long")
+            .alias("bits_a"),
+        )
+    )
+    # vocabulary-sized tb: no broadcast hint (AQE decides)
+    return (
+        tok.join(tb, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits_t").cast("long").alias("target_bits"),
+            F.sum("bits_a").cast("long").alias("corpus_bits"),
+            F.sum(F.col("bits_a") - F.col("bits_t")).cast("long").alias(
+                "importance_bits"
+            ),
+            (
+                F.sum(F.col("bits_a") - F.col("bits_t")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("importance_per_token"),
+        )
     )

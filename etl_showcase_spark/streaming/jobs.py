@@ -216,6 +216,46 @@ def _drain_replay(result: DataFrame, name: str, mode: str = "complete") -> DataF
     return spark.table(last_with_input)
 
 
+def _drain_replay_union(result: DataFrame, name: str, mode: str = "update") -> DataFrame:
+    """Like _drain_replay, but returns the FULL cross-restart emission
+    log. Required for update-mode stateful outputs: each availableNow
+    restart only emits keys whose state changed in THAT chunk, so the
+    final state is the latest emission per key over the whole log. The
+    memory sink cannot recover an update-mode query from a checkpoint,
+    so each run appends its emissions to one parquet log via
+    foreachBatch (an at-least-once log: a crash between sink write and
+    offset commit could duplicate a batch's rows, but emissions are
+    full per-key state, so any latest-per-key / identical-duplicate
+    consumer is unaffected)."""
+    import tempfile
+
+    spark = result.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    outdir = tempfile.mkdtemp(prefix=f"{name}_log_") + "/log"
+    schema = result.schema
+
+    def _append(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("append").parquet(outdir)
+
+    for _ in range(10_000):
+        q = (
+            result.writeStream.foreachBatch(_append)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not any(p["numInputRows"] for p in q.recentProgress):
+            break
+    else:
+        raise RuntimeError(f"{name}: replay source not drained in 10000 runs")
+    try:
+        return spark.read.schema(schema).parquet(outdir)
+    except Exception:  # no emissions at all: empty frame, same schema
+        return spark.createDataFrame([], schema)
+
+
 def _run_available_now(result: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Run a streaming frame to completion into a memory sink, return
     the materialized table (complete mode → final state; append mode →
@@ -825,3 +865,149 @@ def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFr
         "c_ts",
     )
     return _run_available_now(joined, "stream_ssjoin_full", mode="append")
+
+
+def documents_replay_stream(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 100
+) -> DataFrame:
+    """doc_id-ordered micro-batch replay of the documents table via the
+    Spark 4 Python Data Source streaming API — the documents-side
+    sibling of events_replay_stream (same row-position offsets, same
+    pickling constraints: function-local classes, materialized-list
+    iterators)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/documents.parquet"
+
+    class _DocReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "100"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path, columns=["doc_id", "text"])
+                self._tbl = t.take(
+                    pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter([(r["doc_id"], r["text"]) for r in sl])
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _DocReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "documents_replay"
+
+        def schema(self) -> str:
+            return "doc_id long, text string"
+
+        def simpleStreamReader(self, schema):
+            return _DocReplayReader(self.options)
+
+    spark.dataSource.register(_DocReplaySource)
+    return (
+        spark.readStream.format("documents_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_token_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: twin of the batch
+    ``token_distribution_drift`` query (plans/llm_text.py). Documents
+    arrive in micro-batches; per-TERM GroupState carries the integer
+    (c_train, c_test) occurrence counts across batches, and the drained
+    state aggregates to the SAME single-row integer-TVD frame — every
+    count, the cross-multiplied TVD numerator, and the one final double
+    division are bit-identical to the batch query because the fold is
+    pure integer addition (order-independent, unlike the EWMA fold).
+
+    At scale: tokenize/explode and the md5 split are JVM expressions on
+    the stream; state is two bigints per term in the state store keyed
+    by term — the same envelope a production drift monitor keeps."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+
+    docs = documents_replay_stream(spark, sf_dir)
+    tok = docs.select(
+        F.explode(textops.tokens(F.col("text"))).alias("term"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+            "is_test"
+        ),
+    )
+
+    def update_counts(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            c_tr, c_te = state.get
+        else:
+            c_tr, c_te = 0, 0
+        for pdf in pdfs:
+            te = int(pdf["is_test"].sum())
+            c_te += te
+            c_tr += len(pdf) - te
+        state.update((c_tr, c_te))
+        yield pd.DataFrame(
+            {
+                "term": [key[0]],
+                "c_tr": [c_tr],
+                "c_te": [c_te],
+                "n_seen": [c_tr + c_te],
+            }
+        )
+
+    out = tok.groupBy("term").applyInPandasWithState(
+        update_counts,
+        outputStructType="term string, c_tr long, c_te long, n_seen long",
+        stateStructType="c_tr long, c_te long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _drain_replay_union(out, "stream_drift", mode="update")
+    # cross-restart emission log -> final counts = emission with the
+    # largest (strictly monotone) n_seen per term
+    from ..operators.relational import latest_per_key
+
+    tc = latest_per_key(emitted, ["term"], [F.col("n_seen").desc()])
+    n = tc.agg(
+        F.sum("c_tr").cast("long").alias("n_tr"),
+        F.sum("c_te").cast("long").alias("n_te"),
+    )
+    joined = tc.crossJoin(F.broadcast(n))
+    num = F.abs(F.col("c_tr") * F.col("n_te") - F.col("c_te") * F.col("n_tr"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_union"),
+        F.min("n_tr").alias("n_train_tokens"),
+        F.min("n_te").alias("n_test_tokens"),
+        F.sum(num).cast("long").alias("tvd_numerator"),
+        (
+            F.sum(num).cast("double")
+            / (
+                F.lit(2.0)
+                * F.min("n_tr").cast("double")
+                * F.min("n_te").cast("double")
+            )
+        ).alias("tvd"),
+    )

@@ -602,3 +602,15 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         assert a.equals(b), f"{job.__name__} diverges under RocksDB state store"
     if prev is not None:
         spark.conf.set(key, prev)
+
+
+def test_stateful_drift_matches_batch(spark):
+    # the per-term (c_tr, c_te) GroupState fold is pure integer
+    # addition, so the multi-micro-batch streamed TVD must be
+    # bit-identical to the batch single-pass aggregate — counts,
+    # cross-multiplied numerator, and the one double division alike
+    from etl_showcase_spark.plans.llm_text import token_distribution_drift
+
+    streamed = jobs.stream_token_drift_state(spark, SF_SMOKE).toPandas()
+    batch = token_distribution_drift(spark, SF_SMOKE).toPandas()
+    assert not compare_frames(streamed, batch)
