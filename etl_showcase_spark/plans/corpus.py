@@ -1,0 +1,652 @@
+"""Corpus-statistics operators over `documents` and the co-purchase
+graph (SURVEY.md §2.13 extensions, round 7): tokenizer economics,
+first-occurrence n-gram novelty, Heaps-law vocabulary growth,
+cross-source n-gram overlap, sentence-level boilerplate, CCNet-style
+perplexity banding, link prediction, and MinHash-banded containment
+dedup.
+
+No reference citations (the reference — dags/weather_etl_pipeline.py —
+has no corpus surface); these extend the L4/L6/L7 families with the
+signals a training-data pipeline reads before fixing its data mix.
+Oracle discipline is the house style: integer/fixed-point arithmetic
+everywhere (whole-bit surprisal, cross-multiplied thresholds), one
+final double division per ratio column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import tracked_persist
+from ..catalog import table
+from ..operators import textops
+from ..registry import register
+from .llm_text import _SQL_TOKS
+
+# ---------------------------------------------------------------------------
+# L4/L6 tokenizer economics per language ([EXT] — the bytes-per-token /
+# chars-per-token table every tokenizer-budget discussion starts from;
+# a language whose bytes-per-token is 2x another's pays 2x the context
+# window for the same text). Exact integer sums (bytes via
+# octet_length, chars via length, whitespace tokens via the shared
+# tokenizer), two double divisions at the end. One scan, one keyed agg
+# — nothing to tune at 100 TB.
+# ---------------------------------------------------------------------------
+
+_COMPRESSION_ORACLE = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(strlen(text) AS BIGINT) AS nb,
+         CAST(LENGTH(text) AS BIGINT) AS nc,
+         CAST(LEN({_SQL_TOKS}) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       CAST(SUM(nc) AS BIGINT) AS total_chars,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       CAST(SUM(nb) AS DOUBLE) / SUM(nt) AS bytes_per_token,
+       CAST(SUM(nc) AS DOUBLE) / SUM(nt) AS chars_per_token
+FROM t GROUP BY lang HAVING SUM(nt) > 0
+"""
+
+
+@register("tokenizer_compression_ratio", oracle=_COMPRESSION_ORACLE, tags=("L4", "L6"))
+def tokenizer_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("nb"),
+        F.length("text").cast("long").alias("nc"),
+        F.size(textops.tokens("text")).cast("long").alias("nt"),
+    )
+    agg = t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("total_bytes"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+    return agg.filter(F.col("total_tokens") > 0).select(
+        "lang",
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "total_tokens",
+        (F.col("total_bytes").cast("double") / F.col("total_tokens")).alias(
+            "bytes_per_token"
+        ),
+        (F.col("total_chars").cast("double") / F.col("total_tokens")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 first-occurrence n-gram novelty ([EXT] — the "is this crawl
+# snapshot adding anything new?" signal: per document, the fraction of
+# its distinct word 8-grams whose FIRST corpus occurrence (minimum
+# doc_id over the ingestion order) is this document. A re-crawl of
+# boilerplate scores ~0; genuinely new text scores ~1. Shape: one
+# distinct-(doc, gram) explode, one gram-keyed MIN agg, one gram-keyed
+# join back, one doc-keyed agg — all O(total grams), no pairing stage,
+# so the plan is volume-linear at 100 TB.
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 8
+
+_NOVELTY_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_NOVELTY_N - 2}),
+             i -> array_to_string(toks[i:i+{_NOVELTY_N - 1}], ' ')))) AS gram
+  FROM tok WHERE LEN(toks) >= {_NOVELTY_N}
+),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty_rate
+FROM g JOIN first f ON g.gram = f.gram
+GROUP BY g.doc_id
+"""
+
+
+@register("ngram_novelty_rate", oracle=_NOVELTY_ORACLE, tags=("L4", "L2"))
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(textops.shingles(textops.tokens("text"), _NOVELTY_N))
+        ).alias("gram"),
+    ).transform(tracked_persist)  # feeds the MIN agg and the join back
+    first = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 Heaps-law vocabulary growth curve ([EXT] — distinct vocabulary
+# after each decile of the corpus in ingestion (doc_id) order; the
+# flattening of this curve is the classic "more of the same" crawl
+# diagnostic). The only global total order is over DOCUMENTS (not
+# tokens): each doc's position comes from the distributed
+# with_global_running_sum primitive (range partition + local cumsum +
+# broadcast prefix offsets — no single-reducer window), each term
+# contributes at its FIRST doc's decile, and the 10-row decile frame
+# carries the tiny cumulative window. All exact integers.
+# ---------------------------------------------------------------------------
+
+_VOCAB_DECILES = 10
+
+_VOCAB_GROWTH_ORACLE = f"""
+WITH rn AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+         (SELECT COUNT(*) FROM documents) AS n
+  FROM documents
+),
+dd AS (
+  SELECT doc_id, CAST((rn - 1) * {_VOCAB_DECILES} // n + 1 AS INT) AS decile
+  FROM rn
+),
+tok AS (SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents),
+first AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term),
+newt AS (
+  SELECT d.decile, CAST(COUNT(*) AS BIGINT) AS new_terms
+  FROM first f JOIN dd d ON f.first_doc = d.doc_id GROUP BY d.decile
+),
+docs AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS docs_in_decile FROM dd GROUP BY decile)
+SELECT d.decile,
+       CAST(SUM(d.docs_in_decile) OVER (ORDER BY d.decile) AS BIGINT) AS docs_seen,
+       COALESCE(n.new_terms, 0) AS new_terms,
+       CAST(SUM(COALESCE(n.new_terms, 0)) OVER (ORDER BY d.decile) AS BIGINT)
+         AS vocab_size
+FROM docs d LEFT JOIN newt n ON d.decile = n.decile
+"""
+
+
+@register("vocab_growth_curve", oracle=_VOCAB_GROWTH_ORACLE, tags=("L4", "L6"))
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.relational import with_global_running_sum
+
+    d = table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n"))  # rides the plan, broadcast
+    rn = with_global_running_sum(
+        d.select("doc_id").withColumn("__one", F.lit(1)),
+        order=[F.col("doc_id").asc()],
+        value_col="__one",
+        out_col="rn",
+    )
+    dd = rn.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        (F.expr(f"(rn - 1) * {_VOCAB_DECILES} div n") + 1).alias("decile"),
+    )
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+    first = tok.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    newt = (
+        first.join(dd.withColumnRenamed("doc_id", "first_doc"), "first_doc")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    docs = dd.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_in_decile")
+    )
+    w = Window.orderBy("decile")  # 10-row frame: bounded by the decile count
+    return (
+        docs.join(newt, "decile", "left")
+        .select("decile", "docs_in_decile", F.coalesce("new_terms", F.lit(0)).alias("new_terms"))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.sum("docs_in_decile").over(w).cast("long").alias("docs_seen"),
+            F.col("new_terms").cast("long").alias("new_terms"),
+            F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L2 cross-source n-gram overlap matrix ([EXT] — how much 8-gram
+# text is shared between sources; high overlap between a "curated" and
+# a "crawl" source is the standard double-counting / contamination
+# warning before mixing weights are set). Candidate generation is
+# keyed by gram and bounded per gram by the SOURCE count (each gram's
+# posting list is its distinct sources, <= |sources| — never a
+# doc-pair expansion), so at 100 TB the pair stage is O(total grams ·
+# |sources|), with |sources| a small constant.
+# ---------------------------------------------------------------------------
+
+_OVERLAP_N = 8
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH tok AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+sg AS (
+  SELECT DISTINCT source,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_OVERLAP_N - 2}),
+             i -> array_to_string(toks[i:i+{_OVERLAP_N - 1}], ' ')))) AS gram
+  FROM tok WHERE LEN(toks) >= {_OVERLAP_N}
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_grams
+  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.shared_grams,
+       ta.n_grams AS n_a, tb.n_grams AS n_b,
+       CAST(s.shared_grams AS DOUBLE)
+         / (ta.n_grams + tb.n_grams - s.shared_grams) AS jaccard
+FROM shared s
+JOIN tot ta ON s.source_a = ta.source
+JOIN tot tb ON s.source_b = tb.source
+"""
+
+
+@register("source_ngram_overlap", oracle=_SOURCE_OVERLAP_ORACLE, tags=("L4", "L2"))
+def source_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sg = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(textops.shingles(textops.tokens("text"), _OVERLAP_N))
+            ).alias("gram"),
+        )
+        .dropDuplicates(["source", "gram"])
+        .transform(tracked_persist)  # totals + both sides of the pair join
+    )
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a, b = sg.alias("a"), sg.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    ta = tot.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+    tb = tot.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
+    j = shared.join(F.broadcast(ta), "source_a").join(F.broadcast(tb), "source_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("shared_grams")
+    return j.select(
+        "source_a",
+        "source_b",
+        "shared_grams",
+        "n_a",
+        "n_b",
+        (F.col("shared_grams").cast("double") / union).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 sentence-level boilerplate catalog ([EXT] — the literal repeated
+# SENTENCES across the corpus (cookie banners, footers, legal
+# disclaimers); the char-16-gram detector flags their presence, this
+# query names them). Literal '. '-split on both engines, short
+# fragments dropped, global top-20 by occurrence count as TakeOrdered
+# (orderBy+limit — only k rows ever reach one place), count ties
+# broken by sentence text for determinism.
+# ---------------------------------------------------------------------------
+
+_SENT_MIN_CHARS = 30
+_SENT_TOP = 20
+
+_BOILERPLATE_SENTENCES_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, UNNEST(string_split(text, '. ')) AS sentence FROM documents
+),
+f AS (SELECT doc_id, sentence FROM s WHERE LENGTH(sentence) >= {_SENT_MIN_CHARS}),
+c AS (
+  SELECT sentence,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM f GROUP BY sentence
+)
+SELECT sentence, n_occurrences, n_docs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, sentence) AS INT) AS rnk
+FROM c
+ORDER BY n_occurrences DESC, sentence LIMIT {_SENT_TOP}
+"""
+
+
+@register("common_sentence_boilerplate", oracle=_BOILERPLATE_SENTENCES_ORACLE, tags=("L4",))
+def common_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("sentence")
+    ).filter(F.length("sentence") >= _SENT_MIN_CHARS)
+    c = s.groupBy("sentence").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    topk = c.orderBy(F.desc("n_occurrences"), F.asc("sentence")).limit(_SENT_TOP)
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("sentence"))
+    return topk.withColumn("rnk", F.row_number().over(wr).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 CCNet-style perplexity banding ([EXT] — Wenzek et al. 2020
+# splits a crawl into head/middle/tail by LM-perplexity tertiles and
+# samples the mix from the bands; this is that banding over the
+# corpus-internal unigram LM, libm-free). Per-doc surprisal reuses the
+# exact whole-bit spelling of unigram_lm_surprisal (bits = bit-length
+# of N div c), quantized to integer bits-per-kilotoken. Tertile
+# CUTOFFS are computed at the bpk VALUE GRAIN — counts per distinct
+# bpk value, distributed running sum (with_global_running_sum — no
+# single-reducer window), cutoff = smallest value whose cumulative
+# count reaches ceil(n/3) / ceil(2n/3) — so ties share a band and the
+# result is independent of row order AND of partitioning. Docs then
+# band by comparing bpk to the two broadcast cutoffs.
+# ---------------------------------------------------------------------------
+
+_PPL_BANDS_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, UNNEST({_SQL_TOKS}) AS term FROM documents),
+tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+n AS (SELECT SUM(c) AS total FROM tc),
+s AS (SELECT term, LENGTH(bin(total // c)) - 1 AS bits FROM tc, n),
+doc AS (
+  SELECT t.doc_id, MIN(t.lang) AS lang,
+         CAST(SUM(s.bits) * 1000 // COUNT(*) AS BIGINT) AS bpk
+  FROM tok t JOIN s ON t.term = s.term GROUP BY t.doc_id
+),
+vg AS (SELECT bpk, CAST(COUNT(*) AS BIGINT) AS cnt FROM doc GROUP BY bpk),
+cum AS (SELECT bpk, SUM(cnt) OVER (ORDER BY bpk) AS cum FROM vg),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM doc),
+cuts AS (
+  SELECT (SELECT MIN(bpk) FROM cum, nn WHERE cum >= (n + 2) // 3) AS cut1,
+         (SELECT MIN(bpk) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS cut2
+),
+banded AS (
+  SELECT d.lang,
+         CASE WHEN d.bpk <= c.cut1 THEN 'head'
+              WHEN d.bpk <= c.cut2 THEN 'middle'
+              ELSE 'tail' END AS band
+  FROM doc d, cuts c
+),
+lt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_docs FROM banded GROUP BY lang)
+SELECT b.lang, b.band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE) / MIN(lt.lang_docs) AS lang_share
+FROM banded b JOIN lt ON b.lang = lt.lang
+GROUP BY b.lang, b.band
+"""
+
+
+@register("perplexity_band_mix", oracle=_PPL_BANDS_ORACLE, tags=("L4", "L6"))
+def perplexity_band_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_running_sum
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(textops.tokens("text")).alias("term")
+    ).transform(tracked_persist)  # term counts + the per-doc scoring join
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = tc.agg(F.sum("c").alias("total"))
+    s = tc.crossJoin(F.broadcast(n)).select(
+        "term", (F.length(F.bin(F.expr("total div c"))) - 1).alias("bits")
+    )
+    doc = (
+        tok.join(s, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.expr("CAST(sum(bits) * 1000 div count(1) AS BIGINT)").alias("bpk"),
+        )
+        .transform(tracked_persist)  # value-grain counts + final banding
+    )
+    vg = doc.groupBy("bpk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = with_global_running_sum(
+        vg, order=[F.col("bpk").asc()], value_col="cnt", out_col="cum"
+    )
+    nn = doc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cuts = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            F.min(F.when(F.col("cum") >= (F.col("n") + 2) / 3, F.col("bpk"))).alias(
+                "cut1"
+            ),
+            F.min(
+                F.when(F.col("cum") >= (2 * F.col("n") + 2) / 3, F.col("bpk"))
+            ).alias("cut2"),
+        )
+    )
+    banded = doc.crossJoin(F.broadcast(cuts)).select(
+        "lang",
+        F.when(F.col("bpk") <= F.col("cut1"), "head")
+        .when(F.col("bpk") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+        .alias("band"),
+    )
+    lt = banded.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("lang_docs"))
+    return (
+        banded.groupBy("lang", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(lt), "lang")
+        .select(
+            "lang",
+            "band",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("lang_docs")).alias("lang_share"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# L7 link prediction on the co-purchase graph ([EXT] — the classic
+# "customers who bought X also bought Y" candidate scorer: for
+# NON-adjacent part pairs, common-neighbor count, preferential
+# attachment, and neighborhood Jaccard). Candidates come from wedge
+# enumeration (adjacency self-joined on the shared neighbor), which is
+# Sum(deg^2) on the support-thresholded graph — the same bounded
+# candidate space as the triangle kernels; existing edges leave via
+# one anti join, scores are exact integers (one double division for
+# Jaccard), and the global top-k is TakeOrdered. No all-pairs stage.
+# ---------------------------------------------------------------------------
+
+_LINK_TOP = 50
+
+
+def _link_prediction_oracle() -> str:
+    from .curation import _LPA_MIN_SUPPORT, _support_graph_sql
+
+    return f"""
+WITH {_support_graph_sql(_LPA_MIN_SUPPORT)},
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+wedge AS (
+  SELECT a.node AS u, b.node AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM adj a JOIN adj b ON a.nbr = b.nbr AND a.node < b.node
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.* FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = w.u AND e0.v = w.v)
+),
+scored AS (
+  SELECT c.u, c.v, c.cn,
+         du.d AS deg_u, dv.d AS deg_v,
+         CAST(du.d * dv.d AS BIGINT) AS pref_attach,
+         CAST(c.cn AS DOUBLE) / (du.d + dv.d - c.cn) AS nbr_jaccard
+  FROM cand c JOIN deg du ON c.u = du.node JOIN deg dv ON c.v = dv.node
+)
+SELECT CAST(u AS BIGINT) AS part_u, CAST(v AS BIGINT) AS part_v,
+       cn AS common_neighbors, deg_u, deg_v, pref_attach, nbr_jaccard
+FROM scored ORDER BY cn DESC, u, v LIMIT {_LINK_TOP}
+"""
+
+
+@register("link_prediction_scores", oracle=_link_prediction_oracle(), tags=("L7", "J2", "O1"))
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _LPA_MIN_SUPPORT, _copurchase_support_edges
+
+    e = _copurchase_support_edges(spark, sf_dir, _LPA_MIN_SUPPORT).transform(
+        tracked_persist  # adjacency expansion + the existing-edge anti join
+    )
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    cand = wedge.join(e, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    scored = cand.join(du, "u").join(dv, "v")
+    return (
+        scored.select(
+            F.col("u").cast("long").alias("part_u"),
+            F.col("v").cast("long").alias("part_v"),
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            (F.col("deg_u") * F.col("deg_v")).cast("long").alias("pref_attach"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn"))
+            ).alias("nbr_jaccard"),
+        )
+        .orderBy(F.desc("common_neighbors"), F.asc("part_u"), F.asc("part_v"))
+        .limit(_LINK_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 MinHash-banded CONTAINMENT dedup ([EXT] — the sub-document
+# duplicate detector: containment C(A,B) = |A∩B| / min(|A|,|B|)
+# catches a short document wholly embedded in a long one, which
+# symmetric Jaccard dilutes below threshold (|A∩B|/|A∪B| is small
+# when |B| >> |A|). Candidates reuse the proven md5 MinHash band
+# stage (O(n·bands) emission, bucket self-join — never all-pairs);
+# the verify is the exact distinct-3-gram intersection over
+# candidate-keyed posting joins, thresholded by integer
+# cross-multiplication. The whole pipeline — signatures, band keys,
+# candidates, intersections — replays hash-exact in DuckDB. Note the
+# deliberate asymmetry vs the Jaccard twins: same candidate recall,
+# different accept semantics.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_THR_PCT = 60
+
+
+def _containment_oracle() -> str:
+    from .llm_text import _md5_sig_band_sql
+
+    sig_cols, band_selects = _md5_sig_band_sql()
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         MIN(a.n) AS n_a, MIN(b.n) AS n_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+post AS (SELECT doc_id, UNNEST(grams) AS g FROM sh),
+inter AS (
+  SELECT c.id_a, c.id_b, MIN(c.n_a) AS n_a, MIN(c.n_b) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN post pa ON pa.doc_id = c.id_a
+  JOIN post pb ON pb.doc_id = c.id_b AND pb.g = pa.g
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_inter AS DOUBLE) / LEAST(n_a, n_b) AS containment
+FROM inter
+WHERE 100 * n_inter >= {_CONTAIN_THR_PCT} * LEAST(n_a, n_b)
+"""
+
+
+@register("minhash_containment_neardup", oracle=_containment_oracle(), tags=("L2",))
+def minhash_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _md5_banded
+    from .llm_text import _MH_BANDS, _MH_HASHES
+
+    d = table(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism
+    base = (
+        d.select(F.col("doc_id").alias("__id"), F.col("text").alias("__t"))
+        .repartition(n_part, F.col("__id"))
+        .select(
+            "__id",
+            F.array_distinct(textops.shingles(textops.tokens(F.col("__t")), 3)).alias(
+                "__sh"
+            ),
+        )
+        .filter(F.size("__sh") >= 1)
+        .transform(tracked_persist)  # banding + both posting sides
+    )
+    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS)
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.min("l.__n").alias("n_a"), F.min("r.__n").alias("n_b"))
+    )
+    post = base.select(F.col("__id"), F.explode("__sh").alias("g"))
+    inter = (
+        cand.join(post.select(F.col("__id").alias("id_a"), "g"), "id_a")
+        .join(post.select(F.col("__id").alias("id_b"), "g"), ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_inter"),
+        )
+    )
+    least = F.least("n_a", "n_b")
+    return inter.filter(100 * F.col("n_inter") >= _CONTAIN_THR_PCT * least).select(
+        "id_a",
+        "id_b",
+        "n_inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("n_inter").cast("double") / least).alias("containment"),
+    )

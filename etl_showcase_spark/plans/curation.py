@@ -1278,6 +1278,24 @@ def _copurchase_support_edges(
     )
 
 
+def _support_graph_sql(min_support: int) -> str:
+    """dl/e0/adj CTE chain for the support-thresholded co-purchase
+    graph — one SQL spelling shared by the LPA, modularity, and
+    link-prediction oracles so the graph definition can never drift."""
+    return f"""dl AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM dl a JOIN dl b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_support}
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0
+)"""
+
+
 def _lpa_oracle() -> str:
     blocks = []
     for r in range(_LPA_ROUNDS):
@@ -1294,18 +1312,7 @@ lab{r + 1} AS MATERIALIZED (
 )""")
     last = f"lab{_LPA_ROUNDS}"
     return f"""
-WITH dl AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-e0 AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM dl a JOIN dl b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING COUNT(*) >= {_LPA_MIN_SUPPORT}
-),
-adj AS MATERIALIZED (
-  SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0
-),
+WITH {_support_graph_sql(_LPA_MIN_SUPPORT)},
 lab0 AS MATERIALIZED (SELECT DISTINCT node, node AS lab FROM adj),{",".join(blocks)},
 sizes AS (SELECT lab, COUNT(*) AS sz FROM {last} GROUP BY lab)
 SELECT CAST(l.node AS BIGINT) AS part_key,

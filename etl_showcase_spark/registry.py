@@ -46,6 +46,7 @@ _PLAN_MODULES = (
     "etl_showcase_spark.plans.llm_vector",
     "etl_showcase_spark.plans.llm_text",
     "etl_showcase_spark.plans.curation",
+    "etl_showcase_spark.plans.corpus",
     "etl_showcase_spark.plans.multimodal",
     "etl_showcase_spark.plans.ingest",
     "etl_showcase_spark.plans.nested",
