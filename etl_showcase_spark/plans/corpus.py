@@ -650,3 +650,470 @@ def minhash_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("long").alias("n_b"),
         (F.col("n_inter").cast("double") / least).alias("containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3/L4 BM25 document ranking ([EXT] — the lexical-retrieval baseline
+# every RAG/eval pipeline runs next to the dense ANN family). Fixed
+# query-term set; per-term score = (idf_bits + 1) * sat_fp, where the
+# Okapi saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with k1=6/5,
+# b=3/4 is cleared to ONE exact integer floor-division
+#     sat_fp = (2^20 * 22 * tf * A) div (10*A*tf + 3*A + 9*dl)
+# (A = integer avgdl = total_tokens div n_docs, a broadcast 1-row agg)
+# and idf is the whole-bit log2 (bit-length of N div df) the repo's
+# other LM queries use — coarse on toy vocab, meaningful at web scale.
+# The numerator bound 2^24·tf·A involves only PER-DOC quantities, so
+# the BIGINT math is corpus-size-independent and never overflows at
+# 100 TB. Per-doc tf comes from a higher-order filter over the token
+# array (narrow map, NO explode shuffle for the tf stage); the per-doc
+# score is an exact integer SUM; the global top-k is TakeOrdered.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "spark", "hash", "customer")
+_BM25_TOP = 50
+
+
+def _bm25_oracle() -> str:
+    per_term = "\nUNION ALL\n".join(
+        f"""  SELECT doc_id, '{t}' AS term,
+         CAST(LEN(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf,
+         CAST(LEN(toks) AS BIGINT) AS dl
+  FROM tok"""
+        for t in _BM25_TERMS
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(LEN(toks)) // COUNT(*) AS BIGINT) AS a
+  FROM tok
+),
+q AS (
+{per_term}
+),
+hit AS (SELECT * FROM q WHERE tf > 0),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hit GROUP BY term),
+scored AS (
+  SELECT h.doc_id,
+         (LENGTH(bin(s.n // d.df)) - 1 + 1)
+           * ((1048576 * 22 * h.tf * s.a) // (10 * s.a * h.tf + 3 * s.a + 9 * h.dl))
+           AS c
+  FROM hit h JOIN df d ON h.term = d.term CROSS JOIN stats s
+),
+ranked AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score_fp, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rnk
+FROM ranked
+ORDER BY score_fp DESC, doc_id LIMIT {_BM25_TOP}
+"""
+
+
+@register("bm25_doc_ranking", oracle=_bm25_oracle(), tags=("L3", "L4", "O1"))
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", textops.tokens("text").alias("toks"))
+    stats = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(size(toks)) div count(1) AS BIGINT)").alias("a"),
+    )
+    # per-doc tf via a higher-order filter: narrow map, no explode
+    per_term = [
+        tok.select(
+            "doc_id",
+            F.lit(t).alias("term"),
+            F.expr(f"CAST(size(filter(toks, x -> x = '{t}')) AS BIGINT)").alias("tf"),
+            F.size("toks").cast("long").alias("dl"),
+        )
+        for t in _BM25_TERMS
+    ]
+    q = per_term[0]
+    for frame in per_term[1:]:
+        q = q.unionAll(frame)
+    hit = q.filter(F.col("tf") > 0).transform(tracked_persist)  # df agg + scoring
+    df = hit.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        hit.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                (F.length(F.bin(F.expr("n div df"))) - 1 + 1)
+                * F.expr(
+                    "(1048576 * 22 * tf * a) div (10 * a * tf + 3 * a + 9 * dl)"
+                )
+            ).alias("c"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("score_fp"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    topk = ranked.orderBy(F.desc("score_fp"), F.asc("doc_id")).limit(_BM25_TOP)
+    wr = Window.orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return topk.withColumn("rnk", F.row_number().over(wr).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# L4 bigram-LM next-token prediction accuracy ([EXT] — the cheapest
+# "is this corpus learnable?" probe: train a bigram argmax model on
+# the corpus itself and measure in-sample next-token accuracy per
+# language; a corpus of templated boilerplate scores near 1, a
+# diverse one much lower). Bigrams reuse the 2-gram shingle spelling
+# (explode keeps positional multiplicity — every adjacent pair is one
+# evaluation point); the model is the per-w1 argmax with a (count
+# DESC, w2) deterministic tie-break; the eval join is on w1, a
+# vocab-sized key that AQE broadcasts, so the hot 'the'-style keys
+# never shuffle the position table. One division per output row.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH tok AS (SELECT lang, {_SQL_TOKS} AS toks FROM documents),
+big AS (
+  SELECT lang,
+         UNNEST(list_transform(range(1, LEN(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM tok WHERE LEN(toks) >= 2
+),
+sp AS (
+  SELECT lang, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2
+  FROM big
+),
+c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM sp GROUP BY w1, w2),
+pred AS (
+  SELECT w1, w2 AS predicted
+  FROM (SELECT w1, w2,
+               ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+        FROM c)
+  WHERE rn = 1
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       CAST(SUM(CASE WHEN s.w2 = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN s.w2 = p.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM sp s JOIN pred p ON s.w1 = p.w1
+GROUP BY s.lang
+"""
+
+
+@register("bigram_lm_next_token", oracle=_BIGRAM_ORACLE, tags=("L4", "L6"))
+def bigram_lm_next_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    sp = (
+        d.select(
+            "lang",
+            F.explode(textops.shingles(textops.tokens("text"), 2)).alias("gram"),
+        )
+        .select(
+            "lang",
+            F.split("gram", " ").getItem(0).alias("w1"),
+            F.split("gram", " ").getItem(1).alias("w2"),
+        )
+        .transform(tracked_persist)  # model counts + the eval join
+    )
+    c = sp.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wp = Window.partitionBy("w1").orderBy(F.desc("c"), F.asc("w2"))
+    pred = (
+        c.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("predicted"))
+    )
+    correct = (F.col("w2") == F.col("predicted")).cast("long")
+    return (
+        sp.join(pred, "w1")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            (F.sum(correct).cast("double") / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3/Q5 event-type transition matrix ([EXT] — the Markov-chain view of
+# the event stream: P(next event type | current), the base table for
+# funnel diagnosis and anomaly detection on user journeys). Per-user
+# LAG under the (ts, event_id) total order — the same deterministic
+# ordering contract as the session/funnel family — then one keyed agg;
+# the from-type margin is a tiny broadcast join; one division per row.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+m AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n_transitions, m.n_from,
+       CAST(t.n_transitions AS DOUBLE) / m.n_from AS p_transition
+FROM t JOIN m ON t.from_type = m.from_type
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE, tags=("W3", "Q5"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .transform(tracked_persist)  # margin agg + the probability join
+    )
+    m = t.groupBy("from_type").agg(F.sum("n_transitions").cast("long").alias("n_from"))
+    return t.join(F.broadcast(m), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6/L2 soundex blocking ([EXT] — phonetic blocking for entity
+# resolution: tokens that SOUND alike share a block, the classic
+# recall booster over first-letter blocking). DuckDB has no soundex()
+# and RE2 has no pattern backreferences, so the code is generated as a
+# single DIALECT-PORTABLE SQL expression — upper + translate (the
+# classic letter→digit map) + a fixed ladder of replace() calls that
+# collapses digit runs (each application halves a run; four handle
+# tokens to 16+ chars) + zero-strip + rpad — and BOTH engines evaluate
+# the SAME string, so parity is by construction, not reimplementation.
+# Shape: exact-dedup to the DISTINCT token table first (the repo ER
+# rule — everything downstream scales with token variety, not corpus
+# volume), code every token, emit the per-code block CATALOG: size,
+# the candidate-pair count the blocker would hand the verifier
+# (size·(size−1)/2 — the ER cost model column), the alphabetized
+# member list (scalarized — the driver's canonicalizer rejects array
+# cells), and for real multi-token blocks the closest intra-block
+# levenshtein (bounded pairing: block sizes are capped by phonetic
+# variety). Full-catalog output keeps the result non-vacuous on a
+# synthetic vocabulary where true phonetic collisions are rare.
+# ---------------------------------------------------------------------------
+
+
+def _soundex_sql(col: str) -> str:
+    u = f"upper({col})"
+    s = (
+        f"translate(substring({u}, 2), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        f" '01230120022455012623010202')"
+    )
+    for d in "123456":
+        for _ in range(4):
+            s = f"replace({s}, '{d}{d}', '{d}')"
+    return f"rpad(concat(left({u}, 1), left(replace({s}, '0', ''), 3)), 4, '0')"
+
+
+_SOUNDEX_ORACLE = f"""
+WITH names AS (
+  SELECT UNNEST(string_split(p_name, ' ')) AS raw FROM part
+  UNION ALL SELECT n_name FROM nation
+  UNION ALL SELECT r_name FROM region
+  UNION ALL SELECT event_type FROM events
+  UNION ALL SELECT UNNEST(string_split(text, ' ')) FROM documents
+),
+dict AS (
+  SELECT DISTINCT regexp_replace(lower(raw), '[^a-z]', '', 'g') AS token
+  FROM names
+),
+dictf AS (SELECT token FROM dict WHERE LENGTH(token) > 0),
+coded AS (SELECT token, {_soundex_sql("token")} AS code FROM dictf),
+blocks AS (
+  SELECT code,
+         CAST(COUNT(*) AS BIGINT) AS block_size,
+         array_to_string(list(token ORDER BY token), ',') AS members
+  FROM coded GROUP BY code
+),
+closest AS (
+  SELECT a.code, CAST(MIN(levenshtein(a.token, b.token)) AS BIGINT) AS min_lev
+  FROM coded a JOIN coded b ON a.code = b.code AND a.token < b.token
+  GROUP BY a.code
+)
+SELECT b.code, b.block_size,
+       CAST(b.block_size * (b.block_size - 1) / 2 AS BIGINT) AS candidate_pairs,
+       b.members, c.min_lev
+FROM blocks b LEFT JOIN closest c ON b.code = c.code
+"""
+
+
+@register("soundex_token_blocking", oracle=_SOUNDEX_ORACLE, tags=("L6", "L2"))
+def soundex_token_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    ev = table(spark, sf_dir, "events")
+    d = table(spark, sf_dir, "documents")
+    names = (
+        p.select(F.explode(F.split("p_name", " ")).alias("raw"))
+        .unionAll(n.select(F.col("n_name").alias("raw")))
+        .unionAll(r.select(F.col("r_name").alias("raw")))
+        .unionAll(ev.select(F.col("event_type").alias("raw")))
+        .unionAll(d.select(F.explode(F.split("text", " ")).alias("raw")))
+    )
+    # non-letters are stripped BEFORE coding: the synthetic NATION_12
+    # style names would otherwise leak literal digits into the phonetic
+    # code space (soundex digits are codes, not characters)
+    dict_ = (
+        names.select(
+            F.regexp_replace(F.lower("raw"), "[^a-z]", "").alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+        .transform(tracked_persist)  # block agg + both sides of closest
+    )
+    coded = dict_.select("token", F.expr(_soundex_sql("token")).alias("code"))
+    blocks = coded.groupBy("code").agg(
+        F.count(F.lit(1)).cast("long").alias("block_size"),
+        F.array_join(F.sort_array(F.collect_list("token")), ",").alias("members"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    closest = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(F.col("a.code").alias("code"))
+        .agg(
+            F.min(F.levenshtein(F.col("a.token"), F.col("b.token")))
+            .cast("long")
+            .alias("min_lev")
+        )
+    )
+    return blocks.join(closest, "code", "left").select(
+        "code",
+        "block_size",
+        (F.col("block_size") * (F.col("block_size") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+        "members",
+        "min_lev",
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 × L1/L2 dedup impact report ([EXT] — the before/after table every
+# dedup decision is argued from: corpus volume in docs AND tokens at
+# each pipeline stage — raw → exact text dedup → near-dup canonical —
+# with each stage's share of raw. Exact stage keeps one doc per
+# distinct text (token counts depend only on text, so the kept-row
+# choice can't change the sums); near-dup stage keeps the star-edge
+# cluster canonicals, nesting the full proven clusters replay in the
+# oracle. Each stage is one hash agg; the raw totals broadcast into
+# the share divisions.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_impact_oracle() -> str:
+    from .llm_text import _scalable_clusters_oracle
+
+    return f"""
+WITH m AS ({_scalable_clusters_oracle()}),
+tok AS (SELECT doc_id, text, CAST(LEN({_SQL_TOKS}) AS BIGINT) AS nt FROM documents),
+raw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM tok
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM (SELECT MIN(nt) AS nt FROM tok GROUP BY text)
+),
+near AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t.nt) AS BIGINT) AS n_tokens
+  FROM m JOIN tok t ON m.doc_id = t.doc_id WHERE m.is_canonical
+),
+stages AS (
+  SELECT 1 AS stage_id, 'raw' AS stage, n_docs, n_tokens FROM raw
+  UNION ALL
+  SELECT 2, 'exact_dedup', n_docs, n_tokens FROM exact
+  UNION ALL
+  SELECT 3, 'neardup_canonical', n_docs, n_tokens FROM near
+)
+SELECT s.stage_id, s.stage, s.n_docs, s.n_tokens,
+       CAST(s.n_docs AS DOUBLE) / r.n_docs AS doc_share,
+       CAST(s.n_tokens AS DOUBLE) / r.n_tokens AS token_share
+FROM stages s CROSS JOIN raw r
+"""
+
+
+@register("dedup_impact_report", oracle=_dedup_impact_oracle(), tags=("L6", "L1", "L2"))
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_text import _star_edge_cluster_membership
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "text", F.size(textops.tokens("text")).cast("long").alias("nt")
+    ).transform(tracked_persist)  # raw + exact + near stages all read it
+    raw = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    exact = (
+        tok.groupBy("text")
+        .agg(F.min("nt").alias("nt"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    m = _star_edge_cluster_membership(spark, sf_dir)
+    near = (
+        m.filter("is_canonical")
+        .join(tok, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    stages = (
+        raw.select(F.lit(1).alias("stage_id"), F.lit("raw").alias("stage"), "n_docs", "n_tokens")
+        .unionAll(
+            exact.select(
+                F.lit(2).alias("stage_id"),
+                F.lit("exact_dedup").alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+        .unionAll(
+            near.select(
+                F.lit(3).alias("stage_id"),
+                F.lit("neardup_canonical").alias("stage"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    )
+    r = raw.select(
+        F.col("n_docs").alias("raw_docs"), F.col("n_tokens").alias("raw_tokens")
+    )
+    return stages.crossJoin(F.broadcast(r)).select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("raw_docs")).alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.col("raw_tokens")).alias("token_share"),
+    )

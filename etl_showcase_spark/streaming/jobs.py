@@ -1011,3 +1011,74 @@ def stream_token_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tvd"),
     )
+
+
+def stream_transition_matrix_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ``event_transition_matrix`` batch query
+    (plans/corpus.py): per-user GroupState carries ONLY the last seen
+    event type across micro-batches; each batch emits the newly
+    observed (from_type, to_type) transition rows in append mode, and
+    the global Markov matrix is one batch agg over the emission log.
+
+    The fold is order-dependent but integer-exact: whenever per-user
+    events arrive in (ts, event_id) order — guaranteed by both the
+    single-file replay and the ordered multi-batch replay source — the
+    streamed transition multiset equals the batch LAG multiset row for
+    row, so counts, margins, and the one double division are all
+    bit-identical. State is one short string per user; the emission
+    log is exactly the transition table a production job would sink to
+    a log store, so the append-mode shape is the 100 TB shape.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    def emit_transitions(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        cols = ["ts", "event_id", "event_type"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        froms, tos = [], []
+        if len(df):
+            df = df.sort_values(["ts", "event_id"])
+            for et in df["event_type"].to_numpy():
+                if last is not None:
+                    froms.append(last)
+                    tos.append(et)
+                last = et
+            state.update((last,))
+        yield pd.DataFrame({"from_type": froms, "to_type": tos})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        emit_transitions,
+        outputStructType="from_type string, to_type string",
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_available_now(out, "stream_transitions", mode="append")
+    t = emitted.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    # rename the margin key: both frames descend from one memory-sink
+    # view, and a same-name equi-join trips conflicting-reference
+    # resolution on the MemoryPlan lineage
+    m = (
+        t.select(F.col("from_type").alias("__ft"), "n_transitions")
+        .groupBy("__ft")
+        .agg(F.sum("n_transitions").cast("long").alias("n_from"))
+    )
+    return t.join(
+        F.broadcast(m), t["from_type"] == m["__ft"]
+    ).drop("__ft").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "n_from",
+        (F.col("n_transitions").cast("double") / F.col("n_from")).alias(
+            "p_transition"
+        ),
+    )

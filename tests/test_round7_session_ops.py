@@ -255,3 +255,188 @@ def test_containment_matches_md5_replay(spark):
         for r in minhash_containment_neardup(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_bm25_matches_python_fold(spark):
+    from etl_showcase_spark.plans.corpus import _BM25_TERMS, bm25_doc_ranking
+
+    docs = _docs()
+    toks = {d: _toks(t) for d, t, _l, _s in docs}
+    n = len(toks)
+    total = sum(len(v) for v in toks.values())
+    a = total // n
+    df = {
+        q: sum(1 for v in toks.values() if q in v) for q in _BM25_TERMS
+    }
+    scores: dict[int, list[int]] = {}
+    for did, v in toks.items():
+        dl = len(v)
+        for q in _BM25_TERMS:
+            tf = v.count(q)
+            if tf == 0:
+                continue
+            idf_bits = (n // df[q]).bit_length() - 1
+            sat = (1048576 * 22 * tf * a) // (10 * a * tf + 3 * a + 9 * dl)
+            scores.setdefault(did, []).append((idf_bits + 1) * sat)
+    ranked = sorted(
+        ((sum(cs), len(cs), did) for did, cs in scores.items()),
+        key=lambda x: (-x[0], x[2]),
+    )[:50]
+    rows = bm25_doc_ranking(spark, SF).collect()
+    assert [(r.score_fp, r.n_terms_hit, r.doc_id) for r in rows] == ranked
+    assert [r.rnk for r in rows] == list(range(1, len(ranked) + 1))
+
+
+def test_bigram_lm_matches_python_fold(spark):
+    from etl_showcase_spark.plans.corpus import bigram_lm_next_token
+
+    docs = _docs()
+    counts: Counter = Counter()
+    positions = []
+    for _d, text, lang, _s in docs:
+        ts = _toks(text)
+        for i in range(len(ts) - 1):
+            counts[(ts[i], ts[i + 1])] += 1
+            positions.append((lang, ts[i], ts[i + 1]))
+    pred = {}
+    for (w1, w2), c in counts.items():
+        cur = pred.get(w1)
+        if cur is None or (-c, w2) < cur[0]:
+            pred[w1] = ((-c, w2), w2)
+    expected: dict[str, list[int]] = {}
+    for lang, w1, w2 in positions:
+        e = expected.setdefault(lang, [0, 0])
+        e[0] += 1
+        e[1] += int(pred[w1][1] == w2)
+    rows = {r.lang: r for r in bigram_lm_next_token(spark, SF).collect()}
+    assert set(rows) == set(expected)
+    for lang, (np_, nc) in expected.items():
+        r = rows[lang]
+        assert (r.n_positions, r.n_correct) == (np_, nc)
+        assert r.accuracy == nc / np_
+
+
+def test_event_transitions_match_python(spark):
+    from etl_showcase_spark.plans.corpus import event_transition_matrix
+
+    t = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_pydict()
+    per_user: dict[int, list] = {}
+    for u, ts, eid, et in zip(
+        t["user_id"], t["ts"], t["event_id"], t["event_type"]
+    ):
+        per_user.setdefault(u, []).append((ts, eid, et))
+    trans: Counter = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    margins: Counter = Counter()
+    for (a, _b), c in trans.items():
+        margins[a] += c
+    rows = {
+        (r.from_type, r.to_type): r
+        for r in event_transition_matrix(spark, SF).collect()
+    }
+    assert set(rows) == set(trans)
+    for (a, b), c in trans.items():
+        r = rows[(a, b)]
+        assert (r.n_transitions, r.n_from) == (c, margins[a])
+        assert r.p_transition == c / margins[a]
+
+
+def _py_soundex(token: str) -> str:
+    t = token.upper()
+    m = {}
+    for chars, d in (
+        ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+        ("L", "4"), ("MN", "5"), ("R", "6"),
+    ):
+        for ch in chars:
+            m[ch] = d
+    digits = [m.get(ch, "0") for ch in t[1:]]
+    out = []
+    for d in digits:
+        if not out or out[-1] != d:
+            out.append(d)
+    code = "".join(c for c in out if c != "0")
+    return (t[0] + code[:3]).ljust(4, "0")
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_soundex_blocking_matches_python(spark):
+    from etl_showcase_spark.plans.corpus import soundex_token_blocking
+
+    import re
+
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_name"]).to_pydict()
+    nation = pq.read_table(f"{SF}/nation.parquet", columns=["n_name"]).to_pydict()
+    region = pq.read_table(f"{SF}/region.parquet", columns=["r_name"]).to_pydict()
+    events = pq.read_table(f"{SF}/events.parquet", columns=["event_type"]).to_pydict()
+    tokens = set()
+    for name in part["p_name"]:
+        tokens.update(re.sub(r"[^a-z]", "", w.lower()) for w in name.split(" "))
+    tokens.update(re.sub(r"[^a-z]", "", n.lower()) for n in nation["n_name"])
+    tokens.update(re.sub(r"[^a-z]", "", n.lower()) for n in region["r_name"])
+    tokens.update(re.sub(r"[^a-z]", "", n.lower()) for n in events["event_type"])
+    for _d, text, _l, _s in _docs():
+        tokens.update(re.sub(r"[^a-z]", "", w.lower()) for w in text.split(" "))
+    tokens.discard("")
+    blocks: dict[str, list[str]] = {}
+    for tk in tokens:
+        blocks.setdefault(_py_soundex(tk), []).append(tk)
+    expected = {}
+    for code, toks in blocks.items():
+        toks = sorted(toks)
+        min_lev = (
+            min(
+                _py_lev(a, b)
+                for i, a in enumerate(toks)
+                for b in toks[i + 1 :]
+            )
+            if len(toks) > 1
+            else None
+        )
+        expected[code] = (
+            len(toks),
+            len(toks) * (len(toks) - 1) // 2,
+            ",".join(toks),
+            min_lev,
+        )
+    rows = soundex_token_blocking(spark, SF).collect()
+    got = {
+        r.code: (r.block_size, r.candidate_pairs, r.members, r.min_lev) for r in rows
+    }
+    assert got == expected
+    assert any(v[0] > 1 for v in expected.values())  # non-vacuous: real blocks
+
+
+def test_dedup_impact_consistency(spark):
+    from etl_showcase_spark.plans.corpus import dedup_impact_report
+
+    docs = _docs()
+    raw_docs = len(docs)
+    raw_tokens = sum(len(_toks(t)) for _d, t, _l, _s in docs)
+    texts = {}
+    for _d, t, _l, _s in docs:
+        texts.setdefault(t, len(_toks(t)))
+    rows = {r.stage: r for r in dedup_impact_report(spark, SF).collect()}
+    assert set(rows) == {"raw", "exact_dedup", "neardup_canonical"}
+    assert (rows["raw"].n_docs, rows["raw"].n_tokens) == (raw_docs, raw_tokens)
+    assert rows["exact_dedup"].n_docs == len(texts)
+    assert rows["exact_dedup"].n_tokens == sum(texts.values())
+    near = rows["neardup_canonical"]
+    assert 0 < near.n_docs <= rows["exact_dedup"].n_docs <= raw_docs
+    assert near.doc_share == near.n_docs / raw_docs
+    assert near.token_share == near.n_tokens / raw_tokens
+    assert rows["raw"].doc_share == 1.0 and rows["raw"].token_share == 1.0

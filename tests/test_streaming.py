@@ -614,3 +614,16 @@ def test_stateful_drift_matches_batch(spark):
     streamed = jobs.stream_token_drift_state(spark, SF_SMOKE).toPandas()
     batch = token_distribution_drift(spark, SF_SMOKE).toPandas()
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_transitions_match_batch(spark):
+    # the per-user GroupState is only the last event type; the
+    # streamed emission log's (from,to) multiset must equal the batch
+    # LAG multiset exactly, so counts, margins, and the probability
+    # division are bit-identical
+    from etl_showcase_spark.plans.corpus import event_transition_matrix
+
+    streamed = jobs.stream_transition_matrix_state(spark, SF_SMOKE).toPandas()
+    batch = event_transition_matrix(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
