@@ -897,3 +897,89 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p1").alias("n_purchased"),
         (F.count("p1") * F.lit(1.0) / F.count(F.lit(1))).alias("full_conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T2/W-family strict ordered funnel ([EXT] — the windowFunnel
+# conversion question every product-analytics engine answers: of the
+# users who VIEWED, how many then CLICKED, then PURCHASED, strictly in
+# order and all within one hour of the first view). Pure conditional
+# aggregation — three filtered keyed MIN-aggs chained by join, no UDF
+# and no per-user sort: each stage is a map-side-combinable agg plus a
+# user-keyed join, so the plan is three linear passes at any scale.
+# Timestamp comparisons stay in interval arithmetic (timestamp-type-
+# agnostic, see module notes). Distinct from cogroup_user_funnel,
+# which exercises the cogrouped-UDF surface for per-user stats; this
+# is the JVM-only ordered-sequence conversion count.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(v.t1) AS t1, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t1 + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view_users,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_users,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_users,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS click_through,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS purchase_through
+"""
+
+
+@register("event_funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("T2", "G5"))
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.lit(1).alias("_one"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_users"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_users"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            (F.col("n_click_users").cast("double") / F.col("n_view_users")).alias(
+                "click_through"
+            ),
+            (F.col("n_purchase_users").cast("double") / F.col("n_view_users")).alias(
+                "purchase_through"
+            ),
+        )
+    )

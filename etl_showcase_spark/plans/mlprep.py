@@ -1,0 +1,1027 @@
+"""ML-data-prep operators over `embeddings` and `documents`
+(SURVEY.md §2.13 extensions, round 7): fixed-point distributed k-means
+(Lloyd), SemDeDup-style semantic dedup with sorted-neighborhood
+verification, power-iteration principal-component analysis, a
+hashed-feature quality classifier, exact-substring duplicate-span
+coverage, source token-budget planning, and IQR length outliers.
+
+No reference citations (the reference — dags/weather_etl_pipeline.py —
+is a weather ETL DAG with no ML-prep surface); these extend the L3/L4/
+L6 families with the embedding- and corpus-curation passes a training
+run performs between crawl and tokenizer.
+
+House oracle discipline throughout: every iterative/geometric algorithm
+runs in *integer fixed point* (quantized vectors, floor-division
+requantization via the pmod spelling, struct/list argmin for
+deterministic ties) so the distributed result is bit-identical at any
+parallelism AND the DuckDB oracle replays every round exactly as an
+unrolled CTE chain. The only doubles are final ratio casts and the
+cosine sqrt/divide, whose IEEE op sequence is identical in both
+engines (precedent: plans/llm_vector.py, plans/curation.py pagerank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caching import tracked_persist
+from ..catalog import table
+from ..operators import textops
+from ..operators.similarity import int_dot, quantize, quantized_cosine
+from ..registry import register
+from .llm_text import _SQL_TOKS
+
+# ---------------------------------------------------------------------------
+# shared integer helpers
+# ---------------------------------------------------------------------------
+
+
+def _fdiv(a: Column, b: Column) -> Column:
+    """Exact floor division for possibly-negative a (b > 0).
+
+    (a - pmod(a, b)) is divisible by b, so the double division is exact
+    and truncation == floor. DuckDB twin:
+        (a - ((a % b) + b) % b) // b
+    (DuckDB `//` truncates toward zero, which equals floor once the
+    numerator is exactly divisible — verified: -7//2 = -3, but the pmod
+    spelling yields the true floor -4 in both engines.)
+    """
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def _sql_fdiv(a: str, b: str) -> str:
+    return f"(({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b})"
+
+
+# quantized int vector at scale 1000 (the llm_vector.py house scale)
+_SQL_QUANT = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+)
+# coarser scale-100 quantization for the power-iteration matvec chain,
+# sized so every round's n·(x·v)·x sums stay far inside int64 even at
+# 1e9 vectors (|x_q| <= ~100; see the bound audit below)
+_SQL_QUANT100 = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 100 + 0.5) AS BIGINT))"
+)
+
+_DIM = 64  # embeddings.embedding is a fixed 64-dim vector (TESTDATA.md)
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    """Exact: BIGINT-list dot products stay < 2^53 at our scales, so
+    DuckDB's DOUBLE-returning list_dot_product is exact; the cast back
+    to BIGINT restores integer arithmetic."""
+    return f"CAST(list_dot_product({a}, {b}) AS BIGINT)"
+
+
+def _sql_l2_dist(x: str, c: str) -> str:
+    return (
+        f"({_sql_int_dot(x, x)} - 2*{_sql_int_dot(x, c)} + {_sql_int_dot(c, c)})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 distributed k-means (Lloyd) in exact fixed point ([EXT] — the
+# clustering pass behind SemDeDup / IVF index builds / topic balance
+# audits). Two rounds, fully deterministic:
+#
+#   seeds   = the k lowest-vec_id vectors (quantized, scale 1e3);
+#   round 1 = assign each vector to the argmin exact-int L2 seed
+#             (ties -> lowest cluster id, via min(struct));
+#   update  = per-cluster per-dim exact integer sums; the new centroid
+#             is REQUANTIZED to scale 1e6 by floor(1000*S / n) — floor
+#             division in the pmod spelling, so both engines round
+#             identically and later distances remain exact ints;
+#   round 2 = re-assign against the updated centroids (vectors scaled
+#             x1000 to match), emit per-cluster size, centroid L1 mass
+#             and exact inertia.
+#
+# Scale shape: assignment is a broadcast of k centroids against the
+# corpus (n·k distance rows, map-side only — no shuffle until the
+# vec_id-keyed argmin agg, which is a partial-aggregatable min);
+# the update is posexplode -> groupBy(cluster, dim), i.e. k·dim result
+# rows regardless of corpus size (the same map-side-combine shape as
+# operators/similarity.py ivf_ann_topk's refinement). Nothing driver-
+# sized anywhere: seeds are read as a filter, not collected. At 100 TB
+# with k beyond ~1e5 you'd shard the centroid broadcast coarse-to-fine;
+# for constant k the plan is volume-linear.
+#
+# Overflow audit (|component| <= ~0.6 -> |x_q| <= 600, n <= 1e12):
+#   round-1 dot <= 64·600² = 2.3e7;   1000·S <= 1000·600·n;
+#   round-2 scale-1e6 dot <= 64·(6e5)² = 2.3e13 < 2^53 (exact in
+#   DuckDB's double-returning list_dot_product);  per-vec d2 <= 9.2e13;
+#   inertia summed in DECIMAL(38,0)/HUGEINT -> one final double cast.
+# ---------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+
+def _kmeans_oracle(k: int) -> str:
+    d1 = _sql_l2_dist("v.x", "s.c")
+    d2 = _sql_l2_dist("v2.x", "cf.c")
+    ci = _sql_fdiv("1000*s", "n")
+    return f"""
+WITH v AS (SELECT vec_id, {_SQL_QUANT} AS x FROM embeddings),
+seeds AS (SELECT CAST(vec_id AS INT) AS cl, x AS c FROM v WHERE vec_id < {k}),
+a1 AS (
+  SELECT v.vec_id, MIN([{d1}, CAST(s.cl AS BIGINT)]) AS m
+  FROM v CROSS JOIN seeds s GROUP BY v.vec_id
+),
+asg1 AS (SELECT vec_id, CAST(m[2] AS INT) AS cl FROM a1),
+comp AS (
+  SELECT a.cl, t.i, v.x[t.i] AS xi
+  FROM v JOIN asg1 a USING (vec_id), UNNEST(range(1, {_DIM + 1})) t(i)
+),
+upd AS (SELECT cl, i, SUM(xi) AS s, COUNT(*) AS n FROM comp GROUP BY cl, i),
+cent AS (
+  SELECT cl, LIST(CAST({ci} AS BIGINT) ORDER BY i) AS c FROM upd GROUP BY cl
+),
+cent_full AS (
+  SELECT sd.cl, COALESCE(ct.c, list_transform(sd.c, y -> y*1000)) AS c
+  FROM seeds sd LEFT JOIN cent ct ON sd.cl = ct.cl
+),
+v2 AS (SELECT vec_id, list_transform(x, y -> y*1000) AS x FROM v),
+a2 AS (
+  SELECT v2.vec_id, MIN([{d2}, CAST(cf.cl AS BIGINT)]) AS m
+  FROM v2 CROSS JOIN cent_full cf GROUP BY v2.vec_id
+),
+asg2 AS (
+  SELECT vec_id, CAST(m[2] AS INT) AS cluster, m[1] AS d2 FROM a2
+)
+SELECT g.cluster,
+       CAST(g.n_vecs AS BIGINT) AS n_vecs,
+       CAST(cf.l1 AS BIGINT) AS centroid_l1,
+       g.inertia
+FROM (
+  SELECT cluster, COUNT(*) AS n_vecs, CAST(SUM(d2) AS DOUBLE) AS inertia
+  FROM asg2 GROUP BY cluster
+) g
+JOIN (
+  SELECT cl, list_aggregate(list_transform(c, y -> abs(y)), 'sum') AS l1
+  FROM cent_full
+) cf ON cf.cl = g.cluster
+"""
+
+
+def _lloyd_two_rounds(
+    spark: SparkSession, sf_dir: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared two-round fixed-point Lloyd.
+
+    Returns (assign2, cent_full): assign2 has (vec_id, x2, cluster, d2)
+    with x2 the scale-1e6 quantized vector; cent_full has (cl, c) the
+    requantized scale-1e6 centroids. Exact mirror of _kmeans_oracle's
+    CTE chain — every arithmetic step is spelled identically.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    # scanned three times (round-1 assign, centroid update, round-2
+    # re-assign): persist the quantized view once, FIFO-bounded
+    v = tracked_persist(
+        e.select("vec_id", quantize(F.col("embedding")).alias("x"))
+    )
+    seeds = v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cl"), F.col("x").alias("c")
+    )
+
+    def dist(x: Column, c: Column) -> Column:
+        return int_dot(x, x) - 2 * int_dot(x, c) + int_dot(c, c)
+
+    a1 = (
+        v.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            F.struct(
+                dist(F.col("x"), F.col("c")).alias("d"),
+                F.col("cl").cast("bigint").alias("cl"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.cl").cast("int").alias("cl"))
+    )
+    comp = (
+        v.join(a1, "vec_id")
+        .select("cl", F.posexplode("x").alias("p", "xi"))
+        # posexplode is 0-based; the oracle's range() is 1-based — only
+        # the per-dim keying and the ORDER BY rebuild matter, both
+        # internally consistent, but align anyway for readability
+        .select("cl", (F.col("p") + 1).alias("i"), "xi")
+    )
+    upd = comp.groupBy("cl", "i").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        upd.withColumn("ci", _fdiv(F.col("s") * 1000, F.col("n")))
+        .groupBy("cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ci"))), lambda t: t["ci"]
+            ).alias("c")
+        )
+    )
+    cent_full = (
+        seeds.select("cl", F.transform("c", lambda y: y * 1000).alias("seed_c"))
+        .join(cent, "cl", "left")
+        .select("cl", F.coalesce("c", "seed_c").alias("c"))
+    )
+    v2 = v.select("vec_id", F.transform("x", lambda y: y * 1000).alias("x2"))
+    assign2 = (
+        v2.crossJoin(F.broadcast(cent_full))
+        .select(
+            "vec_id",
+            "x2",
+            F.struct(
+                dist(F.col("x2"), F.col("c")).alias("d"),
+                F.col("cl").cast("bigint").alias("cl"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"), F.first("x2").alias("x2"))
+        .select(
+            "vec_id",
+            "x2",
+            F.col("m.cl").cast("int").alias("cluster"),
+            F.col("m.d").alias("d2"),
+        )
+    )
+    return assign2, cent_full
+
+
+@register("kmeans_lloyd_clusters", oracle=_kmeans_oracle(_KMEANS_K), tags=("L3", "G1"))
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign2, cent_full = _lloyd_two_rounds(spark, sf_dir, _KMEANS_K)
+    sizes = assign2.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).cast("double").alias("inertia"),
+    )
+    l1 = cent_full.select(
+        F.col("cl").alias("cluster"),
+        F.aggregate(
+            F.transform("c", lambda y: F.abs(y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, y: acc + y,
+        ).alias("centroid_l1"),
+    )
+    return sizes.join(F.broadcast(l1), "cluster").select(
+        "cluster", "n_vecs", "centroid_l1", "inertia"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3/L1 SemDeDup-style semantic dedup ([EXT] — Abbas et al. 2023: drop
+# near-duplicate *meanings*, not just near-duplicate strings, by
+# deduplicating within k-means cells). Candidate generation here is the
+# 100 TB-honest spelling:
+#
+#   1. two-round fixed-point Lloyd (k = 64 cells, shared helper above);
+#   2. inside each cell, rank members by exact (distance-to-centroid,
+#      vec_id) — near-identical vectors have near-identical d2, so they
+#      land adjacent in this 1-D order;
+#   3. verify cosine ONLY within a ±16-rank sorted neighborhood (the
+#      classic sorted-neighborhood blocking from entity resolution) —
+#      O(n·16) candidate pairs, never the O(Σ cell²) all-pairs-per-cell
+#      of the naive SemDeDup verify;
+#   4. a member is dropped if some LOWER-ranked neighbor is within
+#      cosine > 0.92 of it (keep the representative closest to the
+#      centroid; deterministic because the rank order is total).
+#
+# The paper scales k ∝ n to keep cells constant-sized; with the rank
+# banding the verify stage is linear in n even at fixed k, so the plan
+# survives a 100× scale-up either way (the n·k assignment term is the
+# only k-dependent cost). Recall caveat vs all-pairs verify is the
+# usual blocking trade-off and is bounded by the band width.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 64
+_SEMDEDUP_BAND = 16
+_SEMDEDUP_TAU = 0.92
+
+
+def _semdedup_oracle() -> str:
+    base = _kmeans_oracle(_SEMDEDUP_K)
+    # reuse the unrolled Lloyd chain up to asg2, then swap the SELECT
+    chain = base[: base.index("SELECT g.cluster")].rstrip() + ","
+    cos = (
+        f"CAST(list_dot_product(a.x2, b.x2) AS DOUBLE)"
+        f" / (SQRT(CAST(list_dot_product(a.x2, a.x2) AS DOUBLE))"
+        f" * SQRT(CAST(list_dot_product(b.x2, b.x2) AS DOUBLE)))"
+    )
+    return f"""{chain}
+ranked AS (
+  SELECT v2.vec_id, v2.x AS x2, a.cluster,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster
+                            ORDER BY a.d2, v2.vec_id) AS rnk
+  FROM v2 JOIN asg2 a USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT b.cluster, b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.cluster = b.cluster
+   AND b.rnk > a.rnk AND b.rnk <= a.rnk + {_SEMDEDUP_BAND}
+  WHERE {cos} > {_SEMDEDUP_TAU}
+)
+SELECT r.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+FROM ranked r
+LEFT JOIN dropped d ON d.cluster = r.cluster AND d.vec_id = r.vec_id
+GROUP BY r.cluster
+"""
+
+
+@register("semantic_dedup_prune", oracle=_semdedup_oracle(), tags=("L3", "L1"))
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assign2, _ = _lloyd_two_rounds(spark, sf_dir, _SEMDEDUP_K)
+    ranked = assign2.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        ),
+    )
+    a = ranked.select(
+        F.col("cluster").alias("cl"), F.col("rnk").alias("rnk_a"), F.col("x2").alias("xa")
+    )
+    b = ranked.select(
+        "cluster", F.col("rnk").alias("rnk_b"), F.col("x2").alias("xb"), "vec_id"
+    )
+    dropped = (
+        a.join(
+            b,
+            (a["cl"] == b["cluster"])
+            & (b["rnk_b"] > a["rnk_a"])
+            & (b["rnk_b"] <= a["rnk_a"] + _SEMDEDUP_BAND),
+        )
+        .filter(quantized_cosine(F.col("xa"), F.col("xb")) > _SEMDEDUP_TAU)
+        .select("cluster", "vec_id")
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count("is_dropped").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 power-iteration principal component ([EXT] — the "what single
+# direction explains this embedding table" probe behind PCA whitening,
+# anisotropy checks, and ABTT-style common-direction removal). Six
+# rounds of v <- requantize(Xᵀ(X v)) WITHOUT ever forming the d×d
+# covariance — each round is
+#
+#   s_r = <x_r, v>            (one map-side exact int dot per row)
+#   w_i = Σ_r s_r · x_{r,i}   (posexplode -> groupBy(dim): 64 result
+#                              rows regardless of corpus size — the
+#                              same partial-agg shape as Lloyd's update)
+#   v'  = floor(100·w / max|w|)  (requantized to scale 100, pmod floor
+#                                 division; GREATEST(,1) guards the
+#                                 zero vector)
+#
+# The per-round driver materialization is the 64-element v itself —
+# O(dim) metadata, the same budget as ivf_ann_topk's seeds — so the
+# plan is volume-linear: 3 scans, 3 keyed 64-row aggs, no shuffle of
+# anything data-sized. Overflow audit at quantization scale 100
+# (|x_q| <= ~100): s <= 64·100·100 = 6.4e5; per-row s·x_i <= 6.4e7;
+# w <= n·6.4e7 -> int64-safe to n ~ 1.4e11 vectors.
+# ---------------------------------------------------------------------------
+
+_POWER_ROUNDS = 6  # flat synthetic spectrum (λ1/λ2 ≈ 1.07): six rounds
+_POWER_SCALE = 100  # lift the Rayleigh quotient past 0.85·λmax at every SF
+
+
+def _power_oracle() -> str:
+    head = f"""
+WITH v AS (SELECT vec_id, {_SQL_QUANT100} AS x FROM embeddings),
+pv0 AS (SELECT i, CAST({_POWER_SCALE} AS BIGINT) AS vi
+        FROM UNNEST(range(1, {_DIM + 1})) t(i))"""
+    step = """,
+vl{j} AS (SELECT LIST(vi ORDER BY i) AS vlist FROM pv{j}),
+s{i} AS (
+  SELECT v.vec_id, v.x, CAST(list_dot_product(v.x, vl.vlist) AS BIGINT) AS s
+  FROM v CROSS JOIN vl{j} vl
+),
+w{i} AS (
+  SELECT t.i, SUM(s{i}.s * s{i}.x[t.i]) AS w
+  FROM s{i}, UNNEST(range(1, {dim1})) t(i) GROUP BY t.i
+),
+m{i} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS vmax FROM w{i}),
+pv{i} AS (
+  SELECT w{i}.i, CAST({fdiv} AS BIGINT) AS vi FROM w{i}, m{i}
+)"""
+    body = "".join(
+        step.format(
+            i=i,
+            j=i - 1,
+            dim1=_DIM + 1,
+            fdiv=_sql_fdiv(f"w * {_POWER_SCALE}", "vmax"),
+        )
+        for i in range(1, _POWER_ROUNDS + 1)
+    )
+    return (
+        head
+        + body
+        + f"\nSELECT CAST(i AS INT) AS dim_i, vi AS loading FROM pv{_POWER_ROUNDS}"
+    )
+
+
+@register("power_iteration_principal_dim", oracle=_power_oracle(), tags=("L3",))
+def power_iteration_principal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    # one matvec scan per round: persist the quantized view once
+    v = tracked_persist(
+        e.select("vec_id", quantize(F.col("embedding"), _POWER_SCALE).alias("x"))
+    )
+    vec = [_POWER_SCALE] * _DIM
+    for _ in range(_POWER_ROUNDS):
+        vlit = F.array(*[F.lit(int(c)).cast("bigint") for c in vec])
+        s = v.select("x", int_dot(F.col("x"), vlit).alias("s"))
+        w = (
+            s.select("s", F.posexplode("x").alias("p", "xi"))
+            .select((F.col("p") + 1).alias("i"), (F.col("s") * F.col("xi")).alias("sx"))
+            .groupBy("i")
+            .agg(F.sum("sx").alias("w"))
+        )
+        rows = w.collect()  # O(dim) driver metadata per round (see note)
+        wmap = {r["i"]: r["w"] for r in rows}
+        vmax = max(max(abs(x) for x in wmap.values()), 1)
+        # floor(100*w / vmax) via the pmod identity, in plain ints
+        vec = [
+            (wmap.get(i + 1, 0) * _POWER_SCALE - (wmap.get(i + 1, 0) * _POWER_SCALE % vmax + vmax) % vmax)
+            // vmax
+            for i in range(_DIM)
+        ]
+    out = [(i + 1, int(vec[i])) for i in range(_DIM)]
+    return spark.createDataFrame(out, "dim_i int, loading bigint")
+
+
+# ---------------------------------------------------------------------------
+# L4 hashed-feature quality classifier ([EXT] — the fastText-style
+# linear scorer CCNet/LLaMA-era pipelines run over every crawl page;
+# here with a deterministic weight table so both engines replay it:
+# bucket = md5(token) mod 64, weight = (bucket·2654435761) mod 1001
+# - 500 (a Knuth-hash spread over [-500, 500]). A real deployment
+# swaps in trained weights via the identical broadcast-free column
+# expression; the SHAPE — score every token without a vocabulary join,
+# one doc-keyed agg, one source-keyed agg — is what matters at 100 TB:
+# the weight table lives inside the expression, so the hot path is one
+# scan with zero joins and zero Python.
+# ---------------------------------------------------------------------------
+
+_HQ_BUCKETS = 64
+_HQ_MOD = 1001
+_HQ_MULT = 2654435761
+
+_HASHED_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST({_SQL_TOKS}) AS tk FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         ((CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % {_HQ_BUCKETS})
+           * {_HQ_MULT}) % {_HQ_MOD} - 500 AS wt
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(wt) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS keep_rate,
+       CAST(SUM(score) AS DOUBLE) / SUM(n_toks) AS avg_token_score
+FROM per_doc GROUP BY source
+"""
+
+
+@register("hashed_quality_classifier", oracle=_HASHED_QUALITY_ORACLE, tags=("L4",))
+def hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(textops.tokens("text")).alias("tk"))
+    bucket = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint") % _HQ_BUCKETS
+    per_doc = (
+        tok.select("doc_id", "source", ((bucket * _HQ_MULT) % _HQ_MOD - 500).alias("wt"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("wt").cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("bigint")).cast("bigint").alias("n_pos"),
+        (
+            F.sum((F.col("score") > 0).cast("bigint")).cast("double") / F.count(F.lit(1))
+        ).alias("keep_rate"),
+        (F.sum("score").cast("double") / F.sum("n_toks")).alias("avg_token_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L1 duplicate-span coverage ([EXT] — the ExactSubstr signal of Lee
+# et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better", at the 8-gram grain: per document, the fraction of token
+# POSITIONS covered by at least one 8-gram that also appears in some
+# other document). Differs from repetition_2gram_ratio (within-doc) and
+# ngram_novelty_rate (first-occurrence): this measures how much of each
+# doc's TEXT MASS is cross-document boilerplate, the number an
+# exact-substring dedup pass would remove.
+#
+# Shape: gram explode (linear) -> gram-keyed distinct-doc count (one
+# shuffle, map-side combinable) -> covered positions by exploding each
+# duplicated gram occurrence to its 8 positions (<= 8× the gram rows,
+# still linear) -> distinct (doc, pos) -> two keyed aggs. No pairing
+# stage anywhere, so the 10× stress exponent is gram-volume-bound.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+_DUP_SPAN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+lens AS (SELECT doc_id, source, LEN(toks) AS n_toks FROM tok),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN dup USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+),
+per_doc AS (
+  SELECT l.doc_id, l.source, l.n_toks,
+         COALESCE(c.n_cov, 0) AS n_cov
+  FROM lens l LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id
+  ) c USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_cov) AS BIGINT) AS covered_tokens,
+       CAST(SUM(n_cov) AS DOUBLE) / SUM(n_toks) AS dup_coverage,
+       CAST(SUM(CASE WHEN 2*n_cov >= n_toks THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_half_dup
+FROM per_doc WHERE n_toks > 0 GROUP BY source
+"""
+
+
+@register("duplicate_span_coverage", oracle=_DUP_SPAN_ORACLE, tags=("L4", "L1"))
+def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", textops.tokens("text").alias("toks"))
+    lens = tok.select("doc_id", "source", F.size("toks").cast("bigint").alias("n_toks"))
+    g = (
+        tok.filter(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("toks", i, _SPAN_N), " ").alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    per_doc = lens.join(cov, "doc_id", "left").select(
+        "source", "n_toks", F.coalesce("n_cov", F.lit(0)).alias("n_cov")
+    )
+    return (
+        per_doc.filter(F.col("n_toks") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_cov").cast("bigint").alias("covered_tokens"),
+            (F.sum("n_cov").cast("double") / F.sum("n_toks")).alias("dup_coverage"),
+            F.sum((2 * F.col("n_cov") >= F.col("n_toks")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_docs_half_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 source token-budget planning ([EXT] — the epoch table a data-mix
+# design starts from: under an equal-share mix across sources, how many
+# epochs (repeats) of each source are needed, and which sources are
+# oversampled past 1 epoch — the Muennighoff et al. 2023 "repeat up to
+# 4 epochs" budget question). Pure integer arithmetic: share in ppm by
+# floor division, epochs by ceil division; both engines replay exactly.
+# One scan, one source-keyed agg (map-side combinable), a 1-row total
+# broadcast back — nothing data-sized moves twice.
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(LEN({_SQL_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(tokens) AS total, COUNT(*) AS n_sources FROM per_source
+)
+SELECT p.source,
+       p.tokens,
+       CAST((p.tokens * 1000000) // t.total AS BIGINT) AS share_ppm,
+       CAST(t.total // t.n_sources AS BIGINT) AS target_tokens,
+       CAST((t.total // t.n_sources + p.tokens - 1) // p.tokens AS BIGINT)
+         AS epochs_needed,
+       CAST(t.total // t.n_sources > p.tokens AS BOOLEAN) AS oversampled
+FROM per_source p, tot t
+"""
+
+
+@register("source_token_budget_epochs", oracle=_TOKEN_BUDGET_ORACLE, tags=("L6",))
+def source_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("tokens")
+    )
+    tot = per_source.agg(
+        F.sum("tokens").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    # all quantities non-negative: expr("div") integer division == floor
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr("div(tokens * 1000000, total)").cast("bigint").alias("share_ppm"),
+        F.expr("div(total, n_sources)").cast("bigint").alias("target_tokens"),
+        F.expr("div(div(total, n_sources) + tokens - 1, tokens)")
+        .cast("bigint")
+        .alias("epochs_needed"),
+        (F.expr("div(total, n_sources)") > F.col("tokens")).alias("oversampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 IQR length outliers ([EXT] — the truncation/garbage screen run
+# before any length-sensitive sampling: per language, nearest-rank
+# quartiles of n_chars and Tukey-fence outlier counts). Quartiles are
+# NEAREST-RANK (ceil(q·n)) on a (n_chars, doc_id) total order — pure
+# integer selection, no interpolation, so both engines pick the
+# identical element; the 1.5·IQR fences are cross-multiplied into
+# integer comparisons (2·x vs 2·q3 + 3·IQR) to keep everything exact.
+# Shape: one window rank per language + a 4-row-per-lang broadcast back
+# — the window is the only shuffle and partitions by lang.
+# ---------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+),
+quart AS (
+  SELECT lang,
+         MAX(CASE WHEN rnk = (n + 3) // 4 THEN n_chars END) AS q1,
+         MAX(CASE WHEN rnk = (3*n + 3) // 4 THEN n_chars END) AS q3
+  FROM ranked GROUP BY lang
+)
+SELECT r.lang,
+       CAST(MAX(r.n) AS BIGINT) AS n_docs,
+       CAST(MAX(q.q1) AS BIGINT) AS q1_chars,
+       CAST(MAX(q.q3) AS BIGINT) AS q3_chars,
+       CAST(SUM(CASE WHEN 2*r.n_chars > 2*q.q3 + 3*(q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       CAST(SUM(CASE WHEN 2*r.n_chars < 2*q.q1 - 3*(q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers
+FROM ranked r JOIN quart q USING (lang)
+GROUP BY r.lang
+"""
+
+
+@register("iqr_length_outliers", oracle=_IQR_ORACLE, tags=("L4", "L6"))
+def iqr_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    wlang = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(wlang.orderBy("n_chars", "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(wlang).alias("n"),
+    )
+    quart = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rnk") == F.expr("div(n + 3, 4)"), F.col("n_chars"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rnk") == F.expr("div(3*n + 3, 4)"), F.col("n_chars"))
+        ).alias("q3"),
+    )
+    return (
+        ranked.join(F.broadcast(quart), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.max("q1").cast("bigint").alias("q1_chars"),
+            F.max("q3").cast("bigint").alias("q3_chars"),
+            F.sum(
+                (
+                    2 * F.col("n_chars") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_high_outliers"),
+            F.sum(
+                (
+                    2 * F.col("n_chars") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_low_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 language-ID confusion matrix ([EXT] — the eval harness for the
+# lang_id_heuristic classifier: labeled vs predicted counts and
+# per-label hit rate). Reuses the per-doc classifier query as a
+# subplan (one scan, the CASE argmax is a JVM expression), then one
+# (labeled, predicted)-keyed agg and a labeled-keyed margin join —
+# the matrix is bounded by |langs|² regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from .llm_text import _LANGID_ORACLE
+
+    return f"""
+WITH per_doc AS ({_LANGID_ORACLE}),
+m AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY labeled_lang, predicted_lang
+),
+marg AS (
+  SELECT labeled_lang, SUM(n_docs) AS n_labeled FROM m GROUP BY labeled_lang
+)
+SELECT m.labeled_lang, m.predicted_lang, m.n_docs,
+       CAST(marg.n_labeled AS BIGINT) AS n_labeled,
+       CAST(m.labeled_lang = m.predicted_lang AS BOOLEAN) AS is_hit,
+       CAST(m.n_docs AS DOUBLE) / marg.n_labeled AS rate
+FROM m JOIN marg ON m.labeled_lang = marg.labeled_lang
+"""
+
+
+@register("lang_confusion_matrix", oracle=_lang_confusion_oracle(), tags=("L4",))
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_text import lang_id_heuristic
+
+    per_doc = lang_id_heuristic(spark, sf_dir)
+    m = per_doc.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    marg = m.groupBy("labeled_lang").agg(F.sum("n_docs").alias("n_labeled"))
+    return m.join(F.broadcast(marg), "labeled_lang").select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.col("n_labeled").cast("bigint").alias("n_labeled"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_hit"),
+        (F.col("n_docs").cast("double") / F.col("n_labeled")).alias("rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 Zipf-law slope ([EXT] — the corpus-health scalar next to the
+# Heaps-law vocab_growth_curve: how steeply does term frequency decay
+# with rank? Fit count ≈ C·rank^(-s) by least squares on whole-bit
+# logs: x = floor(log2 rank), y = floor(log2 count), both via the
+# LENGTH(bin(·))-1 spelling three other queries share, so every sum in
+# the closed-form slope  s = (nΣxy - ΣxΣy) / (nΣx² - (Σx)²)  is an
+# exact integer; the single division at the end is the only double.
+# Ranking the vocabulary is the one scale-sensitive step: it routes
+# through with_global_row_number (operators/relational.py) — range-
+# partitioned local ranks lifted by broadcast prefix offsets, never a
+# single-reducer global window. Everything after is one 5-integer agg.
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (SELECT UNNEST({_SQL_TOKS}) AS term FROM documents),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rnk FROM tc
+),
+bits AS (
+  SELECT LENGTH(bin(rnk)) - 1 AS x, LENGTH(bin(c)) - 1 AS y FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+  FROM bits
+)
+SELECT n AS n_terms, sx, sy, sxy, sxx,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den,
+       CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx) AS zipf_slope
+FROM s
+"""
+
+
+@register("zipf_fit_slope", oracle=_ZIPF_ORACLE, tags=("L4", "G1"))
+def zipf_fit_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens("text")).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked = with_global_row_number(
+        tc, [F.col("c").desc(), F.col("term").asc()], "rnk"
+    )
+    bits = ranked.select(
+        (F.length(F.bin("rnk")) - 1).alias("x"),
+        (F.length(F.bin("c")) - 1).alias("y"),
+    )
+    s = bits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 MinHash estimator calibration ([EXT] — the sketch-quality audit a
+# dedup rollout runs before trusting LSH candidates: for every banded
+# candidate pair, the signature-estimated Jaccard (matching minima /
+# num_hashes) next to the exact shingle Jaccard. Reuses the md5-
+# permutation spelling of minhash_md5_neardup (plans/llm_text.py) so
+# DuckDB replays signatures, band keys, candidates, and both
+# estimates. No cross-row float arithmetic: every row carries integer
+# (n_matches, n_inter, n_union) and two per-row double divisions — the
+# frame stays hashable, and a monitoring layer can aggregate the
+# integers however it likes. Candidate generation is the banded join
+# (never all-pairs); the signature columns ride only the pair join,
+# keyed by doc id.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    from .llm_text import _md5_sig_band_sql
+
+    sig_cols, band_selects = _md5_sig_band_sql()
+    from .llm_text import _MH_HASHES
+
+    match_sum = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(_MH_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST({match_sum} AS INT) AS n_matches,
+       CAST(LEN(list_intersect(gx.grams, gy.grams)) AS BIGINT) AS n_inter,
+       CAST(LEN(gx.grams) + LEN(gy.grams)
+            - LEN(list_intersect(gx.grams, gy.grams)) AS BIGINT) AS n_union,
+       CAST({match_sum} AS DOUBLE) / {_MH_HASHES} AS est_jaccard,
+       CAST(LEN(list_intersect(gx.grams, gy.grams)) AS DOUBLE)
+         / (LEN(gx.grams) + LEN(gy.grams)
+            - LEN(list_intersect(gx.grams, gy.grams))) AS exact_jaccard
+FROM cand c
+JOIN sig x ON c.id_a = x.doc_id JOIN sig y ON c.id_b = y.doc_id
+JOIN sh gx ON c.id_a = gx.doc_id JOIN sh gy ON c.id_b = gy.doc_id
+"""
+
+
+@register(
+    "minhash_estimate_calibration", oracle=_minhash_calibration_oracle(), tags=("L2", "G10")
+)
+def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _md5_banded
+    from .llm_text import _MH_BANDS, _MH_HASHES
+
+    d = table(spark, sf_dir, "documents")
+    toks = textops.tokens("text")
+    base = d.select(
+        F.col("doc_id").alias("__id"),
+        F.array_distinct(textops.shingles(toks, 3)).alias("__sh"),
+    ).filter(F.size("__sh") >= 1)
+
+    def salted(i: int):
+        prefix = F.lit(f"{i}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
+    sig = base.select(
+        "__id",
+        "__sh",
+        *[
+            F.array_min(F.transform(F.col("__sh"), salted(i))).alias(f"m{i}")
+            for i in range(_MH_HASHES)
+        ],
+    )
+    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    sx = sig.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("gx"),
+        *[F.col(f"m{i}").alias(f"xa{i}") for i in range(_MH_HASHES)],
+    )
+    sy = sig.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("gy"),
+        *[F.col(f"m{i}").alias(f"yb{i}") for i in range(_MH_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"xa{i}") == F.col(f"yb{i}")).cast("int") for i in range(_MH_HASHES)
+    )
+    n_inter = F.size(F.array_intersect("gx", "gy"))
+    n_union = F.size("gx") + F.size("gy") - n_inter
+    return (
+        cand.join(sx, "id_a")
+        .join(sy, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matches.cast("int").alias("n_matches"),
+            n_inter.cast("bigint").alias("n_inter"),
+            n_union.cast("bigint").alias("n_union"),
+            (matches.cast("double") / _MH_HASHES).alias("est_jaccard"),
+            (n_inter.cast("double") / n_union).alias("exact_jaccard"),
+        )
+    )

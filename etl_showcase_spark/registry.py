@@ -47,6 +47,7 @@ _PLAN_MODULES = (
     "etl_showcase_spark.plans.llm_text",
     "etl_showcase_spark.plans.curation",
     "etl_showcase_spark.plans.corpus",
+    "etl_showcase_spark.plans.mlprep",
     "etl_showcase_spark.plans.multimodal",
     "etl_showcase_spark.plans.ingest",
     "etl_showcase_spark.plans.nested",

@@ -1082,3 +1082,151 @@ def stream_transition_matrix_state(spark: SparkSession, sf_dir: str) -> DataFram
             "p_transition"
         ),
     )
+
+
+def stream_heavy_hitters_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters: twin of the batch
+    ``frequent_terms_exact`` query (plans/llm_text.py). Documents
+    arrive in micro-batches; per-TERM GroupState carries the exact
+    integer occurrence count across batches, and the drained emission
+    log resolves to the SAME heavy-hitter frame — the candidate set,
+    the cross-multiplied count·K > total threshold, and the one final
+    double division are all bit-identical because the fold is pure
+    integer addition (order-independent).
+
+    The batch query's Misra-Gries stage is its *scan-side* optimization
+    (bounded candidate memory before an exact recount); the streaming
+    spelling keeps exact per-term counts in the state store instead —
+    the RocksDB-backed envelope a production stream actually runs,
+    with the same O(vocabulary) state a batch recount would shuffle.
+    The final threshold is applied OUTSIDE the stream so restarts and
+    batch boundaries can never observe a term flickering in and out of
+    heavy-hitter status mid-run.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..operators.relational import latest_per_key
+
+    docs = documents_replay_stream(spark, sf_dir)
+    tok = docs.select(F.explode(textops.tokens(F.col("text"))).alias("term"))
+
+    def update_count(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"term": [key[0]], "n_seen": [n]})
+
+    out = tok.groupBy("term").applyInPandasWithState(
+        update_count,
+        outputStructType="term string, n_seen long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _drain_replay_union(out, "stream_heavy_hitters", mode="update")
+    # cross-restart emission log -> final counts = emission with the
+    # largest (strictly monotone) n_seen per term
+    tc = latest_per_key(emitted, ["term"], [F.col("n_seen").desc()]).select(
+        "term", F.col("n_seen").alias("n_occurrences")
+    )
+    from ..plans.llm_text import _HH_K as k  # same threshold as the batch twin
+
+    n = tc.agg(F.sum("n_occurrences").cast("long").alias("total"))
+    return (
+        tc.crossJoin(F.broadcast(n))
+        .filter(F.col("n_occurrences") * k > F.col("total"))
+        .select(
+            "term",
+            "n_occurrences",
+            F.col("total").alias("total_tokens"),
+            (F.col("n_occurrences").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+
+
+def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowFunnel: twin of the batch
+    ``event_funnel_conversion`` query (plans/events.py). Events arrive
+    in (ts, event_id)-ordered micro-batches from the replay source;
+    per-USER GroupState is the funnel machine (first-view time, first
+    qualifying click time, stage reached), and the drained emission log
+    resolves to the SAME single-row conversion frame.
+
+    The fold is order-dependent but exact: under per-user ordered
+    arrival, "first view" == MIN(view ts), "first click in
+    (t1, t1+1h]" == the batch query's MIN-agg, and "any purchase in
+    (t2, t1+1h]" == the batch EXISTS — so the three stage counts and
+    the two final divisions are bit-identical. Timestamps live in the
+    state as ISO strings (timestamp-type-agnostic across NTZ/TZ
+    sessions); comparisons happen in pandas datetime arithmetic inside
+    the fold. Stage is monotone non-decreasing, so the cross-restart
+    emission log resolves by MAX(stage) per user.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_replay_stream(spark, sf_dir)
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            t1s, t2s, stage = state.get
+        else:
+            t1s, t2s, stage = "", "", 0
+        t1 = pd.Timestamp(t1s) if t1s else None
+        t2 = pd.Timestamp(t2s) if t2s else None
+        hour = pd.Timedelta(hours=1)
+        cols = ["ts", "event_id", "event_type"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if len(df):
+            df = df.sort_values(["ts", "event_id"])
+            for ts, et in zip(df["ts"], df["event_type"]):
+                if stage == 0 and et == "view":
+                    t1, stage = ts, 1
+                elif stage == 1 and et == "click" and t1 < ts <= t1 + hour:
+                    t2, stage = ts, 2
+                elif stage == 2 and et == "purchase" and ts > t2 and ts <= t1 + hour:
+                    stage = 3
+        state.update(
+            (
+                t1.isoformat() if t1 is not None else "",
+                t2.isoformat() if t2 is not None else "",
+                stage,
+            )
+        )
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, stage int",
+        stateStructType="t1 string, t2 string, stage int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _drain_replay_union(out, "stream_funnel", mode="update")
+    final = emitted.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    counts = final.agg(
+        F.sum((F.col("stage") >= 1).cast("long")).cast("bigint").alias("n_view_users"),
+        F.sum((F.col("stage") >= 2).cast("long")).cast("bigint").alias("n_click_users"),
+        F.sum((F.col("stage") >= 3).cast("long"))
+        .cast("bigint")
+        .alias("n_purchase_users"),
+    )
+    return counts.select(
+        "n_view_users",
+        "n_click_users",
+        "n_purchase_users",
+        (F.col("n_click_users").cast("double") / F.col("n_view_users")).alias(
+            "click_through"
+        ),
+        (F.col("n_purchase_users").cast("double") / F.col("n_view_users")).alias(
+            "purchase_through"
+        ),
+    )

@@ -1,0 +1,94 @@
+"""Invariants for the round-7 ML-prep family (plans/mlprep.py) beyond
+the automatic DuckDB oracle parity in test_oracle_parity.py: algorithm-
+quality checks the SQL twin can't express (eigenvector alignment), the
+floor-division lemma three queries share, and accounting identities."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_showcase_spark.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+# ---------------------------------------------------------------------------
+# the pmod floor-division lemma used by Lloyd requantization, power
+# iteration, and their oracles: (a - pmod(a,b)) / b == floor(a/b)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    a=st.integers(min_value=-(10**15), max_value=10**15),
+    b=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_pmod_floordiv_lemma(a, b):
+    assert (a - ((a % b) + b) % b) // b == math.floor(a / b) == a // b
+
+
+def test_power_iteration_rayleigh_quality(spark):
+    """The fixed-point loading vector must climb the spectrum of XᵀX:
+    its Rayleigh quotient must reach >= 0.85·λmax and clearly beat the
+    isotropic average (trace/dim — what a random direction scores).
+    This is the quality bar the oracle's bit-replay can't see: both
+    engines could agree on a uselessly wrong direction. (The synthetic
+    embeddings are near-isotropic, λ1/λ2 ≈ 1.07, so exact-alignment
+    assertions are not meaningful at any fixed round count; Rayleigh
+    mass is.)"""
+    import numpy as np
+    import pandas as pd
+
+    pdf = SPECS["power_iteration_principal_dim"].build(spark, SF_SMOKE).toPandas()
+    v = pdf.sort_values("dim_i")["loading"].to_numpy().astype("float64")
+
+    raw = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    X = np.stack(raw["embedding"].to_numpy()).astype("float64")
+    # same quantization the query uses, so we compare like with like
+    Xq = np.floor(X * 100 + 0.5)
+    A = Xq.T @ Xq
+    lmax = np.linalg.eigvalsh(A)[-1]
+    ray = (v @ A @ v) / (v @ v)
+    assert ray >= 0.85 * lmax, f"rayleigh {ray / lmax:.3f}·λmax < 0.85"
+    assert ray > 1.2 * np.trace(A) / A.shape[0], "no better than a random direction"
+    # normalization contract: max|loading| == scale exactly
+    assert int(np.abs(v).max()) == 100
+
+
+def test_kmeans_sizes_partition_the_corpus(spark):
+    import pandas as pd
+
+    pdf = SPECS["kmeans_lloyd_clusters"].build(spark, SF_SMOKE).toPandas()
+    n = len(pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    assert pdf["n_vecs"].sum() == n
+    assert (pdf["inertia"] >= 0).all()
+    assert pdf["cluster"].is_unique
+
+
+def test_semdedup_accounting_identity(spark):
+    import pandas as pd
+
+    pdf = SPECS["semantic_dedup_prune"].build(spark, SF_SMOKE).toPandas()
+    assert ((pdf["n_kept"] + pdf["n_dropped"]) == pdf["n_vecs"]).all()
+    n = len(pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    assert pdf["n_vecs"].sum() == n
+    # dropping is strictly optional: at least one representative stays
+    assert (pdf["n_kept"] >= 1).all()
+
+
+def test_duplicate_span_coverage_bounded(spark):
+    pdf = SPECS["duplicate_span_coverage"].build(spark, SF_SMOKE).toPandas()
+    assert ((pdf["dup_coverage"] >= 0) & (pdf["dup_coverage"] <= 1)).all()
+    assert (pdf["covered_tokens"] <= pdf["total_tokens"]).all()
+
+
+def test_token_budget_epochs_consistent(spark):
+    pdf = SPECS["source_token_budget_epochs"].build(spark, SF_SMOKE).toPandas()
+    # oversampled <=> needs more than one epoch (exact integer ceil-div)
+    assert (pdf["oversampled"] == (pdf["epochs_needed"] > 1)).all()
+    assert (pdf["share_ppm"].sum() <= 1_000_000) and pdf["share_ppm"].sum() > 999_000

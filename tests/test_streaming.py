@@ -627,3 +627,29 @@ def test_stateful_transitions_match_batch(spark):
     batch = event_transition_matrix(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_heavy_hitters_match_batch(spark):
+    # the per-term GroupState fold is pure integer addition, so the
+    # multi-micro-batch streamed heavy-hitter table must be
+    # bit-identical to the batch MG-then-exact-recount query: same
+    # candidate set, same cross-multiplied threshold, same division
+    from etl_showcase_spark.plans.llm_text import frequent_terms_exact
+
+    streamed = jobs.stream_heavy_hitters_state(spark, SF_SMOKE).toPandas()
+    batch = frequent_terms_exact(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_funnel_matches_batch(spark):
+    # the per-user GroupState funnel machine folds ordered events, so
+    # first-view/first-qualifying-click/any-purchase reproduce the
+    # batch MIN-agg chain exactly: stage counts and the two conversion
+    # divisions are bit-identical
+    from etl_showcase_spark.plans.events import event_funnel_conversion
+
+    streamed = jobs.stream_funnel_state(spark, SF_SMOKE).toPandas()
+    batch = event_funnel_conversion(spark, SF_SMOKE).toPandas()
+    assert len(streamed) == 1
+    assert not compare_frames(streamed, batch)
