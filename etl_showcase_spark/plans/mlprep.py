@@ -342,16 +342,31 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("cluster").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
         ),
     )
+    # J6 band-join spelling: bucket the rank at the band width and make
+    # the bucket part of the JOIN KEY (a-side exploded to {p, p+1}, the
+    # only buckets a (rnk_a, rnk_a + BAND] partner can live in). Without
+    # it the join keys on cluster alone and enumerates O(s²) rank pairs
+    # per cell before the range filter — measured alpha 1.09 at 10×;
+    # with it each key holds O(BAND) partners and the stage is linear.
+    bkt = F.expr(f"div(rnk, {_SEMDEDUP_BAND})")
     a = ranked.select(
-        F.col("cluster").alias("cl"), F.col("rnk").alias("rnk_a"), F.col("x2").alias("xa")
+        F.col("cluster").alias("cl"),
+        F.col("rnk").alias("rnk_a"),
+        F.col("x2").alias("xa"),
+        F.explode(F.array(bkt, bkt + 1)).alias("jk"),
     )
     b = ranked.select(
-        "cluster", F.col("rnk").alias("rnk_b"), F.col("x2").alias("xb"), "vec_id"
+        "cluster",
+        F.col("rnk").alias("rnk_b"),
+        F.col("x2").alias("xb"),
+        "vec_id",
+        bkt.alias("jk"),
     )
     dropped = (
         a.join(
             b,
             (a["cl"] == b["cluster"])
+            & (a["jk"] == b["jk"])
             & (b["rnk_b"] > a["rnk_a"])
             & (b["rnk_b"] <= a["rnk_a"] + _SEMDEDUP_BAND),
         )
@@ -1025,3 +1040,116 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_inter.cast("double") / n_union).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L3 sparse TF-IDF document similarity ([EXT] — the inverted-index
+# counterpart of the dense embedding ANN family: "documents like this
+# one" by weighted lexical overlap, the retrieval leg RAG stacks run
+# beside vector search). Integer weights w = tf · floor(log2(N div
+# df)) (the house bit-length idf), postings DF-BANDED at df <= 50 so
+# the term-keyed self-join is bounded by Σ df² over rare-ish terms —
+# the same candidate envelope as the inverted-index near-dup queries,
+# never an all-pairs stage. Dots and square norms are exact BIGINTs;
+# cosine is the one final double (identical IEEE sequence in both
+# engines); top-5 per document under a (cosine DESC, doc_id ASC) total
+# order via a doc-partitioned window (WindowGroupLimit pushes the
+# rank filter into the shuffle).
+# ---------------------------------------------------------------------------
+
+_TFIDF_SIM_DF_MAX = 50
+_TFIDF_SIM_K = 5
+
+_TFIDF_SIM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (LENGTH(bin(n.n_docs // d.df)) - 1) AS w
+  FROM tf t JOIN df d ON t.term = d.term, n
+  WHERE d.df <= {_TFIDF_SIM_DF_MAX}
+),
+nrm AS (SELECT doc_id, SUM(w*w) AS sq FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS other_id, SUM(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.other_id,
+         CAST(d.dot AS BIGINT) AS dot,
+         CAST(d.dot AS DOUBLE)
+           / (SQRT(CAST(x.sq AS DOUBLE)) * SQRT(CAST(y.sq AS DOUBLE))) AS cosine
+  FROM dots d JOIN nrm x ON d.doc_id = x.doc_id JOIN nrm y ON d.other_id = y.doc_id
+)
+SELECT doc_id, other_id, dot, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY cosine DESC, other_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TFIDF_SIM_K}
+"""
+
+
+@register("tfidf_doc_similarity_topk", oracle=_TFIDF_SIM_ORACLE, tags=("L2", "L3"))
+def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import topk_per_group
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    w = (
+        tf.join(df.filter(F.col("df") <= _TFIDF_SIM_DF_MAX), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * (F.length(F.bin(F.expr("n_docs div df"))) - 1)
+            ).alias("w"),
+        )
+        .transform(tracked_persist)  # consumed by norms AND the pair join
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
+    a = w.select(F.col("doc_id").alias("doc_id"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("other_id"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_id") != F.col("other_id"))
+        .groupBy("doc_id", "other_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    nx = nrm.select(F.col("doc_id"), F.col("sq").alias("sqx"))
+    ny = nrm.select(F.col("doc_id").alias("other_id"), F.col("sq").alias("sqy"))
+    scored = (
+        dots.join(nx, "doc_id")
+        .join(ny, "other_id")
+        .select(
+            "doc_id",
+            "other_id",
+            F.col("dot").cast("bigint").alias("dot"),
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("sqx").cast("double")) * F.sqrt(F.col("sqy").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("cosine").desc(), F.col("other_id").asc()],
+        _TFIDF_SIM_K,
+        rank_col="rnk",
+    ).select("doc_id", "other_id", "dot", "cosine", F.col("rnk").cast("int").alias("rnk"))
