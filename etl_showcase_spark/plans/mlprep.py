@@ -1153,3 +1153,145 @@ def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TFIDF_SIM_K,
         rank_col="rnk",
     ).select("doc_id", "other_id", "dot", "cosine", F.col("rnk").cast("int").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Q1/G-family Benford first-digit audit ([EXT] — the forensic
+# data-quality screen for fabricated or truncated money columns: the
+# first significant digit of natural amounts follows log10(1+1/d)).
+# The expected shares are pinned as integer PPM LITERALS (floor of the
+# irrational law at 1e-6) so both engines compare against the same
+# rational constants; observed shares are floor-division ppm; the
+# deviation column is an exact integer. First digit is extracted from
+# the DECIMAL(12,2) cents string — no float log10 anywhere. One scan,
+# one 9-row agg, a 1-row total broadcast back.
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6), d = 1..9 — shared literal table
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+  FROM orders
+),
+d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents
+  WHERE c > 0
+),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY digit),
+tot AS (SELECT SUM(n_orders) AS n FROM obs)
+SELECT digit,
+       n_orders,
+       CAST((n_orders * 1000000) // t.n AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE} AS BIGINT) AS exp_ppm,
+       CAST(ABS((n_orders * 1000000) // t.n - ({_BENFORD_CASE})) AS BIGINT)
+         AS abs_dev_ppm
+FROM obs, tot t
+"""
+
+
+@register("benford_price_audit", oracle=_BENFORD_ORACLE, tags=("Q1", "G1"))
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint").alias("c")
+    ).filter(F.col("c") > 0)
+    d = cents.select(F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    tot = obs.agg(F.sum("n_orders").alias("n"))
+    exp_ppm = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )[F.col("digit")].cast("bigint")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.expr("div(n_orders * 1000000, n)").cast("bigint").alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        F.abs(F.expr("div(n_orders * 1000000, n)") - exp_ppm).cast("bigint").alias(
+            "abs_dev_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 classifier calibration bins ([EXT] — the reliability table for
+# hashed_quality_classifier: documents deciled by score under the
+# (score, doc_id) total order; per decile the keep rate and mean
+# length. Reads like a calibration curve without any float binning:
+# bin = (rank-1)·10 div n, nearest-rank exact in both engines. The
+# global decile split routes through a single ROW_NUMBER window — at
+# web scale you'd swap in with_global_row_number exactly like
+# vocab_dense_ids; the per-doc score stage is the same no-join scan as
+# the classifier itself.
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SQL_TOKS}) AS tk FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(((CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % {_HQ_BUCKETS})
+           * {_HQ_MULT}) % {_HQ_MOD} - 500) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM tok GROUP BY doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT CAST(((rnk - 1) * 10) // n AS INT) AS score_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS keep_rate,
+       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM ranked GROUP BY ((rnk - 1) * 10) // n
+"""
+
+
+@register("classifier_calibration_bins", oracle=_CALIB_ORACLE, tags=("L4", "L6"))
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("tk"))
+    bucket = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint") % _HQ_BUCKETS
+    scored = (
+        tok.select("doc_id", ((bucket * _HQ_MULT) % _HQ_MOD - 500).alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wt").cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        )
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(Window.orderBy("score", "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.groupBy(F.expr("div((rnk - 1) * 10, n)").cast("int").alias("score_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+            F.sum((F.col("score") > 0).cast("bigint")).cast("bigint").alias("n_keep"),
+            (
+                F.sum((F.col("score") > 0).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("keep_rate"),
+            (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+    )
