@@ -400,10 +400,11 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                                 division; GREATEST(,1) guards the
 #                                 zero vector)
 #
-# The per-round driver materialization is the 64-element v itself —
-# O(dim) metadata, the same budget as ivf_ann_topk's seeds — so the
-# plan is volume-linear: 3 scans, 3 keyed 64-row aggs, no shuffle of
-# anything data-sized. Overflow audit at quantization scale 100
+# Nothing materializes on the driver: each round's v and the
+# normalization max|w| ride the plan as broadcast 1-row aggregates,
+# so the whole chain is ONE lazy plan — per round one scan of the
+# persisted quantized view, one keyed 64-row agg, two 1-row
+# broadcasts; no shuffle of anything data-sized. Overflow audit at quantization scale 100
 # (|x_q| <= ~100): s <= 64·100·100 = 6.4e5; per-row s·x_i <= 6.4e7;
 # w <= n·6.4e7 -> int64-safe to n ~ 1.4e11 vectors.
 # ---------------------------------------------------------------------------
@@ -454,27 +455,44 @@ def power_iteration_principal_dim(spark: SparkSession, sf_dir: str) -> DataFrame
     v = tracked_persist(
         e.select("vec_id", quantize(F.col("embedding"), _POWER_SCALE).alias("x"))
     )
-    vec = [_POWER_SCALE] * _DIM
+    # fully LAZY round chain — nothing collects: each round\'s v rides
+    # the plan as a broadcast 1-row array aggregate (plans stay lazy,
+    # tests/test_pipeline_integrity.py), and the requantization\'s
+    # max|w| is another broadcast 1-row agg folded into the same plan
+    vdf = None  # (i, vi) 64-row frame after each round
     for _ in range(_POWER_ROUNDS):
-        vlit = F.array(*[F.lit(int(c)).cast("bigint") for c in vec])
-        s = v.select("x", int_dot(F.col("x"), vlit).alias("s"))
+        if vdf is None:
+            vlist = F.array(*[F.lit(_POWER_SCALE).cast("bigint")] * _DIM)
+            s = v.select("x", int_dot(F.col("x"), vlist).alias("s"))
+        else:
+            varr = vdf.groupBy().agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "vi"))),
+                    lambda t: t["vi"],
+                ).alias("vl")
+            )
+            s = v.crossJoin(F.broadcast(varr)).select(
+                "x", int_dot(F.col("x"), F.col("vl")).alias("s")
+            )
         w = (
             s.select("s", F.posexplode("x").alias("p", "xi"))
             .select((F.col("p") + 1).alias("i"), (F.col("s") * F.col("xi")).alias("sx"))
             .groupBy("i")
             .agg(F.sum("sx").alias("w"))
         )
-        rows = w.collect()  # O(dim) driver metadata per round (see note)
-        wmap = {r["i"]: r["w"] for r in rows}
-        vmax = max(max(abs(x) for x in wmap.values()), 1)
-        # floor(100*w / vmax) via the pmod identity, in plain ints
-        vec = [
-            (wmap.get(i + 1, 0) * _POWER_SCALE - (wmap.get(i + 1, 0) * _POWER_SCALE % vmax + vmax) % vmax)
-            // vmax
-            for i in range(_DIM)
-        ]
-    out = [(i + 1, int(vec[i])) for i in range(_DIM)]
-    return spark.createDataFrame(out, "dim_i int, loading bigint")
+        # normalization over the 64-row dim frame: a partition-less
+        # window here is metadata-sized by construction (exactly dim
+        # rows after the keyed agg), and keeps w single-use so the
+        # 6-round lazy chain stays linear, never re-evaluated
+        from pyspark.sql import Window
+
+        vmax = F.greatest(
+            F.max(F.abs(F.col("w"))).over(Window.partitionBy()), F.lit(1)
+        ).cast("bigint")
+        vdf = w.select("i", _fdiv(F.col("w") * _POWER_SCALE, vmax).alias("vi"))
+    return vdf.select(
+        F.col("i").cast("int").alias("dim_i"), F.col("vi").cast("bigint").alias("loading")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1046,8 +1064,13 @@ def minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2/L3 sparse TF-IDF document similarity ([EXT] — the inverted-index
 # counterpart of the dense embedding ANN family: "documents like this
 # one" by weighted lexical overlap, the retrieval leg RAG stacks run
-# beside vector search). Integer weights w = tf · floor(log2(N div
-# df)) (the house bit-length idf), postings DF-BANDED at df <= 50 so
+# beside vector search). The similarity unit is the word TRIGRAM, not
+# the unigram: the testdata's vocabulary is deliberately tiny, so
+# every single word is corpus-saturated (df ~ n_docs) and any useful
+# df band over unigrams empties at sf >= 0.1 — shingles make the term
+# space combinatorial, exactly like the near-dup family. Integer
+# weights w = tf · floor(log2(N div df)) (the house bit-length idf),
+# postings DF-BANDED at df <= 50 so
 # the term-keyed self-join is bounded by Σ df² over rare-ish terms —
 # the same candidate envelope as the inverted-index near-dup queries,
 # never an all-pairs stage. Dots and square norms are exact BIGINTs;
@@ -1062,7 +1085,11 @@ _TFIDF_SIM_K = 5
 
 _TFIDF_SIM_ORACLE = f"""
 WITH tok AS (
-  SELECT doc_id, UNNEST({_SQL_TOKS}) AS term FROM documents
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
 ),
 tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1106,7 +1133,10 @@ def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import topk_per_group
 
     d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+    toks = textops.tokens("text")
+    tok = d.filter(F.size(toks) >= 3).select(
+        "doc_id", F.explode(textops.shingles(toks, 3)).alias("term")
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
