@@ -1325,3 +1325,85 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L1/L2 online first-writer-wins banded dedup ([EXT] — the INGEST-time
+# shape of near-dup dedup: as documents arrive, a doc is flagged
+# duplicate the moment ANY of its MinHash band keys has already been
+# written by an earlier (lower doc_id) document. This is the streaming
+# admission-control semantics (drop-on-arrival), as opposed to the
+# offline pair/cluster queries that see the whole corpus at once — and
+# it is what a crawler front-end actually runs. Same md5-permutation
+# signatures and band keys as minhash_md5_neardup, so the whole
+# decision replays hash-exact in SQL; the streaming twin
+# (stream_banded_dedup_state, streaming/jobs.py) folds the identical
+# rule through per-band-key GroupState and is equality-tested.
+# Shape: one band explode, one (band,key)-keyed MIN agg, one join back,
+# one doc-keyed agg — all O(n·bands), no pair enumeration anywhere, so
+# it scales where the pair queries are output-bound.
+# ---------------------------------------------------------------------------
+
+
+def _banded_first_writer_oracle() -> str:
+    from .llm_text import _md5_sig_band_sql
+
+    sig_cols, band_selects = _md5_sig_band_sql()
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+  WHERE LEN(toks) >= 3
+),
+sig AS (
+  SELECT doc_id, LEN(grams) AS n,
+         {sig_cols}
+  FROM sh
+),
+banded AS (
+  {band_selects}
+),
+first AS (
+  SELECT band, key, MIN(doc_id) AS first_doc FROM banded GROUP BY band, key
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS INT) AS n_bands,
+       CAST(SUM(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END) AS INT)
+         AS n_dup_bands,
+       CAST(SUM(CASE WHEN f.first_doc < b.doc_id THEN 1 ELSE 0 END) > 0
+            AS BOOLEAN) AS is_dup
+FROM banded b JOIN first f ON b.band = f.band AND b.key = f.key
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "banded_dedup_first_writer", oracle=_banded_first_writer_oracle(), tags=("L1", "L2")
+)
+def banded_dedup_first_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _md5_banded
+    from .llm_text import _MH_BANDS, _MH_HASHES
+
+    d = table(spark, sf_dir, "documents")
+    toks = textops.tokens("text")
+    base = d.select(
+        F.col("doc_id").alias("__id"),
+        F.array_distinct(textops.shingles(toks, 3)).alias("__sh"),
+    ).filter(F.size("__sh") >= 1)
+    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS)
+    first = banded.groupBy("band", "key").agg(F.min("__id").alias("first_doc"))
+    return (
+        banded.join(first, ["band", "key"])
+        .groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bands"),
+            F.sum((F.col("first_doc") < F.col("__id")).cast("int"))
+            .cast("int")
+            .alias("n_dup_bands"),
+            (
+                F.sum((F.col("first_doc") < F.col("__id")).cast("int")) > 0
+            ).alias("is_dup"),
+        )
+    )

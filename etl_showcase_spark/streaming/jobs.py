@@ -1230,3 +1230,66 @@ def stream_funnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_through"
         ),
     )
+
+
+def stream_banded_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-writer-wins dedup: twin of the batch
+    ``banded_dedup_first_writer`` query (plans/mlprep.py). Documents
+    arrive doc_id-ordered; the MinHash signatures and band keys are the
+    SAME JVM expressions as the batch query (operators/dedup.py
+    _md5_banded works unchanged on a streaming frame); per-BAND-KEY
+    GroupState holds the first writer's doc_id, and each arriving
+    (doc, band) row is emitted once with its final verdict — under
+    ordered arrival the first writer reaches every key before any
+    duplicate, so a verdict never changes after emission (append mode
+    is exact, no latest-per-key resolution needed).
+
+    This is the ingest-time admission-control shape a crawler frontend
+    runs: state is one long per band key, the stream never sees a pair
+    join, and the emission log aggregates to the batch frame
+    bit-for-bit (tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..operators.dedup import _md5_banded
+    from ..plans.llm_text import _MH_BANDS, _MH_HASHES
+
+    docs = documents_replay_stream(spark, sf_dir)
+    toks = textops.tokens("text")
+    base = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.array_distinct(textops.shingles(toks, 3)).alias("__sh"),
+    ).filter(F.size("__sh") >= 1)
+    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS)
+
+    def first_writer(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        first = state.get[0] if state.exists else None
+        cols = ["__id"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        ids = sorted(int(x) for x in df["__id"]) if len(df) else []
+        if ids:
+            if first is None:
+                first = ids[0]
+            state.update((int(first),))
+        yield pd.DataFrame(
+            {"doc_id": ids, "dup_band": [i > first for i in ids]}
+        )
+
+    out = banded.groupBy("band", "key").applyInPandasWithState(
+        first_writer,
+        outputStructType="doc_id long, dup_band boolean",
+        stateStructType="first_doc long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _drain_replay_union(out, "stream_banded_dedup", mode="append")
+    return emitted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bands"),
+        F.sum(F.col("dup_band").cast("int")).cast("int").alias("n_dup_bands"),
+        (F.sum(F.col("dup_band").cast("int")) > 0).alias("is_dup"),
+    )

@@ -653,3 +653,15 @@ def test_stateful_funnel_matches_batch(spark):
     batch = event_funnel_conversion(spark, SF_SMOKE).toPandas()
     assert len(streamed) == 1
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_banded_dedup_matches_batch(spark):
+    # per-band-key GroupState first-writer fold under doc_id-ordered
+    # replay == the batch MIN-per-band-key frame: band counts, dup-band
+    # counts, and the is_dup verdicts are bit-identical
+    from etl_showcase_spark.plans.mlprep import banded_dedup_first_writer
+
+    streamed = jobs.stream_banded_dedup_state(spark, SF_SMOKE).toPandas()
+    batch = banded_dedup_first_writer(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
