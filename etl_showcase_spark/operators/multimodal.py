@@ -931,3 +931,59 @@ def png_roundtrip_audit(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return df.select("doc_id", text_col).mapInPandas(run, out_schema)
+
+
+def patch_grid_ppm(
+    df: DataFrame, out_size: int = 32, patch: int = 8, media_col: str = "media"
+) -> DataFrame:
+    """ViT-style patchify, fused with decode+resize in ONE mapInPandas
+    stage: parse the PPM, nearest-neighbor resample to
+    (out_size, out_size, 3), split into a (out_size/patch)² grid of
+    patch×patch×3 tiles, and emit ONE ROW PER PATCH with its exact
+    integer byte sum — the tokenization step every vision-transformer
+    ingest runs, in the 100 TB shape (full-resolution pixels never
+    leave the worker; only grid-bounded patch rows do, and the row
+    count is a fixed multiple of the document count regardless of
+    source resolution).
+
+    Sums are exact int64 (order-independent), so the per-patch rows
+    hash-check against the SQL payload replay exactly like
+    decode_resize_ppm. patch must divide out_size."""
+    import numpy as np
+    import pandas as pd
+
+    assert out_size % patch == 0, "patch must divide out_size"
+    grid = out_size // patch
+    out_schema = (
+        "doc_id LONG, patch_row INT, patch_col INT, patch_sum LONG, "
+        "patch_mean DOUBLE"
+    )
+    parse = _parse_ppm  # closure capture: ships by value with the udf
+    denom = float(patch * patch * 3)
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, prs, pcs, sums = [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf[media_col]):
+                w, h, pix = parse(bytes(buf))
+                ri = (np.arange(out_size) * h // out_size).clip(max=h - 1)
+                ci = (np.arange(out_size) * w // out_size).clip(max=w - 1)
+                g = pix[np.ix_(ri, ci)].astype("int64")
+                ps = g.reshape(grid, patch, grid, patch, 3).sum(axis=(1, 3, 4))
+                for pr in range(grid):
+                    for pc in range(grid):
+                        out_ids.append(int(did))
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sums.append(int(ps[pr, pc]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_ids, dtype="int64"),
+                    "patch_row": np.asarray(prs, dtype="int32"),
+                    "patch_col": np.asarray(pcs, dtype="int32"),
+                    "patch_sum": np.asarray(sums, dtype="int64"),
+                    "patch_mean": np.asarray(sums, dtype="float64") / denom,
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)

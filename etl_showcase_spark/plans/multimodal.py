@@ -437,3 +437,56 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import png_roundtrip_audit
 
     return png_roundtrip_audit(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# L5 ViT patchify ([EXT] — the patch-tokenization step of every
+# vision-transformer ingest: decode → resize → P×P patch grid, one row
+# per patch with its exact integer byte sum). Fused with the decode in
+# one mapInPandas stage (operators/multimodal.py patch_grid_ppm); the
+# oracle replays the SAME deterministic payload gather as
+# multimodal_decode_resize, GROUPED by patch coordinates — so every
+# patch sum is hash-checked, not just the whole-image invariant.
+# Empty documents are excluded on both sides (a zero-byte payload has
+# no pixels to patch).
+# ---------------------------------------------------------------------------
+
+
+def _patch_grid_oracle() -> str:
+    # same gather as _decode_resize_oracle: flattened cell k of the
+    # (32, 32, 3) resize reads source byte ((ri*w + ci)*3 + c) % L;
+    # patch coords are (row // 8, col // 8) of the resize grid
+    gather = (
+        "((LEAST(((k // 96) * h) // 32, h - 1) * w"
+        " + LEAST((((k // 3) % 32) * w) // 32, w - 1)) * 3 + (k % 3))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         8 + doc_id % 9 AS w,
+         6 + doc_id % 5 AS h,
+         LENGTH(text) AS L
+  FROM documents WHERE LENGTH(text) > 0
+),
+cells AS (
+  SELECT doc_id,
+         CAST((k // 96) // 8 AS INT) AS patch_row,
+         CAST(((k // 3) % 32) // 8 AS INT) AS patch_col,
+         ascii(substr(text, CAST({gather} % L AS BIGINT) + 1, 1)) AS b
+  FROM d, UNNEST(range(0, 3072)) t(k)
+)
+SELECT doc_id, patch_row, patch_col,
+       CAST(SUM(b) AS BIGINT) AS patch_sum,
+       CAST(SUM(b) AS DOUBLE) / 192.0 AS patch_mean
+FROM cells GROUP BY doc_id, patch_row, patch_col
+"""
+
+
+@register("multimodal_patch_grid", oracle=_patch_grid_oracle(), tags=("L5",))
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_media, patch_grid_ppm
+
+    d = attach_ppm_media(
+        table(spark, sf_dir, "documents").filter(F.octet_length("text") > 0)
+    )
+    return patch_grid_ppm(d, out_size=32, patch=8)
