@@ -596,7 +596,14 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         b = b[cols].sort_values(cols).reset_index(drop=True)
         return a, b
 
-    for job in (jobs.stream_tumbling_daily, jobs.stream_session_windows):
+    # stream_banded_dedup_state adds the applyInPandasWithState path
+    # with a large key space (one state row per MinHash band key) —
+    # the shape that actually needs RocksDB at 100 TB
+    for job in (
+        jobs.stream_tumbling_daily,
+        jobs.stream_session_windows,
+        jobs.stream_banded_dedup_state,
+    ):
         a, b = run_both(job)
         assert len(a) > 0
         assert a.equals(b), f"{job.__name__} diverges under RocksDB state store"
