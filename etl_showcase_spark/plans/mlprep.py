@@ -1407,3 +1407,126 @@ def banded_dedup_first_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L1/L4 duplicate-span REMOVAL transform ([EXT] — the transform the
+# coverage query above only measures: excise every token position
+# covered by a cross-document 8-gram and emit the surviving text. This
+# is the ExactSubstr removal step of Lee et al. 2022 at the 8-gram
+# grain — the documents that come OUT of a dedup pipeline, not just
+# the report about them. The rebuilt text is verified by md5 in BOTH
+# engines (kept_text_md5), so the oracle pins the exact surviving
+# byte sequence of every document, not merely the counts.
+# Shape: the coverage query's linear stages plus one anti join
+# (kept = positions \\ covered) and a per-doc ordered rebuild — the
+# collect_list is per-document-bounded (document token count), never
+# corpus-sized.
+# ---------------------------------------------------------------------------
+
+_SPAN_REMOVAL_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, t.i AS p, toks[t.i] AS tk
+  FROM tok, UNNEST(range(1, LEN(toks) + 1)) t(i)
+  WHERE LEN(toks) > 0
+),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN dup USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tk
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+)
+SELECT pos.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) - COUNT(k.p) AS BIGINT) AS n_removed,
+       CAST(COUNT(k.p) AS BIGINT) AS n_kept,
+       CAST(COUNT(k.p) AS DOUBLE) / COUNT(*) AS kept_fraction,
+       md5(COALESCE(STRING_AGG(k.tk, ' ' ORDER BY k.p), '')) AS kept_text_md5
+FROM pos LEFT JOIN kept k ON pos.doc_id = k.doc_id AND pos.p = k.p
+GROUP BY pos.doc_id
+"""
+
+
+@register("duplicate_span_removal", oracle=_SPAN_REMOVAL_ORACLE, tags=("L1", "L4"))
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", textops.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    pos = tok.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tk")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
+    g = (
+        tok.filter(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("toks", i, _SPAN_N), " ").alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    kept = pos.join(cov, ["doc_id", "p"], "left_anti")
+    # per-doc ordered rebuild: the collect_list is bounded by one
+    # document's token count — never corpus-sized
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                    lambda t: t["tk"],
+                ),
+                " ",
+            )
+        ).alias("kept_text_md5"),
+    )
+    lens = pos.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    return (
+        lens.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("kept_fraction"),
+            F.coalesce("kept_text_md5", F.md5(F.lit(""))).alias("kept_text_md5"),
+        )
+    )

@@ -92,3 +92,45 @@ def test_token_budget_epochs_consistent(spark):
     # oversampled <=> needs more than one epoch (exact integer ceil-div)
     assert (pdf["oversampled"] == (pdf["epochs_needed"] > 1)).all()
     assert (pdf["share_ppm"].sum() <= 1_000_000) and pdf["share_ppm"].sum() > 999_000
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """Semantic-dedup semantics the oracle can't see: PLANT exact
+    duplicate vectors and assert the pruner drops all but one copy of
+    each planted group (identical vectors share cluster, adjacent
+    ranks, cosine 1.0 > tau)."""
+    import pandas as pd
+
+    from etl_showcase_spark.plans.mlprep import semantic_dedup_prune
+
+    raw = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = len(raw)
+    planted = raw.head(10).copy()
+    planted["vec_id"] = planted["vec_id"] + n  # copies of vecs 0..9
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pd.concat([raw, planted]).to_parquet(f"{tmp}/embeddings.parquet")
+        before = semantic_dedup_prune(spark, SF_SMOKE).toPandas()
+        after = semantic_dedup_prune(spark, tmp).toPandas()
+        # every planted copy is an exact duplicate of an existing
+        # vector: total drops must grow by exactly the planted count
+        assert (
+            after["n_dropped"].sum() >= before["n_dropped"].sum() + len(planted)
+        ), "planted exact duplicates survived the prune"
+        assert after["n_vecs"].sum() == n + len(planted)
+
+
+def test_duplicate_span_removal_roundtrip(spark):
+    """The removal transform must (a) keep every token of a document
+    with no cross-document 8-grams (kept_fraction == 1) and (b) agree
+    with duplicate_span_coverage on the removed mass per source."""
+    rem = SPECS["duplicate_span_removal"].build(spark, SF_SMOKE).toPandas()
+    assert ((rem["n_kept"] + rem["n_removed"]) == rem["n_tokens"]).all()
+    assert ((rem["kept_fraction"] >= 0) & (rem["kept_fraction"] <= 1)).all()
+    cov = SPECS["duplicate_span_coverage"].build(spark, SF_SMOKE).toPandas()
+    # total removed tokens == total covered tokens (same position sets)
+    assert rem["n_removed"].sum() == cov["covered_tokens"].sum()
+    # untouched docs rebuild to their full token stream
+    full = rem[rem["n_removed"] == 0]
+    assert (full["kept_fraction"] == 1.0).all()
