@@ -1530,3 +1530,107 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_text_md5", F.md5(F.lit(""))).alias("kept_text_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 common-direction removal ([EXT] — the "all-but-the-top" (ABTT,
+# Mu & Viswanath 2018) anisotropy correction: project out the
+# principal direction the power iteration found and report, per label,
+# how much squared mass the top component carried. COMPOSES the
+# power-iteration chain — the oracle NESTS all six unrolled rounds and
+# then replays the projection, so the correctness hash pins the whole
+# two-stage pipeline end to end.
+#
+# Fixed-point design: the direction is requantized to scale 32
+# (w32 = floor(32·v/100)) so every residual component
+# r_i = x_i·|w|² − (x·w)·w_i stays small enough that the per-vector
+# residual dot Σ r_i² <= ~3.7e15 < 2^53 — exact in DuckDB's
+# double-returning list_dot_product AND in int64. Per-label sums ride
+# DECIMAL(38,0)/HUGEINT; the removed-mass ratio is one final double
+# expression spelled identically in both engines.
+# Shape: the power chain's per-round costs plus ONE extra scan with a
+# broadcast 65-element direction — volume-linear.
+# ---------------------------------------------------------------------------
+
+
+def _abtt_oracle() -> str:
+    base = _power_oracle()
+    chain = base[: base.index("\nSELECT CAST(i AS INT)")].rstrip() + ","
+    w32 = _sql_fdiv("vi * 32", "100")
+    return f"""{chain}
+wl AS (
+  SELECT LIST(CAST({w32} AS BIGINT) ORDER BY i) AS w FROM pv{_POWER_ROUNDS}
+),
+base AS (
+  SELECT e.label, v.x, wl.w,
+         CAST(list_dot_product(wl.w, wl.w) AS BIGINT) AS vv2
+  FROM v JOIN embeddings e USING (vec_id), wl
+),
+per_vec AS (
+  SELECT label, vv2,
+         CAST(list_dot_product(x, x) AS BIGINT) AS sqb,
+         CAST(list_dot_product(
+           list_transform(range(1, {_DIM + 1}), i ->
+             x[i] * vv2 - CAST(list_dot_product(x, w) AS BIGINT) * w[i]),
+           list_transform(range(1, {_DIM + 1}), i ->
+             x[i] * vv2 - CAST(list_dot_product(x, w) AS BIGINT) * w[i])
+         ) AS BIGINT) AS sqa_scaled
+  FROM base
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(vv2) AS BIGINT) AS vv2,
+       CAST(SUM(sqb) AS BIGINT) AS sum_sq_before,
+       CAST(SUM(sqa_scaled) AS DOUBLE) AS sum_sq_after_scaled,
+       1.0 - CAST(SUM(sqa_scaled) AS DOUBLE)
+             / (CAST(SUM(sqb) AS DOUBLE) * CAST(MIN(vv2) AS DOUBLE)
+                * CAST(MIN(vv2) AS DOUBLE)) AS removed_mass_ratio
+FROM per_vec GROUP BY label
+"""
+
+
+@register("embedding_common_direction_removal", oracle=_abtt_oracle(), tags=("L3",))
+def embedding_common_direction_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", quantize(F.col("embedding"), _POWER_SCALE).alias("x"))
+    wdf = power_iteration_principal_dim(spark, sf_dir)
+    wl = wdf.groupBy().agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("dim_i", _fdiv(F.col("loading") * 32, F.lit(100)).alias("w32"))
+                )
+            ),
+            lambda t: t["w32"],
+        ).alias("w")
+    )
+    base = v.crossJoin(F.broadcast(wl)).withColumn(
+        "vv2", int_dot(F.col("w"), F.col("w"))
+    )
+    pn = int_dot(F.col("x"), F.col("w"))
+    r = F.zip_with(
+        F.col("x"), F.col("w"), lambda xi, wi: xi * F.col("vv2") - pn * wi
+    )
+    per_vec = base.select(
+        "label",
+        "vv2",
+        int_dot(F.col("x"), F.col("x")).alias("sqb"),
+        int_dot(r, r).alias("sqa_scaled"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.min("vv2").cast("bigint").alias("vv2"),
+        F.sum("sqb").cast("bigint").alias("sum_sq_before"),
+        F.sum(F.col("sqa_scaled").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sum_sq_after_scaled"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("sqa_scaled").cast("decimal(38,0)")).cast("double")
+            / (
+                F.sum("sqb").cast("double")
+                * F.min("vv2").cast("double")
+                * F.min("vv2").cast("double")
+            )
+        ).alias("removed_mass_ratio"),
+    )
