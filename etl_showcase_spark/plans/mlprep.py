@@ -40,14 +40,19 @@ from .llm_text import _SQL_TOKS
 def _fdiv(a: Column, b: Column) -> Column:
     """Exact floor division for possibly-negative a (b > 0).
 
-    (a - pmod(a, b)) is divisible by b, so the double division is exact
-    and truncation == floor. DuckDB twin:
+    (a - pmod(a, b)) is divisible by b; Spark's `div` is exact 64-bit
+    integral division (IntegralDivide), so the quotient is exact for the
+    full int64 range — no double round-trip. (The earlier
+    ``((a - pmod(a,b)) / b).cast("long")`` spelling lost precision once
+    the numerator crossed 2^53: a=5033222943549319568,
+    b=39631676720860784 gave 126 instead of the true floor 127.)
+    DuckDB twin:
         (a - ((a % b) + b) % b) // b
     (DuckDB `//` truncates toward zero, which equals floor once the
     numerator is exactly divisible — verified: -7//2 = -3, but the pmod
     spelling yields the true floor -4 in both engines.)
     """
-    return ((a - F.pmod(a, b)) / b).cast("long")
+    return F.call_function("div", a - F.pmod(a, b), b)
 
 
 def _sql_fdiv(a: str, b: str) -> str:
@@ -406,7 +411,13 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persisted quantized view, one keyed 64-row agg, two 1-row
 # broadcasts; no shuffle of anything data-sized. Overflow audit at quantization scale 100
 # (|x_q| <= ~100): s <= 64·100·100 = 6.4e5; per-row s·x_i <= 6.4e7;
-# w <= n·6.4e7 -> int64-safe to n ~ 1.4e11 vectors.
+# w <= n·6.4e7, and the requantization numerator 100·w <= n·6.4e9 ->
+# int64-safe to n ~ 1.4e9 vectors (the binding term is the ×100 requant
+# numerator, not w itself; beyond ~1e9 vectors sum w in decimal(38,0)
+# and divide there). The division itself is exact integer `div`
+# (_fdiv), so there is no 2^53 double-precision cliff anywhere in the
+# chain — Spark and the HUGEINT-summing DuckDB oracle agree bit-for-bit
+# over the audited range.
 # ---------------------------------------------------------------------------
 
 _POWER_ROUNDS = 6  # flat synthetic spectrum (λ1/λ2 ≈ 1.07): six rounds
@@ -580,6 +591,80 @@ def hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_N = 8
 
+
+def _span_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized documents, persisted: every ExactSubstr-family stage
+    (positions, grams, lengths) re-reads this frame, so one persist of
+    the docs-sized tokenization replaces 2-3 re-tokenizations."""
+    d = table(spark, sf_dir, "documents")
+    return tracked_persist(
+        d.select("doc_id", "source", textops.tokens("text").alias("toks")).filter(
+            F.size("toks") > 0
+        )
+    )
+
+
+def _span_grams(tok: DataFrame) -> DataFrame:
+    """(doc_id, pos, gh1, gh2): every 8-gram occurrence with its gram
+    string INTERNED to a 2x64-bit xxhash64 pair before any shuffle.
+
+    The gram strings average ~50 bytes; everything downstream (the
+    duplicated-gram agg and the coverage join) only needs gram
+    IDENTITY, so hashing them to 16 bytes cuts the two gram-keyed
+    shuffles' bytes ~3x and makes the sort/agg comparisons fixed-width.
+    Two independent 64-bit hashes (second salted) give an effective
+    128-bit key: at 1e13 grams (100 TB scale) the expected number of
+    colliding pairs is ~(1e13)^2/2^129 ~ 1.5e-13 — identity-exact for
+    every physically realizable corpus, unlike a single 64-bit key
+    whose ~3e6 expected collisions at that scale would leak false
+    coverage. Persisted: consumed by both the dup agg and the cov join.
+    """
+    return tracked_persist(
+        tok.filter(F.size("toks") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("toks", i, _SPAN_N), " ").alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id",
+            F.col("pg.pos").alias("pos"),
+            F.xxhash64(F.col("pg.gram")).alias("gh1"),
+            F.xxhash64(F.lit("espan2"), F.col("pg.gram")).alias("gh2"),
+        )
+    )
+
+
+def _span_covered(g: DataFrame) -> DataFrame:
+    """Distinct (doc_id, p) token positions covered by at least one
+    cross-document 8-gram — the shared coverage core of the
+    ExactSubstr family. Linear stages only: gram-keyed distinct-doc
+    count (one 16-byte-keyed shuffle, map-side combinable), a
+    semi-join-shaped filter back onto occurrences, an 8x position
+    explode, one distinct."""
+    dup = (
+        g.groupBy("gh1", "gh2")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh1", "gh2")
+    )
+    return (
+        g.join(dup, ["gh1", "gh2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+    )
+
+
 _DUP_SPAN_ORACLE = f"""
 WITH tok AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
 lens AS (SELECT doc_id, source, LEN(toks) AS n_toks FROM tok),
@@ -616,38 +701,10 @@ FROM per_doc WHERE n_toks > 0 GROUP BY source
 
 @register("duplicate_span_coverage", oracle=_DUP_SPAN_ORACLE, tags=("L4", "L1"))
 def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "source", textops.tokens("text").alias("toks"))
+    tok = _span_tok(spark, sf_dir)
     lens = tok.select("doc_id", "source", F.size("toks").cast("bigint").alias("n_toks"))
-    g = (
-        tok.filter(F.size("toks") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(F.slice("toks", i, _SPAN_N), " ").alias("gram"),
-                    ),
-                )
-            ).alias("pg"),
-        )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
     cov = (
-        g.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
-        )
-        .distinct()
+        _span_covered(_span_grams(tok))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
     )
@@ -1462,43 +1519,14 @@ GROUP BY pos.doc_id
 
 @register("duplicate_span_removal", oracle=_SPAN_REMOVAL_ORACLE, tags=("L1", "L4"))
 def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", textops.tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
+    # tok is persisted and consumed 3x (positions, grams, lengths) —
+    # one tokenization pass instead of three; grams carry 16-byte
+    # interned keys instead of ~50-byte strings (see _span_grams)
+    tok = _span_tok(spark, sf_dir)
     pos = tok.select(
         "doc_id", F.posexplode("toks").alias("p0", "tk")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
-    g = (
-        tok.filter(F.size("toks") >= _SPAN_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.array_join(F.slice("toks", i, _SPAN_N), " ").alias("gram"),
-                    ),
-                )
-            ).alias("pg"),
-        )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
-    )
-    dup = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
-    cov = (
-        g.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
-        )
-        .distinct()
-    )
+    cov = _span_covered(_span_grams(tok))
     kept = pos.join(cov, ["doc_id", "p"], "left_anti")
     # per-doc ordered rebuild: the collect_list is bounded by one
     # document's token count — never corpus-sized
@@ -1514,7 +1542,9 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_text_md5"),
     )
-    lens = pos.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    # lengths come straight off the persisted token arrays — no second
+    # pass over the exploded positions frame
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
     return (
         lens.join(rebuilt, "doc_id", "left")
         .select(
@@ -1528,6 +1558,178 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_tokens")
             ).alias("kept_fraction"),
             F.coalesce("kept_text_md5", F.md5(F.lit(""))).alias("kept_text_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1/L4 TRUE ExactSubstr removal at maximal-run grain ([EXT] — the full
+# Lee et al. 2022 semantics: where duplicate_span_removal excises EVERY
+# position covered by a cross-document 8-gram, ExactSubstr removes only
+# MAXIMAL duplicated runs of >= 50 tokens, keeping short incidental
+# overlaps (idioms, boilerplate fragments) that aren't memorization
+# risks. The suffix-array step of the paper is replaced by the
+# composition that Spark expresses natively:
+#
+#   covered positions (8-gram grain, _span_covered)
+#     -> gaps-and-islands sessionization per doc: grp = p - row_number()
+#        over (doc ORDER BY p) — adjacent covered positions share grp,
+#        any gap starts a new island (the same machinery as
+#        plans/events.py session windows)
+#     -> maximal-run lengths per (doc, grp); only runs >= _EXSUB_MIN_RUN
+#        are excised
+#     -> anti-join against positions, per-doc ordered rebuild.
+#
+# Why this equals suffix-array ExactSubstr at the 8-gram probe grain: a
+# duplicated substring of L >= 50 tokens shared by two documents makes
+# all L-7 of its 8-grams cross-document duplicates, covering exactly
+# its L positions as one contiguous island; conversely an island of
+# length L is a union of overlapping duplicated 8-grams, i.e. every
+# token in it sits inside some cross-document duplicate. (Two distinct
+# shorter duplicates can abut and merge into one island — the standard
+# over-approximation any fixed-grain prefilter makes; at 50x the probe
+# grain the effect is the conservative direction, removing slightly
+# more.)
+#
+# Scale shape: everything before the window is the shared linear
+# coverage core (interned 16-byte gram keys, persisted single
+# tokenization); the window is partitioned BY DOC — thousands of
+# positions max per partition key, never a global sort. The rebuild
+# collect_list stays per-doc-bounded. The oracle replays the islands
+# arithmetic verbatim and pins the surviving text md5 per document.
+# ---------------------------------------------------------------------------
+
+_EXSUB_MIN_RUN = 50  # Lee et al. 2022 ExactSubstr removal threshold
+
+_EXSUB_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+lens AS (SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE LEN(toks) > 0),
+pos AS (
+  SELECT doc_id, t.i AS p, toks[t.i] AS tk
+  FROM tok, UNNEST(range(1, LEN(toks) + 1)) t(i)
+  WHERE LEN(toks) > 0
+),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN dup USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+),
+runs AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+),
+rl AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len FROM runs GROUP BY doc_id, grp
+),
+doc_runs AS (
+  SELECT doc_id,
+         COUNT(*) AS n_runs,
+         MAX(run_len) AS max_run_len,
+         SUM(CASE WHEN run_len >= {_EXSUB_MIN_RUN} THEN 1 ELSE 0 END) AS n_removed_runs
+  FROM rl GROUP BY doc_id
+),
+removed AS (
+  SELECT r.doc_id, r.p
+  FROM runs r JOIN rl USING (doc_id, grp)
+  WHERE rl.run_len >= {_EXSUB_MIN_RUN}
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tk
+  FROM pos LEFT JOIN removed x ON pos.doc_id = x.doc_id AND pos.p = x.p
+  WHERE x.p IS NULL
+),
+rebuilt AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(STRING_AGG(tk, ' ' ORDER BY p)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(d.n_runs, 0) AS INT) AS n_runs,
+       CAST(COALESCE(d.max_run_len, 0) AS INT) AS max_run_len,
+       CAST(COALESCE(d.n_removed_runs, 0) AS INT) AS n_removed_runs,
+       CAST(l.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(r.n_kept, 0) AS DOUBLE) / l.n_tokens AS kept_fraction,
+       COALESCE(r.kept_md5, md5('')) AS kept_text_md5
+FROM lens l
+LEFT JOIN doc_runs d USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("exact_substr_span_removal", oracle=_EXSUB_ORACLE, tags=("L1", "L4"))
+def exact_substr_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _span_tok(spark, sf_dir)
+    pos = tok.select("doc_id", F.posexplode("toks").alias("p0", "tk")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tk"
+    )
+    cov = _span_covered(_span_grams(tok))
+    # gaps-and-islands: covered positions of one doc, adjacent p share
+    # (p - row_number) — a per-DOC window, partition-bounded by the
+    # longest document, never a global sort
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = cov.select("doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("grp"))
+    # runs is consumed twice (run-length agg + removed-position join):
+    # persist so the coverage core doesn't replay per consumer
+    runs = tracked_persist(runs)
+    rl = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    doc_runs = rl.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_runs"),
+        F.max("run_len").cast("int").alias("max_run_len"),
+        F.sum((F.col("run_len") >= _EXSUB_MIN_RUN).cast("int"))
+        .cast("int")
+        .alias("n_removed_runs"),
+    )
+    removed = runs.join(
+        rl.filter(F.col("run_len") >= _EXSUB_MIN_RUN).select("doc_id", "grp"),
+        ["doc_id", "grp"],
+    ).select("doc_id", "p")
+    kept = pos.join(removed, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                    lambda t: t["tk"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return (
+        lens.join(doc_runs, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_runs", F.lit(0)).cast("int").alias("n_runs"),
+            F.coalesce("max_run_len", F.lit(0)).cast("int").alias("max_run_len"),
+            F.coalesce("n_removed_runs", F.lit(0)).cast("int").alias("n_removed_runs"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("kept_fraction"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_text_md5"),
         )
     )
 
