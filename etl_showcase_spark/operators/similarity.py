@@ -266,6 +266,56 @@ def _nearest_centroids_udf(centroids, n_out: int):
     return nearest
 
 
+def build_ivf_centroids(cv: DataFrame, n_centroids: int) -> list[list[float]]:
+    """Deterministic IVF index build over a quantized corpus frame
+    ``cv(c_id, c_vec)`` — the shared step of the batch ``ivf_ann_topk``
+    and its streaming twin (streaming/jobs.py:stream_ivf_ann_state),
+    so both probe IDENTICAL centroids and their results compare
+    bit-for-bit.
+
+    1. seeds = the n_centroids corpus vectors with smallest
+       xxhash64(id) — an order-free distributed sample (TakeOrdered,
+       no full sort);
+    2. one Lloyd refinement with EXACT integer sums: assign every
+       vector to its nearest seed (Arrow GEMM), then per-cell mean via
+       posexplode → groupBy(cell, component) — map-side partial sums
+       reduce the shuffle to n_centroids × dim rows regardless of
+       corpus size.
+
+    Driver-side data stays metadata-bounded: n_centroids seed vectors
+    plus n_centroids × dim refinement sums. Returns at most
+    n_centroids centroids (fewer for tiny corpora, empty for an empty
+    corpus); empty cells keep their seed so probing stays
+    well-defined."""
+    seeds = [
+        r["c_vec"]
+        for r in cv.select("c_vec")
+        .orderBy(F.xxhash64(F.col("c_id")))
+        .limit(n_centroids)
+        .collect()
+    ]
+    if not seeds:
+        return []
+    n_centroids = min(n_centroids, len(seeds))
+    assign1 = _nearest_centroids_udf([[float(x) for x in s] for s in seeds], 1)
+    assigned = cv.withColumn("cell", assign1(F.col("c_vec")).getItem(0))
+    comp = assigned.select("cell", F.posexplode("c_vec").alias("i", "x"))
+    sums = (
+        comp.groupBy("cell", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    dim = len(seeds[0])
+    cents = [[0.0] * dim for _ in range(n_centroids)]
+    for r in sums:
+        cents[r["cell"]][r["i"]] = r["s"] / r["n"]
+    filled = {r["cell"] for r in sums}
+    for c in range(n_centroids):
+        if c not in filled:
+            cents[c] = [float(x) for x in seeds[c]]
+    return cents
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -279,14 +329,9 @@ def ivf_ann_topk(
     """IVF-style ANN: partition the corpus into n_centroids Voronoi
     cells, search only the n_probe cells nearest each query.
 
-    Index build (all deterministic, so results are stable across runs):
-    1. seeds = the n_centroids corpus vectors with smallest xxhash64(id)
-       — an order-free distributed sample (TakeOrdered, no full sort);
-    2. one Lloyd refinement with EXACT integer sums: assign every vector
-       to its nearest seed (Arrow GEMM), then per-cell mean via
-       posexplode → groupBy(cell, component) — map-side partial sums
-       reduce the shuffle to n_centroids × dim rows regardless of
-       corpus size.
+    Index build: build_ivf_centroids (deterministic seed sample + one
+    exact-integer Lloyd refinement, shared with the streaming twin so
+    their results compare bit-for-bit).
 
     Search: corpus rows carry exactly ONE cell id, query probes explode
     to n_probe cells and broadcast — so each (query, candidate) pair
@@ -297,40 +342,14 @@ def ivf_ann_topk(
     cv = corpus.select(
         F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
     ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
-    seeds = [
-        r["c_vec"]
-        for r in cv.select("c_vec")
-        .orderBy(F.xxhash64(F.col("c_id")))
-        .limit(n_centroids)
-        .collect()
-    ]
-    # corpora smaller than n_centroids yield fewer seeds — clamp so the
-    # empty-cell fill below never indexes past the seed list; an empty
-    # corpus has no index to build and trivially no neighbors
-    if not seeds:
+    cents = build_ivf_centroids(cv, n_centroids)
+    # an empty corpus has no index to build and trivially no neighbors
+    if not cents:
         return queries.sparkSession.createDataFrame(
             [], "q_id long, c_id long, cosine double, rnk int"
         )
-    n_centroids = min(n_centroids, len(seeds))
+    n_centroids = len(cents)
     n_probe = min(n_probe, n_centroids)
-    assign1 = _nearest_centroids_udf([[float(x) for x in s] for s in seeds], 1)
-    assigned = cv.withColumn("cell", assign1(F.col("c_vec")).getItem(0))
-    comp = assigned.select("cell", F.posexplode("c_vec").alias("i", "x"))
-    sums = (
-        comp.groupBy("cell", "i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    dim = len(seeds[0])
-    cents = [[0.0] * dim for _ in range(n_centroids)]
-    for r in sums:
-        cents[r["cell"]][r["i"]] = r["s"] / r["n"]
-    # empty cells keep their seed so probing stays well-defined
-    filled = {r["cell"] for r in sums}
-    for c in range(n_centroids):
-        if c not in filled:
-            cents[c] = [float(x) for x in seeds[c]]
-
     assign_final = _nearest_centroids_udf(cents, 1)
     probe = _nearest_centroids_udf(cents, n_probe)
     indexed = cv.withColumn("cell", assign_final(F.col("c_vec")).getItem(0))

@@ -1267,6 +1267,7 @@ def stream_banded_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # self-contained (pickled by value): no references to this module
         import pandas as pd
 
+        band_no, band_key = key
         first = state.get[0] if state.exists else None
         cols = ["__id"]
         chunks = [pdf[cols] for pdf in pdfs]
@@ -1277,19 +1278,235 @@ def stream_banded_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 first = ids[0]
             state.update((int(first),))
         yield pd.DataFrame(
-            {"doc_id": ids, "dup_band": [i > first for i in ids]}
+            {
+                "band": [int(band_no)] * len(ids),
+                "key": [str(band_key)] * len(ids),
+                "doc_id": ids,
+                "dup_band": [i > first for i in ids],
+            }
         )
 
     out = banded.groupBy("band", "key").applyInPandasWithState(
         first_writer,
-        outputStructType="doc_id long, dup_band boolean",
+        outputStructType="band int, key string, doc_id long, dup_band boolean",
         stateStructType="first_doc long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    emitted = _drain_replay_union(out, "stream_banded_dedup", mode="append")
+    # _drain_replay_union is an at-least-once emission log: a crash
+    # between sink write and offset commit replays a batch, duplicating
+    # rows. Verdicts are deterministic per (band, key, doc_id) — the
+    # first writer never changes under ordered arrival — so distinct()
+    # on the band-identified row makes the consumer idempotent under
+    # replay; without it the n_bands/n_dup_bands counts would inflate.
+    emitted = _drain_replay_union(out, "stream_banded_dedup", mode="append").distinct()
     return emitted.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_bands"),
         F.sum(F.col("dup_band").cast("int")).cast("int").alias("n_dup_bands"),
         (F.sum(F.col("dup_band").cast("int")) > 0).alias("is_dup"),
     )
+
+
+def embeddings_replay_stream(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 200
+) -> DataFrame:
+    """vec_id-ordered micro-batch replay of the embeddings table via
+    the Spark 4 Python Data Source streaming API — the vector-side
+    sibling of documents_replay_stream (same row-position offsets,
+    same pickling constraints). Embedding components arrive as doubles;
+    float32→double widening is value-exact, so downstream quantize()
+    produces the SAME integers as the batch parquet scan."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    class _EmbReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "200"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path, columns=["vec_id", "embedding"])
+                self._tbl = t.take(
+                    pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter(
+                [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in sl]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _EmbReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "embeddings_replay"
+
+        def schema(self) -> str:
+            return "vec_id long, embedding array<double>"
+
+        def simpleStreamReader(self, schema):
+            return _EmbReplayReader(self.options)
+
+    spark.dataSource.register(_EmbReplaySource)
+    return (
+        spark.readStream.format("embeddings_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_ivf_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF ANN twin: the batch ``ann_ivf_topk`` answered
+    incrementally as corpus vectors arrive (the ingest-time shape of a
+    vector search index serving a FIXED query panel — e.g. dedup
+    probes or safety filters that every new embedding must be checked
+    against).
+
+    Index build is the SHARED batch step (build_ivf_centroids), run
+    once at stream start over the full corpus — a production system
+    builds/refreshes the IVF index offline exactly this way; the
+    STREAM is the corpus arrival. Per micro-batch:
+
+      1. arriving vectors are quantized and assigned their single
+         Voronoi cell with the same Arrow GEMM UDF as the batch;
+      2. a stream-static broadcast join against the probe-exploded
+         query panel (bounded ~100 rows, persisted) yields each
+         (query, candidate) pair exactly once;
+      3. the cosine is computed by the IDENTICAL JVM integer-dot
+         expressions as the batch query — bit-for-bit equal doubles;
+      4. per-QUERY GroupState folds candidates into a running top-k
+         ((cosine desc, c_id asc) order statistics are an associative
+         merge: top-k(union) == top-k(top-k(A) ∪ B)), emitting the
+         updated top-k with a monotone version = candidates seen.
+
+    The final answer is the latest emission per query over the drained
+    log (distinct() first: the log is at-least-once, rows are
+    deterministic, so identical duplicates collapse) — equality-tested
+    bit-for-bit against the batch ann_ivf_topk in
+    tests/test_streaming.py. State per query is O(k) ids+doubles; no
+    pair ever shuffles twice; the index stays n_centroids×dim."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..caching import tracked_persist
+    from ..operators.similarity import (
+        _nearest_centroids_udf,
+        build_ivf_centroids,
+        int_dot,
+        quantize,
+    )
+    from ..plans.llm_vector import _strided_queries
+
+    K, N_CENT, N_PROBE = 10, 16, 8
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cv = e.select(
+        F.col("vec_id").alias("c_id"), quantize(F.col("embedding")).alias("c_vec")
+    )
+    cents = build_ivf_centroids(cv, N_CENT)
+    if not cents:
+        return spark.createDataFrame([], "q_id long, c_id long, cosine double, rnk int")
+    n_probe = min(N_PROBE, len(cents))
+    probe = _nearest_centroids_udf(cents, n_probe)
+    assign_final = _nearest_centroids_udf(cents, 1)
+
+    # fixed query panel with probe cells — the static side of the
+    # stream-static join, persisted so each micro-batch reuses it
+    # instead of re-running the strided sample + probe UDF
+    qv = tracked_persist(
+        _strided_queries(e)
+        .select(
+            F.col("vec_id").alias("q_id"), quantize(F.col("embedding")).alias("q_vec")
+        )
+        .withColumn(
+            "q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double"))
+        )
+        .withColumn("cell", F.explode(probe(F.col("q_vec"))))
+    )
+
+    arriving = (
+        embeddings_replay_stream(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("c_id"), quantize(F.col("embedding")).alias("c_vec")
+        )
+        .withColumn(
+            "c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+        )
+        .withColumn("cell", assign_final(F.col("c_vec")).getItem(0))
+    )
+    cand = (
+        arriving.join(F.broadcast(qv), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+
+    def topk_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        k = 10
+        if state.exists:
+            cids, coss, seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+        else:
+            cids, coss, seen = [], [], 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            cids.extend(int(x) for x in pdf["c_id"])
+            coss.extend(float(x) for x in pdf["cosine"])
+        if not n_new:
+            return
+        merged = sorted(zip(coss, cids), key=lambda t: (-t[0], t[1]))[:k]
+        seen += n_new
+        state.update(
+            ([c for _, c in merged], [s for s, _ in merged], seen)
+        )
+        yield pd.DataFrame(
+            {
+                "q_id": [int(key[0])] * len(merged),
+                "c_id": [c for _, c in merged],
+                "cosine": [s for s, _ in merged],
+                "rnk": list(range(1, len(merged) + 1)),
+                "ver": [seen] * len(merged),
+            }
+        )
+
+    out = cand.groupBy("q_id").applyInPandasWithState(
+        topk_fold,
+        outputStructType="q_id long, c_id long, cosine double, rnk int, ver long",
+        stateStructType="c_ids array<bigint>, cosines array<double>, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_ivf_ann", mode="update").distinct()
+    latest = log.groupBy("q_id").agg(F.max("ver").alias("ver"))
+    return log.join(latest, ["q_id", "ver"]).select("q_id", "c_id", "cosine", "rnk")

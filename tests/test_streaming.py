@@ -672,3 +672,18 @@ def test_stateful_banded_dedup_matches_batch(spark):
     batch = banded_dedup_first_writer(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_ivf_ann_matches_batch(spark):
+    # the per-query GroupState top-k fold is an associative order-
+    # statistics merge over candidates scored by the SAME JVM integer-
+    # dot expressions as the batch query, probing the SAME shared
+    # index (build_ivf_centroids) — so ids, cosines, and ranks of the
+    # incrementally-maintained answer must be bit-identical to the
+    # batch ann_ivf_topk
+    from etl_showcase_spark.plans.llm_vector import ann_ivf_topk
+
+    streamed = jobs.stream_ivf_ann_state(spark, SF_SMOKE).toPandas()
+    batch = ann_ivf_topk(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
