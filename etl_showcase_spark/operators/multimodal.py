@@ -987,3 +987,58 @@ def patch_grid_ppm(
             )
 
     return df.select("doc_id", media_col).mapInPandas(run, out_schema)
+
+
+def patch_ahash_ppm(
+    df: DataFrame, out_size: int = 32, patch: int = 8, media_col: str = "media"
+) -> DataFrame:
+    """Per-PATCH perceptual average-hash — ahash_ppm at the patch
+    grain, fused decode→resize→patchify→hash in ONE mapInPandas stage:
+    parse the PPM, nearest-neighbor resample to (out_size, out_size),
+    collapse RGB to integer gray (r+g+b, no float), split into
+    (out_size/patch)² tiles, and threshold each tile's pixels against
+    the tile's OWN floor mean — one patch² bitstring per tile, row-
+    major. Patch-local thresholds (not the whole-image mean) make each
+    signature invariant to global brightness shifts and independent of
+    the rest of the image, which is what lets a cropped or watermarked
+    copy still collide on its untouched patches where a whole-image
+    aHash misses (the crop changes the global mean, flipping bits
+    everywhere). All-integer, so the signatures replay exactly in SQL.
+    At 100 TB only (doc_id, grid² signature rows) leave the worker —
+    the same envelope as patch_grid_ppm."""
+    import numpy as np
+    import pandas as pd
+
+    assert out_size % patch == 0, "patch must divide out_size"
+    grid = out_size // patch
+    out_schema = "doc_id LONG, patch_row INT, patch_col INT, psig STRING"
+    parse = _parse_ppm  # closure capture: ships by value with the udf
+
+    def run(batches):
+        for pdf in batches:
+            out_ids, prs, pcs, sigs = [], [], [], []
+            for did, buf in zip(pdf["doc_id"], pdf[media_col]):
+                w, h, pix = parse(bytes(buf))
+                ri = (np.arange(out_size) * h // out_size).clip(max=h - 1)
+                ci = (np.arange(out_size) * w // out_size).clip(max=w - 1)
+                gray = pix[np.ix_(ri, ci)].astype("int64").sum(axis=2)
+                tiles = gray.reshape(grid, patch, grid, patch).transpose(0, 2, 1, 3)
+                for pr in range(grid):
+                    for pc in range(grid):
+                        t = tiles[pr, pc].ravel()  # row-major within tile
+                        mean_floor = int(t.sum()) // (patch * patch)
+                        bits = (t > mean_floor).astype("uint8")
+                        out_ids.append(int(did))
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sigs.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_ids, dtype="int64"),
+                    "patch_row": np.asarray(prs, dtype="int32"),
+                    "patch_col": np.asarray(pcs, dtype="int32"),
+                    "psig": sigs,
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)

@@ -490,3 +490,144 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").filter(F.octet_length("text") > 0)
     )
     return patch_grid_ppm(d, out_size=32, patch=8)
+
+
+# ---------------------------------------------------------------------------
+# L5 × L2 PATCH-level image near-dup ([EXT] — whole-image aHash
+# (image_ahash_fingerprint) misses crops and watermarked copies: the
+# crop shifts the global mean and flips bits image-wide. Hashing at
+# the PATCH grain with patch-LOCAL thresholds keeps every untouched
+# tile's signature intact, so a doctored copy still collides on its
+# surviving patches — the standard image-dedup escalation for
+# web-scale training corpora. POSITION-INDEPENDENT matching (signature
+# identity, not (row, col) identity) is what catches translations.
+#
+# Scale shape — the same banded-candidate discipline as the text
+# near-dup family: per-image signatures are a fixed grid² rows; the
+# candidate stage is a signature-keyed self-join BOUNDED by a
+# document-frequency cap (signatures shared by > DF_MAX images are
+# boilerplate tiles — flat color, letterboxing — and are excluded
+# exactly like stop-grams in the df-banded TF-IDF postings), so each
+# signature contributes at most DF_MAX² pairs and the pair space is
+# O(n_sigs · DF_MAX²), never all-pairs. All-integer signatures → the
+# whole pipeline (decode, resize, tile hash, df cap, pair overlap)
+# replays in SQL and every pair hash-checks.
+# ---------------------------------------------------------------------------
+
+_PATCH_ND_DF_MAX = 20  # signatures on more images than this are boilerplate
+_PATCH_ND_MIN_SHARED = 4  # pairs must share >= this many distinct signatures
+
+
+def _patch_neardup_oracle() -> str:
+    # same payload gather as _patch_grid_oracle but at PIXEL grain over
+    # the 32x32 gray resize: cell k -> (r, c) = (k // 32, k % 32), tile
+    # (r // 8, c // 8), row-major index within the tile (r%8)*8 + (c%8)
+    cell = (
+        "(LEAST(((k // 32) * h) // 32, h - 1) * w"
+        " + LEAST(((k % 32) * w) // 32, w - 1)) * 3"
+    )
+    gray = (
+        f"ascii(substr(text, CAST(({cell} + 0) % L AS BIGINT) + 1, 1))"
+        f" + ascii(substr(text, CAST(({cell} + 1) % L AS BIGINT) + 1, 1))"
+        f" + ascii(substr(text, CAST(({cell} + 2) % L AS BIGINT) + 1, 1))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         8 + doc_id % 9 AS w,
+         6 + doc_id % 5 AS h,
+         LENGTH(text) AS L
+  FROM documents WHERE LENGTH(text) > 0
+),
+cells AS (
+  SELECT doc_id,
+         CAST((k // 32) // 8 AS INT) AS pr,
+         CAST((k % 32) // 8 AS INT) AS pc,
+         ((k // 32) % 8) * 8 + ((k % 32) % 8) AS idx,
+         {gray} AS g
+  FROM d, UNNEST(range(0, 1024)) t(k)
+),
+tiles AS (
+  SELECT doc_id, pr, pc, LIST(g ORDER BY idx) AS gl
+  FROM cells GROUP BY doc_id, pr, pc
+),
+sigp AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(gl,
+             v -> CASE WHEN v > list_sum(gl) // 64 THEN '1' ELSE '0' END),
+           '') AS psig
+  FROM tiles
+),
+sigs AS (SELECT DISTINCT doc_id, psig FROM sigp),
+dfreq AS (
+  SELECT psig FROM sigs GROUP BY psig
+  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_PATCH_ND_DF_MAX}
+),
+keep AS (SELECT s.doc_id, s.psig FROM sigs s JOIN dfreq USING (psig)),
+nsig AS (SELECT doc_id, COUNT(*) AS n_sigs FROM sigs GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         COUNT(*) AS n_shared
+  FROM keep a JOIN keep b ON a.psig = b.psig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PATCH_ND_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_shared AS INT) AS n_shared,
+       CAST(na.n_sigs AS INT) AS n_sigs_a,
+       CAST(nb.n_sigs AS INT) AS n_sigs_b,
+       CAST(p.n_shared AS DOUBLE) / LEAST(na.n_sigs, nb.n_sigs)
+         AS patch_overlap
+FROM pairs p
+JOIN nsig na ON na.doc_id = p.doc_a
+JOIN nsig nb ON nb.doc_id = p.doc_b
+"""
+
+
+@register("image_patch_neardup", oracle=_patch_neardup_oracle(), tags=("L5", "L2"))
+def image_patch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..caching import tracked_persist
+    from ..operators.multimodal import attach_ppm_media, patch_ahash_ppm
+
+    d = attach_ppm_media(
+        table(spark, sf_dir, "documents").filter(F.octet_length("text") > 0)
+    )
+    # one fused decode→patch-hash stage; signatures are what shuffles
+    sigs = tracked_persist(
+        patch_ahash_ppm(d, out_size=32, patch=8)
+        .select("doc_id", "psig")
+        .distinct()
+    )
+    dfreq = (
+        sigs.groupBy("psig")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= _PATCH_ND_DF_MAX))
+        .select("psig")
+    )
+    keep = tracked_persist(sigs.join(dfreq, "psig"))
+    nsig = sigs.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_sigs"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "psig")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "psig")
+    pairs = (
+        a.join(b, "psig")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= _PATCH_ND_MIN_SHARED)
+    )
+    return (
+        pairs.join(nsig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sigs", "n_sigs_a"), "doc_a")
+        .join(nsig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sigs", "n_sigs_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_sigs_a",
+            "n_sigs_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_sigs_a", "n_sigs_b")
+            ).alias("patch_overlap"),
+        )
+    )
