@@ -14,7 +14,7 @@ carries the hash-checked CORRECTNESS row.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
@@ -2279,4 +2279,146 @@ def importance_sampling_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("importance_per_token"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 G-test (Dunning log-likelihood-ratio) collocations ([EXT] — the
+# significance-test companion to pmi_collocation_bits: PMI over-ranks
+# rare pairs (two hapaxes co-occurring once score maximal PMI); the
+# Dunning 1993 G² statistic weights each 2x2 contingency cell by its
+# COUNT, so evidence mass matters and rare flukes sink. Same df-banded
+# pair space as PMI.
+#
+#   G²/2 = Σ_ij k_ij · ln( k_ij·N / (R_i·C_j) )
+#   k11 = n_ab          k12 = df_a − n_ab
+#   k21 = df_b − n_ab   k22 = N − df_a − df_b + n_ab
+#   R1 = df_a, R2 = N − df_a;  C1 = df_b, C2 = N − df_b
+#
+# Like every log in this module the score is quantized to WHOLE BITS
+# with integer machinery only (no libm parity risk): each cell's
+# log2-ratio is LENGTH(bin(num div den)) − 1 when num >= den, and the
+# symmetric negative magnitude −(LENGTH(bin(den div num)) − 1)
+# otherwise; a zero cell contributes 0 (the k·log k limit). The cell
+# products k·N and R·C cross int64 near web-scale doc counts, so they
+# ride decimal(38,0)/HUGEINT with the QUOTIENT (bounded by N) back in
+# int64 — exactly the temperature_scaled_mix discipline. llr_bits is
+# then an exact integer in both engines, replayed cell by cell.
+# At 100 TB: identical shape to PMI — inverted-index posting self-join
+# bounded by the df band, broadcast df/N scoring joins.
+# ---------------------------------------------------------------------------
+
+
+def _gtest_sql_term(k: str, r: str, c: str) -> str:
+    num = f"(CAST({k} AS HUGEINT) * nn)"
+    den = f"(CAST({r} AS HUGEINT) * ({c}))"
+    return f"""CASE WHEN {k} = 0 THEN 0
+      WHEN {num} >= {den}
+      THEN ({k}) * (LENGTH(bin(CAST({num} // {den} AS BIGINT))) - 1)
+      ELSE -({k}) * (LENGTH(bin(CAST({den} // {num} AS BIGINT))) - 1) END"""
+
+
+_GTEST_ORACLE = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, UNNEST(list_distinct({_SQL_TOKS})) AS t(term)
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM post),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term
+  HAVING COUNT(*) BETWEEN {_COOC_DF_MIN} AND {_COOC_DF_MAX}
+),
+banded AS (SELECT p.doc_id, p.term FROM post p JOIN df ON p.term = df.term),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM banded a JOIN banded b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_PAIR_DOCS}
+),
+cells AS (
+  SELECT p.term_a, p.term_b, p.n_ab, da.df AS df_a, db.df AS df_b,
+         n.n_docs AS nn
+  FROM pairs p
+  JOIN df da ON p.term_a = da.term
+  JOIN df db ON p.term_b = db.term
+  CROSS JOIN n
+)
+SELECT term_a, term_b, n_ab, df_a, df_b,
+       CAST({_gtest_sql_term("n_ab", "df_a", "df_b")}
+          + {_gtest_sql_term("(df_a - n_ab)", "df_a", "(nn - df_b)")}
+          + {_gtest_sql_term("(df_b - n_ab)", "(nn - df_a)", "df_b")}
+          + {_gtest_sql_term(
+              "(nn - df_a - df_b + n_ab)", "(nn - df_a)", "(nn - df_b)"
+          )} AS BIGINT) AS llr_bits,
+       CAST(n_ab AS HUGEINT) * nn >= CAST(df_a AS HUGEINT) * df_b
+         AS positive
+FROM cells
+"""
+
+
+@register("gtest_collocation_bits", oracle=_GTEST_ORACLE, tags=("L4",))
+def gtest_collocation_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id", F.explode(F.array_distinct(textops.tokens("text"))).alias("term")
+    ).distinct()
+    n = post.agg(F.countDistinct("doc_id").cast("long").alias("nn"))
+    df_t = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df").between(_COOC_DF_MIN, _COOC_DF_MAX))
+        .transform(tracked_persist)
+    )
+    banded = post.join(F.broadcast(df_t.select("term")), "term", "left_semi")
+    a = banded.select("doc_id", F.col("term").alias("term_a"))
+    b = banded.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIR_DOCS)
+    )
+    da = df_t.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = df_t.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    cells = (
+        pairs.join(F.broadcast(da), "term_a")
+        .join(F.broadcast(db), "term_b")
+        .crossJoin(F.broadcast(n))
+    )
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    def term(k: Column, r: Column, c: Column) -> Column:
+        num = dec(k) * dec(F.col("nn"))
+        den = dec(r) * dec(c)
+        pos = k * (F.length(F.bin(F.call_function("div", num, den))) - 1)
+        neg = -k * (F.length(F.bin(F.call_function("div", den, num))) - 1)
+        return F.when(k == 0, F.lit(0).cast("long")).otherwise(
+            F.when(num >= den, pos).otherwise(neg)
+        )
+
+    k11 = F.col("n_ab")
+    k12 = F.col("df_a") - F.col("n_ab")
+    k21 = F.col("df_b") - F.col("n_ab")
+    k22 = F.col("nn") - F.col("df_a") - F.col("df_b") + F.col("n_ab")
+    r2 = F.col("nn") - F.col("df_a")
+    c2 = F.col("nn") - F.col("df_b")
+    llr = (
+        term(k11, F.col("df_a"), F.col("df_b"))
+        + term(k12, F.col("df_a"), c2)
+        + term(k21, r2, F.col("df_b"))
+        + term(k22, r2, c2)
+    )
+    return cells.select(
+        "term_a",
+        "term_b",
+        "n_ab",
+        "df_a",
+        "df_b",
+        llr.cast("bigint").alias("llr_bits"),
+        (dec(k11) * dec(F.col("nn")) >= dec(F.col("df_a")) * dec(F.col("df_b"))).alias(
+            "positive"
+        ),
     )

@@ -1836,3 +1836,465 @@ def embedding_common_direction_removal(spark: SparkSession, sf_dir: str) -> Data
             )
         ).alias("removed_mass_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 temperature-scaled source mixing ([EXT] — the p_i^alpha sampling
+# law multilingual/multi-source training mixes use (mT5, XLM-R style):
+# alpha=1 reproduces the corpus proportions, alpha=0 the equal-share
+# table (source_token_budget_epochs' target column is exactly the
+# alpha=0 row set), alpha=1/2 the square-root compromise that
+# up-weights small sources without drowning large ones. One row per
+# (source, alpha_halves in {0,1,2}), with the alpha=1/2 weight
+# computed as an INTEGER sqrt so the whole table replays bit-exact:
+#
+#   s0 = max(1, floor(sqrt_double(tokens)))   -- IEEE seed, both
+#                                                engines correctly
+#                                                rounded
+#   s1 = (s0 + tokens div s0) div 2           -- one Newton step: for
+#                                                any s0 > 0 this lands
+#                                                >= floor(sqrt), and
+#                                                within +1 of it when
+#                                                s0 is within +-2
+#   isq = s1 - [s1*s1 > tokens]               -- floor correction
+#
+# Floor contract: IEEE-correct sqrt keeps the seed within +-1 of the
+# true floor for tokens < 2^52 (exact double representation + <= 0.5
+# ulp), the Newton step maps any such seed into {floor, floor+1}, and
+# the correction lands exactly floor — verified by a 200k-sample
+# hypothesis sweep in tests/test_mlprep.py. Products total*weight and
+# weight*1e6 cross int64 near 100 TB token counts, so both ride
+# decimal(38,0)/HUGEINT with the quotient (always <= total) back in
+# int64 — Spark's div on decimals is exact whenever the quotient fits.
+# Scale shape: one scan, one source-keyed agg, a 3-row and a 1-row
+# broadcast back. The oracle replays seed, Newton step, correction,
+# and every floor division verbatim.
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source, CAST(SUM(LEN({_SQL_TOKS})) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(tokens) AS total FROM per_source),
+seeded AS (
+  SELECT source, tokens,
+         GREATEST(1, CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)) AS s0
+  FROM per_source
+),
+newt AS (SELECT source, tokens, (s0 + tokens // s0) // 2 AS s1 FROM seeded),
+isq AS (
+  SELECT source, tokens,
+         s1 - CASE WHEN s1 * s1 > tokens THEN 1 ELSE 0 END AS r
+  FROM newt
+),
+w AS (
+  SELECT source, tokens, a.alpha_halves,
+         CASE a.alpha_halves WHEN 0 THEN 1 WHEN 1 THEN r ELSE tokens END
+           AS mix_weight
+  FROM isq, (SELECT UNNEST([0, 1, 2]) AS alpha_halves) a
+),
+sw AS (SELECT alpha_halves, SUM(mix_weight) AS sum_w FROM w GROUP BY 1)
+SELECT w.source,
+       CAST(w.alpha_halves AS INT) AS alpha_halves,
+       w.tokens,
+       CAST(w.mix_weight AS BIGINT) AS mix_weight,
+       CAST(CAST(w.mix_weight AS HUGEINT) * 1000000 // sw.sum_w AS BIGINT)
+         AS share_ppm,
+       CAST(CAST(t.total AS HUGEINT) * w.mix_weight // sw.sum_w AS BIGINT)
+         AS target_tokens,
+       CAST((CAST(t.total AS HUGEINT) * w.mix_weight // sw.sum_w
+             + w.tokens - 1) // w.tokens AS BIGINT) AS epochs_needed,
+       CAST(t.total AS HUGEINT) * w.mix_weight // sw.sum_w > w.tokens
+         AS oversampled
+FROM w JOIN sw USING (alpha_halves), tot t
+"""
+
+
+def _isqrt(n: Column) -> Column:
+    """floor(sqrt(n)) for 1 <= n < 2^52, exact (see block comment)."""
+    s0 = F.greatest(
+        F.lit(1).cast("bigint"), F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    )
+    s1 = F.call_function(
+        "div", s0 + F.call_function("div", n, s0), F.lit(2).cast("bigint")
+    )
+    return s1 - (s1 * s1 > n).cast("bigint")
+
+
+@register("temperature_scaled_mix", oracle=_TEMP_MIX_ORACLE, tags=("L6",))
+def temperature_scaled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("tokens")
+    )
+    w = (
+        per_source.withColumn("isq", _isqrt(F.col("tokens")))
+        .select(
+            "source",
+            "tokens",
+            "isq",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("alpha_halves"),
+        )
+        .withColumn(
+            "mix_weight",
+            F.when(F.col("alpha_halves") == 0, F.lit(1).cast("bigint"))
+            .when(F.col("alpha_halves") == 1, F.col("isq"))
+            .otherwise(F.col("tokens")),
+        )
+    )
+    sw = w.groupBy("alpha_halves").agg(F.sum("mix_weight").alias("sum_w"))
+    tot = per_source.agg(F.sum("tokens").alias("total"))
+
+    def dec(c: Column) -> Column:
+        return c.cast("decimal(38,0)")
+
+    target = F.call_function(
+        "div", dec(F.col("total")) * dec(F.col("mix_weight")), dec(F.col("sum_w"))
+    )
+    share = F.call_function(
+        "div",
+        dec(F.col("mix_weight")) * F.lit(1_000_000).cast("decimal(38,0)"),
+        dec(F.col("sum_w")),
+    )
+    return (
+        w.join(F.broadcast(sw), "alpha_halves")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("alpha_halves").cast("int").alias("alpha_halves"),
+            "tokens",
+            F.col("mix_weight").cast("bigint").alias("mix_weight"),
+            share.cast("bigint").alias("share_ppm"),
+            target.cast("bigint").alias("target_tokens"),
+            F.call_function("div", target + F.col("tokens") - 1, F.col("tokens"))
+            .cast("bigint")
+            .alias("epochs_needed"),
+            (target > F.col("tokens")).alias("oversampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3/L1 two-level (coarse-to-fine) SemDeDup ([EXT] — the SemDeDup
+# paper scales k ~ n to keep cells constant-sized, but FLAT Lloyd
+# assignment costs O(n·k) distance rows, which caps k. The standard
+# escalation is hierarchical assignment: k1 coarse cells, then k2 fine
+# cells WITHIN each coarse cell — k = k1·k2 effective clusters at
+# O(n·(k1+k2)) = O(n·√k) assignment cost (k1=k2=√k). Here k1=k2=8:
+# the same 64 cells as the flat semantic_dedup_prune at 1/4 the
+# assignment rows, and the recipe extends to k ~ 1e6 (1000×1000) where
+# flat assignment is hopeless.
+#
+# Construction (all fixed-point, every step oracle-replayed):
+#   coarse = the shared two-round Lloyd recipe at k1 (seeds = lowest
+#     vec_ids, one exact-integer update, scale-1e6 requant, re-assign);
+#   fine   = within each coarse cell: seeds = the k2 lowest vec_ids OF
+#     THAT CELL, one floor-mean update at scale 1e6 (exact _fdiv), one
+#     re-assign against the cell's own <= k2 centroids — a c1-keyed
+#     broadcast join, never a cross join against all 64;
+#   prune  = the identical SemDeDup verify as semantic_dedup_prune
+#     (rank by (d2, vec_id) inside each fine cell, ±16-rank sorted-
+#     neighborhood cosine > 0.92, drop the higher-ranked member), at
+#     the (c1, c2) grain.
+#
+# Scale shape: two broadcast assignment stages of O(n·8) rows each,
+# two keyed centroid updates of (cells × dim) result rows, then the
+# linear banded verify — no stage is O(n·k). Empty fine cells keep
+# their seed vector (an exact-duplicate seed can lose its own members
+# to a lower-numbered twin), mirroring the coarse COALESCE.
+# ---------------------------------------------------------------------------
+
+_SEM2_K1 = 8
+_SEM2_K2 = 8
+
+
+def _semdedup_2level_oracle() -> str:
+    d1 = _sql_l2_dist("v.x", "s.c")
+    dc = _sql_l2_dist("v2.x", "cf.c")
+    df1 = _sql_l2_dist("m.x", "f.fc")
+    df2 = _sql_l2_dist("m.x", "cf.fc")
+    ci = _sql_fdiv("1000*s", "n")
+    fci = _sql_fdiv("s", "n")
+    cos = (
+        "CAST(list_dot_product(a.x, b.x) AS DOUBLE)"
+        " / (SQRT(CAST(list_dot_product(a.x, a.x) AS DOUBLE))"
+        " * SQRT(CAST(list_dot_product(b.x, b.x) AS DOUBLE)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_SQL_QUANT} AS x FROM embeddings),
+seeds AS (SELECT CAST(vec_id AS INT) AS c1, x AS c FROM v WHERE vec_id < {_SEM2_K1}),
+a1 AS (
+  SELECT v.vec_id, MIN([{d1}, CAST(s.c1 AS BIGINT)]) AS m
+  FROM v CROSS JOIN seeds s GROUP BY v.vec_id
+),
+asg1 AS (SELECT vec_id, CAST(m[2] AS INT) AS c1 FROM a1),
+comp AS (
+  SELECT a.c1, t.i, v.x[t.i] AS xi
+  FROM v JOIN asg1 a USING (vec_id), UNNEST(range(1, {_DIM + 1})) t(i)
+),
+upd AS (SELECT c1, i, SUM(xi) AS s, COUNT(*) AS n FROM comp GROUP BY c1, i),
+cent AS (
+  SELECT c1, LIST(CAST({ci} AS BIGINT) ORDER BY i) AS c FROM upd GROUP BY c1
+),
+cent_full AS (
+  SELECT sd.c1, COALESCE(ct.c, list_transform(sd.c, y -> y*1000)) AS c
+  FROM seeds sd LEFT JOIN cent ct ON sd.c1 = ct.c1
+),
+v2 AS (SELECT vec_id, list_transform(x, y -> y*1000) AS x FROM v),
+ac AS (
+  SELECT v2.vec_id, MIN([{dc}, CAST(cf.c1 AS BIGINT)]) AS m
+  FROM v2 CROSS JOIN cent_full cf GROUP BY v2.vec_id
+),
+m AS (
+  SELECT v2.vec_id, CAST(ac.m[2] AS INT) AS c1, v2.x
+  FROM v2 JOIN ac USING (vec_id)
+),
+fseeds AS (
+  SELECT c1,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY vec_id) - 1 AS INT)
+           AS c2,
+         x AS fc
+  FROM m
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY vec_id) <= {_SEM2_K2}
+),
+fa1 AS (
+  SELECT m.vec_id, m.c1, MIN([{df1}, CAST(f.c2 AS BIGINT)]) AS fm
+  FROM m JOIN fseeds f USING (c1) GROUP BY m.vec_id, m.c1
+),
+fasg1 AS (SELECT vec_id, c1, CAST(fm[2] AS INT) AS c2 FROM fa1),
+fcomp AS (
+  SELECT a.c1, a.c2, t.i, m.x[t.i] AS xi
+  FROM m JOIN fasg1 a USING (vec_id, c1), UNNEST(range(1, {_DIM + 1})) t(i)
+),
+fupd AS (SELECT c1, c2, i, SUM(xi) AS s, COUNT(*) AS n FROM fcomp GROUP BY c1, c2, i),
+fcent AS (
+  SELECT c1, c2, LIST(CAST({fci} AS BIGINT) ORDER BY i) AS fc
+  FROM fupd GROUP BY c1, c2
+),
+fcent_full AS (
+  SELECT fs.c1, fs.c2, COALESCE(fc.fc, fs.fc) AS fc
+  FROM fseeds fs LEFT JOIN fcent fc ON fs.c1 = fc.c1 AND fs.c2 = fc.c2
+),
+fa2 AS (
+  SELECT m.vec_id, m.c1, MIN([{df2}, CAST(cf.c2 AS BIGINT)]) AS fm
+  FROM m JOIN fcent_full cf USING (c1) GROUP BY m.vec_id, m.c1
+),
+ranked AS (
+  SELECT m.vec_id, m.x, m.c1, CAST(fa2.fm[2] AS INT) AS c2, fa2.fm[1] AS d2,
+         ROW_NUMBER() OVER (PARTITION BY m.c1, CAST(fa2.fm[2] AS INT)
+                            ORDER BY fa2.fm[1], m.vec_id) AS rnk
+  FROM m JOIN fa2 USING (vec_id, c1)
+),
+dropped AS (
+  SELECT DISTINCT b.c1, b.c2, b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.c1 = b.c1 AND a.c2 = b.c2
+   AND b.rnk > a.rnk AND b.rnk <= a.rnk + {_SEMDEDUP_BAND}
+  WHERE {cos} > {_SEMDEDUP_TAU}
+)
+SELECT r.c1 AS cluster_coarse, r.c2 AS cluster_fine,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+FROM ranked r
+LEFT JOIN dropped d ON d.c1 = r.c1 AND d.c2 = r.c2 AND d.vec_id = r.vec_id
+GROUP BY r.c1, r.c2
+"""
+
+
+def _two_level_assign(spark: SparkSession, sf_dir: str, k1: int, k2: int) -> DataFrame:
+    """(vec_id, x2, c1, c2, d2): hierarchical fixed-point assignment —
+    coarse two-round Lloyd at k1, then per-cell one-round Lloyd at k2.
+    Exact mirror of _semdedup_2level_oracle's CTE chain."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    v = tracked_persist(e.select("vec_id", quantize(F.col("embedding")).alias("x")))
+    seeds = v.filter(F.col("vec_id") < k1).select(
+        F.col("vec_id").cast("int").alias("c1"), F.col("x").alias("c")
+    )
+
+    def dist(x: Column, c: Column) -> Column:
+        return int_dot(x, x) - 2 * int_dot(x, c) + int_dot(c, c)
+
+    a1 = (
+        v.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            F.struct(
+                dist(F.col("x"), F.col("c")).alias("d"),
+                F.col("c1").cast("bigint").alias("c1"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"))
+        .select("vec_id", F.col("m.c1").cast("int").alias("c1"))
+    )
+    comp = (
+        v.join(a1, "vec_id")
+        .select("c1", F.posexplode("x").alias("p", "xi"))
+        .select("c1", (F.col("p") + 1).alias("i"), "xi")
+    )
+    upd = comp.groupBy("c1", "i").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = (
+        upd.withColumn("ci", _fdiv(F.col("s") * 1000, F.col("n")))
+        .groupBy("c1")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "ci"))), lambda t: t["ci"]
+            ).alias("c")
+        )
+    )
+    cent_full = (
+        seeds.select("c1", F.transform("c", lambda y: y * 1000).alias("seed_c"))
+        .join(cent, "c1", "left")
+        .select("c1", F.coalesce("c", "seed_c").alias("c"))
+    )
+    v2 = v.select("vec_id", F.transform("x", lambda y: y * 1000).alias("x2"))
+    # coarse assignment, then the member frame every fine stage reuses
+    m = tracked_persist(
+        v2.crossJoin(F.broadcast(cent_full))
+        .select(
+            "vec_id",
+            "x2",
+            F.struct(
+                dist(F.col("x2"), F.col("c")).alias("d"),
+                F.col("c1").cast("bigint").alias("c1"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"), F.first("x2").alias("x2"))
+        .select("vec_id", "x2", F.col("m.c1").cast("int").alias("c1"))
+    )
+    w = Window.partitionBy("c1").orderBy("vec_id")
+    fseeds = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k2)
+        .select("c1", (F.col("rn") - 1).cast("int").alias("c2"), F.col("x2").alias("fc"))
+    )
+    fa1 = (
+        m.join(F.broadcast(fseeds), "c1")
+        .select(
+            "vec_id",
+            "c1",
+            F.struct(
+                dist(F.col("x2"), F.col("fc")).alias("d"),
+                F.col("c2").cast("bigint").alias("c2"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "c1")
+        .agg(F.min("dc").alias("fm"))
+        .select("vec_id", "c1", F.col("fm.c2").cast("int").alias("c2"))
+    )
+    fcomp = (
+        m.join(fa1, ["vec_id", "c1"])
+        .select("c1", "c2", F.posexplode("x2").alias("p", "xi"))
+        .select("c1", "c2", (F.col("p") + 1).alias("i"), "xi")
+    )
+    fupd = fcomp.groupBy("c1", "c2", "i").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    fcent = (
+        fupd.withColumn("fci", _fdiv(F.col("s"), F.col("n")))
+        .groupBy("c1", "c2")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "fci"))), lambda t: t["fci"]
+            ).alias("fc")
+        )
+    )
+    fcent_full = (
+        fseeds.withColumnRenamed("fc", "seed_fc")
+        .join(fcent, ["c1", "c2"], "left")
+        .select("c1", "c2", F.coalesce("fc", "seed_fc").alias("fc"))
+    )
+    return (
+        m.join(F.broadcast(fcent_full), "c1")
+        .select(
+            "vec_id",
+            "c1",
+            F.struct(
+                dist(F.col("x2"), F.col("fc")).alias("d"),
+                F.col("c2").cast("bigint").alias("c2"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "c1")
+        .agg(F.min("dc").alias("fm"))
+        .join(m.select("vec_id", "x2"), "vec_id")
+        .select(
+            "vec_id",
+            "x2",
+            "c1",
+            F.col("fm.c2").cast("int").alias("c2"),
+            F.col("fm.d").alias("d2"),
+        )
+    )
+
+
+@register(
+    "semantic_dedup_prune_2level", oracle=_semdedup_2level_oracle(), tags=("L3", "L1")
+)
+def semantic_dedup_prune_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    assign = _two_level_assign(spark, sf_dir, _SEM2_K1, _SEM2_K2)
+    ranked = assign.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("c1", "c2").orderBy(
+                F.col("d2").asc(), F.col("vec_id").asc()
+            )
+        ),
+    )
+    # the same J6 band-join spelling as semantic_dedup_prune: bucket
+    # the rank so each join key holds O(BAND) partners
+    bkt = F.expr(f"div(rnk, {_SEMDEDUP_BAND})")
+    a = ranked.select(
+        F.col("c1").alias("a1"),
+        F.col("c2").alias("a2"),
+        F.col("rnk").alias("rnk_a"),
+        F.col("x2").alias("xa"),
+        F.explode(F.array(bkt, bkt + 1)).alias("jk"),
+    )
+    b = ranked.select(
+        "c1",
+        "c2",
+        F.col("rnk").alias("rnk_b"),
+        F.col("x2").alias("xb"),
+        "vec_id",
+        bkt.alias("jk"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (a["a1"] == b["c1"])
+            & (a["a2"] == b["c2"])
+            & (a["jk"] == b["jk"])
+            & (b["rnk_b"] > a["rnk_a"])
+            & (b["rnk_b"] <= a["rnk_a"] + _SEMDEDUP_BAND),
+        )
+        .filter(quantized_cosine(F.col("xa"), F.col("xb")) > _SEMDEDUP_TAU)
+        .select("c1", "c2", "vec_id")
+        .distinct()
+    )
+    return (
+        ranked.join(
+            dropped.withColumn("is_dropped", F.lit(1)), ["c1", "c2", "vec_id"], "left"
+        )
+        .groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.count("is_dropped").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).cast("bigint").alias("n_kept"),
+        )
+        .select(
+            F.col("c1").alias("cluster_coarse"),
+            F.col("c2").alias("cluster_fine"),
+            "n_vecs",
+            "n_dropped",
+            "n_kept",
+        )
+    )

@@ -204,3 +204,86 @@ def test_exact_substr_maximal_run_invariants(spark):
     # the smoke lake actually exercises the removal branch
     assert (ex["n_removed_runs"] > 0).any()
     assert ((ex["n_removed_runs"] > 0) & (ex["n_kept"] > 0)).any()
+
+
+@given(n=st.integers(min_value=1, max_value=2**52 - 1))
+@settings(max_examples=2000, deadline=None)
+def test_isqrt_floor_contract(n):
+    """The seed/Newton/correct integer-sqrt spelling both engines
+    replay must equal floor(sqrt(n)) on the full documented domain."""
+    s0 = max(1, math.floor(math.sqrt(float(n))))
+    s1 = (s0 + n // s0) // 2
+    r = s1 - (1 if s1 * s1 > n else 0)
+    assert r == math.isqrt(n)
+
+
+def test_temperature_mix_limits(spark):
+    """alpha=0 must reproduce the equal-share budget table exactly;
+    alpha=1 must reproduce corpus-proportional shares; alpha=1/2 must
+    sit between them (smaller sources gain share as alpha falls)."""
+    mix = SPECS["temperature_scaled_mix"].build(spark, SF_SMOKE).toPandas()
+    eq = (
+        SPECS["source_token_budget_epochs"]
+        .build(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("source")
+    )
+    a0 = mix[mix["alpha_halves"] == 0].set_index("source")
+    assert (a0["target_tokens"] == eq["target_tokens"]).all()
+    assert (a0["epochs_needed"] == eq["epochs_needed"]).all()
+    assert (a0["oversampled"] == eq["oversampled"]).all()
+    a1 = mix[mix["alpha_halves"] == 2].set_index("source")
+    tot = int(a1["tokens"].sum())
+    assert (a1["share_ppm"] == a1["tokens"] * 1_000_000 // tot).all()
+    # alpha=1/2 weights are exact integer square roots
+    ah = mix[mix["alpha_halves"] == 1].set_index("source")
+    w = ah["mix_weight"]
+    assert ((w * w <= ah["tokens"]) & ((w + 1) * (w + 1) > ah["tokens"])).all()
+    # Monotonicity in alpha holds for the EXTREME sources only
+    # (d/dalpha log share_i = log p_i - E_w[log p], which has a fixed
+    # sign only when p_i is the max or min; mid-distribution sources
+    # can move non-monotonically — observed on the smoke lake):
+    # the largest source's share rises with alpha, the smallest falls.
+    big = ah["tokens"].idxmax()
+    small = ah["tokens"].idxmin()
+    assert (
+        a0.loc[big, "share_ppm"]
+        <= ah.loc[big, "share_ppm"] + 1
+        <= a1.loc[big, "share_ppm"] + 2
+    )
+    assert (
+        a0.loc[small, "share_ppm"] + 2
+        >= ah.loc[small, "share_ppm"] + 1
+        >= a1.loc[small, "share_ppm"]
+    )
+
+
+def test_semdedup_2level_accounting_and_planted(spark):
+    """Two-level SemDeDup must partition the corpus exactly like the
+    flat variant (accounting identity, unique cells), and planted
+    exact-duplicate vectors must be pruned: identical vectors get
+    identical coarse AND fine assignments (equal distances, same
+    tie-breaks), adjacent ranks, cosine 1.0 > tau."""
+    import tempfile
+
+    import pandas as pd
+
+    from etl_showcase_spark.plans.mlprep import semantic_dedup_prune_2level
+
+    pdf = SPECS["semantic_dedup_prune_2level"].build(spark, SF_SMOKE).toPandas()
+    assert ((pdf["n_kept"] + pdf["n_dropped"]) == pdf["n_vecs"]).all()
+    raw = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    n = len(raw)
+    assert pdf["n_vecs"].sum() == n
+    assert not pdf.duplicated(["cluster_coarse", "cluster_fine"]).any()
+    assert (pdf["n_kept"] >= 1).all()
+
+    planted = raw.head(10).copy()
+    planted["vec_id"] = planted["vec_id"] + n
+    with tempfile.TemporaryDirectory() as tmp:
+        pd.concat([raw, planted]).to_parquet(f"{tmp}/embeddings.parquet")
+        after = semantic_dedup_prune_2level(spark, tmp).toPandas()
+        assert after["n_dropped"].sum() >= len(planted), (
+            "planted exact duplicates survived the two-level prune"
+        )
+        assert after["n_vecs"].sum() == n + len(planted)
