@@ -1861,3 +1861,71 @@ def orders_volume_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout buckets ([EXT] — the locality upgrade beside
+# zorder_layout_buckets, same keys and same output shape so the two
+# layouts' per-bucket key rectangles compare row for row: consecutive
+# Hilbert codes are always L1-adjacent cells, so bucket rectangles
+# have strictly better worst-case tightness than Morton's power-of-two
+# diagonal jumps (the reason Delta/Iceberg ship HILBERT beside
+# ZORDER). Encoding is the unrolled 16-level rotation recurrence in
+# operators/layout.py — pure integer CASE/XOR arithmetic, replayed
+# level by level in the oracle's chained CTEs, so every bucket row
+# hash-checks. Scale shape: a narrow 16-projection map (no shuffle)
+# then one bucket-keyed agg; the layout write itself is one range
+# shuffle exactly like zorder_layout.
+# ---------------------------------------------------------------------------
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.layout import sql_hilbert_cte
+
+    chain = sql_hilbert_cte(
+        "src",
+        "o_custkey % 65536",
+        f"DATE_DIFF('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) % 65536",
+        keys="o_custkey, od",
+        bits=16,
+    )
+    return f"""
+WITH src AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_orderdate FROM orders
+),
+{chain}
+SELECT CAST(hval >> 16 AS INT) AS h_bucket,
+       COUNT(*) AS n_orders,
+       MIN(o_custkey) AS custkey_min, MAX(o_custkey) AS custkey_max,
+       MIN(od) AS orderdate_min, MAX(od) AS orderdate_max,
+       MIN(hval) AS h_min, MAX(hval) AS h_max
+FROM hfinal GROUP BY 1
+"""
+
+
+@register("hilbert_layout_buckets", oracle=_hilbert_oracle(), tags=("G7", "O1"))
+def hilbert_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import with_hilbert
+
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    hf = with_hilbert(
+        src,
+        F.col("o_custkey") % 65536,
+        F.datediff(F.col("od"), F.lit(_Z_EPOCH).cast("date")) % 65536,
+        out="hval",
+        bits=16,
+    )
+    return hf.groupBy(
+        F.shiftright("hval", 16).cast("int").alias("h_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.min("od").alias("orderdate_min"),
+        F.max("od").alias("orderdate_max"),
+        F.min("hval").alias("h_min"),
+        F.max("hval").alias("h_max"),
+    )

@@ -2298,3 +2298,108 @@ def semantic_dedup_prune_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L1/L4 longest-duplicate-span audit ([EXT] — the artifact a reviewer
+# asks for after a dedup pass: WHICH spans are the worst offenders?
+# Emits the 20 longest maximal cross-document duplicated runs with
+# their exact location and an md5 pin of the span text, riding the
+# shared ExactSubstr coverage core + gaps-and-islands run merge.
+# Deterministic ranking: (run_len DESC, doc_id, run_start). The span
+# rebuild joins positions against a BROADCAST 20-row top list — the
+# audit output is O(k) however large the corpus; the global top-k is
+# the orderBy().limit(k) spelling (TakeOrdered partial top-k per
+# partition, never a full sort).
+# ---------------------------------------------------------------------------
+
+_LONGEST_SPAN_K = 20
+
+_LONGEST_SPAN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, t.i AS p, toks[t.i] AS tk
+  FROM tok, UNNEST(range(1, LEN(toks) + 1)) t(i)
+  WHERE LEN(toks) > 0
+),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN dup USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+),
+runs AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+),
+rl AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len,
+         MIN(p) AS run_start, MAX(p) AS run_end
+  FROM runs GROUP BY doc_id, grp
+),
+top AS (
+  SELECT doc_id, run_start, run_end, run_len
+  FROM rl ORDER BY run_len DESC, doc_id, run_start LIMIT {_LONGEST_SPAN_K}
+)
+SELECT t.doc_id,
+       CAST(t.run_start AS BIGINT) AS run_start,
+       CAST(t.run_len AS BIGINT) AS run_len,
+       md5(STRING_AGG(pos.tk, ' ' ORDER BY pos.p)) AS span_md5
+FROM top t
+JOIN pos ON pos.doc_id = t.doc_id
+        AND pos.p BETWEEN t.run_start AND t.run_end
+GROUP BY t.doc_id, t.run_start, t.run_len
+"""
+
+
+@register("longest_duplicate_spans", oracle=_LONGEST_SPAN_ORACLE, tags=("L1", "L4"))
+def longest_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _span_tok(spark, sf_dir)
+    pos = tok.select("doc_id", F.posexplode("toks").alias("p0", "tk")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tk"
+    )
+    cov = _span_covered(_span_grams(tok))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = cov.select("doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("grp"))
+    rl = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("p").alias("run_start"),
+        F.max("p").alias("run_end"),
+    )
+    top = (
+        rl.orderBy(F.col("run_len").desc(), F.col("doc_id").asc(), F.col("run_start").asc())
+        .limit(_LONGEST_SPAN_K)
+        .select("doc_id", "run_start", "run_end", "run_len")
+    )
+    return (
+        pos.join(F.broadcast(top), "doc_id")
+        .filter(F.col("p").between(F.col("run_start"), F.col("run_end")))
+        .groupBy("doc_id", "run_start", "run_len")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                        lambda t: t["tk"],
+                    ),
+                    " ",
+                )
+            ).alias("span_md5")
+        )
+        .select(
+            "doc_id",
+            F.col("run_start").cast("bigint").alias("run_start"),
+            F.col("run_len").cast("bigint").alias("run_len"),
+            "span_md5",
+        )
+    )
