@@ -2403,3 +2403,268 @@ def longest_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_md5",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 budgeted deterministic sampling at the alpha-mix targets ([EXT] —
+# the step AFTER temperature_scaled_mix: actually select the documents
+# that realize the alpha=1/2 token budget per source. Reproducibility
+# is the production constraint (the same corpus must sample the same
+# way on any cluster, any partitioning, any day), so the sampler is a
+# pure function of the data: docs are ranked inside each source by
+# md5(doc_id) (a deterministic shuffle), and the prefix whose
+# CUMULATIVE token count fits the source's target is taken — never
+# exceeding budget, landing within one document of it. The emitted
+# sample_md5 pins the EXACT sampled doc_id set per source, so the
+# oracle proves both engines selected identical documents, not merely
+# equal counts.
+#
+# Scale shape: one tokenize scan, one source-keyed agg, the 1-row /
+# k-row broadcast target table, then ONE per-source window (running
+# sum over the md5 order) — sources are the partition keys, so the
+# window never sees more than one source's docs in a partition; a
+# pathologically dominant source would get the with_global_row_number
+# range-partition treatment, exactly like doc_length_equidepth_bins.
+# ---------------------------------------------------------------------------
+
+_MIX_SAMPLE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, LEN({_SQL_TOKS}) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+per_source AS (
+  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tokens FROM tok GROUP BY source
+),
+tot AS (SELECT SUM(tokens) AS total FROM per_source),
+seeded AS (
+  SELECT source, tokens,
+         GREATEST(1, CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT)) AS s0
+  FROM per_source
+),
+newt AS (SELECT source, tokens, (s0 + tokens // s0) // 2 AS s1 FROM seeded),
+isq AS (
+  SELECT source, tokens,
+         s1 - CASE WHEN s1 * s1 > tokens THEN 1 ELSE 0 END AS r
+  FROM newt
+),
+sw AS (SELECT SUM(r) AS sum_w FROM isq),
+tgt AS (
+  SELECT i.source, i.tokens,
+         CAST(CAST(t.total AS HUGEINT) * i.r // s.sum_w AS BIGINT)
+           AS target_tokens
+  FROM isq i, tot t, sw s
+),
+ranked AS (
+  SELECT doc_id, source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+  FROM tok
+),
+samp AS (
+  SELECT r.source, r.doc_id, r.n_toks
+  FROM ranked r JOIN tgt USING (source)
+  WHERE r.cum <= tgt.target_tokens
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_sampled,
+         CAST(SUM(n_toks) AS BIGINT) AS sampled_tokens,
+         md5(STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+           AS sample_md5
+  FROM samp GROUP BY source
+)
+SELECT t.source, t.tokens AS source_tokens, t.target_tokens,
+       COALESCE(a.n_docs_sampled, 0) AS n_docs_sampled,
+       COALESCE(a.sampled_tokens, 0) AS sampled_tokens,
+       CASE WHEN t.target_tokens > 0
+            THEN CAST(COALESCE(a.sampled_tokens, 0) AS DOUBLE) / t.target_tokens
+            ELSE 0.0 END AS fill_ratio,
+       COALESCE(a.sample_md5, md5('')) AS sample_md5
+FROM tgt t LEFT JOIN agg a USING (source)
+"""
+
+
+@register("temperature_mix_budget_sample", oracle=_MIX_SAMPLE_ORACLE, tags=("L6",))
+def temperature_mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(textops.tokens("text")).cast("bigint").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    per_source = tok.groupBy("source").agg(F.sum("n_toks").alias("tokens"))
+    w_src = per_source.withColumn("r", _isqrt(F.col("tokens")))
+    sums = w_src.agg(
+        F.sum("tokens").alias("total"), F.sum("r").alias("sum_w")
+    )
+    tgt = (
+        w_src.crossJoin(F.broadcast(sums))
+        .select(
+            "source",
+            "tokens",
+            F.call_function(
+                "div",
+                F.col("total").cast("decimal(38,0)") * F.col("r").cast("decimal(38,0)"),
+                F.col("sum_w").cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+    )
+    cum = F.sum("n_toks").over(
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = tok.select("doc_id", "source", "n_toks", cum.alias("cum"))
+    samp = ranked.join(F.broadcast(tgt.select("source", "target_tokens")), "source").filter(
+        F.col("cum") <= F.col("target_tokens")
+    )
+    agg = samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled"),
+        F.sum("n_toks").cast("bigint").alias("sampled_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sample_md5"),
+    )
+    return tgt.join(agg, "source", "left").select(
+        "source",
+        F.col("tokens").alias("source_tokens"),
+        "target_tokens",
+        F.coalesce("n_docs_sampled", F.lit(0)).cast("bigint").alias("n_docs_sampled"),
+        F.coalesce("sampled_tokens", F.lit(0)).cast("bigint").alias("sampled_tokens"),
+        F.when(
+            F.col("target_tokens") > 0,
+            F.coalesce("sampled_tokens", F.lit(0)).cast("double")
+            / F.col("target_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fill_ratio"),
+        F.coalesce("sample_md5", F.md5(F.lit(""))).alias("sample_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1/L4 incremental (cross-snapshot) ExactSubstr coverage ([EXT] — the
+# ingest-time form of duplicate_span_coverage: a frozen BASE corpus
+# already trained on, and a DELTA of arriving documents to score —
+# "how much of this incoming document's text already exists in the
+# corpus?" is the admission question a crawler answers per batch, and
+# the gram-grain sibling of minhash_incremental_neardup's delta×corpus
+# discipline. The md5(doc_id) split stands in for the snapshot
+# boundary (same device as the train/test split in
+# token_distribution_drift).
+#
+# Scale shape: the BASE side is a distinct-gram INDEX (built once per
+# snapshot, bucketed on the gram key in production) — the delta never
+# pairs with base documents, only joins the gram index; the join is
+# delta-gram-keyed with the same 2x64-bit xxhash64 interning as
+# _span_grams, so incremental cost is O(delta grams), independent of
+# how many base documents contain each gram. No pair enumeration, no
+# base×base work, nothing quadratic anywhere.
+# ---------------------------------------------------------------------------
+
+_INCR_SPAN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM documents
+),
+base_g AS (
+  SELECT DISTINCT array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE NOT is_new AND LEN(toks) >= {_SPAN_N}
+),
+new_g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE is_new AND LEN(toks) >= {_SPAN_N}
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM new_g g JOIN base_g USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+),
+lens AS (
+  SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE is_new AND LEN(toks) > 0
+)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS known_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / l.n_tokens AS known_fraction,
+       COALESCE(c.n_cov, 0) = l.n_tokens AS fully_known
+FROM lens l
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id) c
+  USING (doc_id)
+"""
+
+
+@register("incremental_span_coverage", oracle=_INCR_SPAN_ORACLE, tags=("L1", "L4"))
+def incremental_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        textops.tokens("text").alias("toks"),
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2").alias(
+            "is_new"
+        ),
+    )
+
+    def grams(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.size("toks") >= _SPAN_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.array_join(F.slice("toks", i, _SPAN_N), " ").alias(
+                                "gram"
+                            ),
+                        ),
+                    )
+                ).alias("pg"),
+            )
+            .select(
+                "doc_id",
+                F.col("pg.pos").alias("pos"),
+                F.xxhash64(F.col("pg.gram")).alias("gh1"),
+                F.xxhash64(F.lit("espan2"), F.col("pg.gram")).alias("gh2"),
+            )
+        )
+
+    base_g = grams(tok.filter(~F.col("is_new"))).select("gh1", "gh2").distinct()
+    new_g = grams(tok.filter(F.col("is_new")))
+    cov = (
+        new_g.join(base_g, ["gh1", "gh2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    lens = tok.filter(F.col("is_new") & (F.size("toks") > 0)).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return lens.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
+        (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+            "known_fraction"
+        ),
+        (F.coalesce("n_cov", F.lit(0)) == F.col("n_tokens")).alias("fully_known"),
+    )

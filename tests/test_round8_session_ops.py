@@ -91,3 +91,37 @@ def test_longest_spans_agree_with_exact_substr(spark):
     assert (top["run_len"] <= top["doc_id"].map(m)).all()
     # k-bounded output
     assert len(top) <= 20
+
+
+def test_budget_sample_never_exceeds_target(spark):
+    """The deterministic prefix sampler must (a) never exceed any
+    source's token target, (b) land within one document of it when the
+    source has enough tokens, and (c) pin a non-empty sample for every
+    source with a positive target on this lake."""
+    pdf = SPECS["temperature_mix_budget_sample"].build(spark, SF_SMOKE).toPandas()
+    assert (pdf["sampled_tokens"] <= pdf["target_tokens"]).all()
+    assert ((pdf["fill_ratio"] >= 0) & (pdf["fill_ratio"] <= 1)).all()
+    # max doc length on this lake is 99 tokens: for any source with
+    # enough tokens to fill its target, a fill gap larger than one
+    # document means the prefix rule was violated
+    supplied = pdf[pdf["source_tokens"] >= pdf["target_tokens"]]
+    gap = supplied["target_tokens"] - supplied["sampled_tokens"]
+    assert (gap <= 99).all()
+    assert (pdf.loc[pdf["target_tokens"] > 0, "n_docs_sampled"] > 0).all()
+
+
+def test_incremental_coverage_consistent_with_full(spark):
+    """Delta-vs-base coverage can only see FEWER covered positions
+    than the all-corpus duplicate_span_coverage sees for the same
+    documents (the base index is a subset of 'some other document')."""
+    inc = (
+        SPECS["incremental_span_coverage"]
+        .build(spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert ((inc["known_tokens"] <= inc["n_tokens"])).all()
+    assert (inc["fully_known"] == (inc["known_tokens"] == inc["n_tokens"])).all()
+    # the replica-heavy smoke lake must surface at least one arriving
+    # document that is already fully known to the base corpus
+    assert inc["fully_known"].any()
