@@ -2103,10 +2103,16 @@ GROUP BY r.c1, r.c2
 """
 
 
-def _two_level_assign(spark: SparkSession, sf_dir: str, k1: int, k2: int) -> DataFrame:
-    """(vec_id, x2, c1, c2, d2): hierarchical fixed-point assignment —
-    coarse two-round Lloyd at k1, then per-cell one-round Lloyd at k2.
-    Exact mirror of _semdedup_2level_oracle's CTE chain."""
+def _two_level_index(
+    spark: SparkSession, sf_dir: str, k1: int, k2: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(cent_full, fcent_full, m): the hierarchical index — coarse
+    centroids (c1, c), per-cell fine centroids (c1, c2, fc), and the
+    coarse-assigned member frame (vec_id, x2, c1). The two centroid
+    tables are metadata-sized (k1 and <= k1·k2 rows) — the streaming
+    twin collects them as its frozen routing index; the member frame
+    is data-sized and stays distributed. Exact mirror of
+    _semdedup_2level_oracle's CTE chain."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")
@@ -2211,6 +2217,18 @@ def _two_level_assign(spark: SparkSession, sf_dir: str, k1: int, k2: int) -> Dat
         .join(fcent, ["c1", "c2"], "left")
         .select("c1", "c2", F.coalesce("fc", "seed_fc").alias("fc"))
     )
+    return cent_full, fcent_full, m
+
+
+def _two_level_assign(spark: SparkSession, sf_dir: str, k1: int, k2: int) -> DataFrame:
+    """(vec_id, x2, c1, c2, d2): hierarchical fixed-point assignment —
+    coarse two-round Lloyd at k1, then per-cell one-round Lloyd at k2
+    (index + final fine re-assign; see _two_level_index)."""
+    _, fcent_full, m = _two_level_index(spark, sf_dir, k1, k2)
+
+    def dist(x: Column, c: Column) -> Column:
+        return int_dot(x, x) - 2 * int_dot(x, c) + int_dot(c, c)
+
     return (
         m.join(F.broadcast(fcent_full), "c1")
         .select(

@@ -1510,3 +1510,113 @@ def stream_ivf_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = _drain_replay_union(out, "stream_ivf_ann", mode="update").distinct()
     latest = log.groupBy("q_id").agg(F.max("ver").alias("ver"))
     return log.join(latest, ["q_id", "ver"]).select("q_id", "c_id", "cosine", "rnk")
+
+
+def stream_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the hierarchical (coarse-to-fine) k-means
+    assignment behind ``semantic_dedup_prune_2level``: the two
+    centroid tables are built once by the shared batch index step
+    (_two_level_index — a production system refreshes its routing
+    index offline exactly this way) and COLLECTED as the frozen
+    routing index (metadata-sized: k1 + k1·k2 rows); arriving vectors
+    are routed coarse→fine in one vectorized Arrow stage with the SAME
+    exact int64 distance arithmetic as the batch JVM expressions, and
+    per-FINE-CELL GroupState folds (n_vecs, sum_d2) — pure integer
+    addition, so the drained occupancy/inertia table is bit-identical
+    to the batch assignment's aggregate (tests/test_streaming.py).
+
+    This is the ingest-time shape of cluster-routing admission (which
+    cell does each arriving embedding land in, how full and how tight
+    is each cell) — state is two bigints per fine cell, nothing
+    data-sized accumulates."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.similarity import quantize
+    from ..plans.mlprep import _SEM2_K1, _SEM2_K2, _two_level_index
+
+    cent_full, fcent_full, _ = _two_level_index(spark, sf_dir, _SEM2_K1, _SEM2_K2)
+    coarse = sorted((int(r["c1"]), [int(v) for v in r["c"]]) for r in cent_full.collect())
+    fine: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in fcent_full.collect():
+        fine.setdefault(int(r["c1"]), []).append(
+            (int(r["c2"]), [int(v) for v in r["fc"]])
+        )
+    for cell in fine.values():
+        cell.sort()
+
+    arriving = embeddings_replay_stream(spark, sf_dir).select(
+        "vec_id", quantize(F.col("embedding")).alias("x")
+    )
+
+    def route(batches):
+        # frozen index ships by value in the closure; exact int64
+        # arithmetic mirrors the batch dist(x2, c) expressions
+        import numpy as np
+        import pandas as pd
+
+        C = np.array([c for _, c in coarse], dtype="int64")  # (k1, dim)
+        c1_ids = [cid for cid, _ in coarse]
+        FN = {
+            c1: (np.array([fc for _, fc in cells], dtype="int64"),
+                 [c2 for c2, _ in cells])
+            for c1, cells in fine.items()
+        }
+        cc = (C * C).sum(axis=1)  # (k1,)
+        for pdf in batches:
+            ids, c1s, c2s, d2s = [], [], [], []
+            for vid, xv in zip(pdf["vec_id"], pdf["x"]):
+                x2 = np.asarray(xv, dtype="int64") * 1000
+                xx = int(x2 @ x2)
+                dc = xx - 2 * (C @ x2) + cc  # (k1,) exact int64
+                # argmin with c1-asc tie-break == the batch struct-min
+                best = min(range(len(c1_ids)), key=lambda i: (dc[i], c1_ids[i]))
+                c1 = c1_ids[best]
+                FC, f_ids = FN[c1]
+                df_ = xx - 2 * (FC @ x2) + (FC * FC).sum(axis=1)
+                fb = min(range(len(f_ids)), key=lambda i: (df_[i], f_ids[i]))
+                ids.append(int(vid))
+                c1s.append(c1)
+                c2s.append(f_ids[fb])
+                d2s.append(int(df_[fb]))
+            yield pd.DataFrame(
+                {"vec_id": ids, "c1": c1s, "c2": c2s, "d2": d2s}
+            )
+
+    routed = arriving.mapInPandas(route, "vec_id long, c1 int, c2 int, d2 long")
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        n, sd = (int(state.get[0]), int(state.get[1])) if state.exists else (0, 0)
+        new = 0
+        for pdf in pdfs:
+            new += len(pdf)
+            n += len(pdf)
+            sd += int(pdf["d2"].sum())
+        if not new:
+            return
+        state.update((n, sd))
+        yield pd.DataFrame(
+            {
+                "c1": [int(key[0])],
+                "c2": [int(key[1])],
+                "n_vecs": [n],
+                "sum_d2": [sd],
+            }
+        )
+
+    out = routed.groupBy("c1", "c2").applyInPandasWithState(
+        fold,
+        outputStructType="c1 int, c2 int, n_vecs long, sum_d2 long",
+        stateStructType="n bigint, sd bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode emissions are full per-key state: latest per key wins
+    # (distinct first — the log is at-least-once with identical rows)
+    log = _drain_replay_union(out, "stream_two_level", mode="update").distinct()
+    latest = log.groupBy("c1", "c2").agg(F.max("n_vecs").alias("n_vecs"))
+    return log.join(latest, ["c1", "c2", "n_vecs"]).select(
+        "c1", "c2", "n_vecs", "sum_d2"
+    )

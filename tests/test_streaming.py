@@ -687,3 +687,31 @@ def test_stateful_ivf_ann_matches_batch(spark):
     batch = ann_ivf_topk(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_two_level_assign_matches_batch(spark):
+    # the frozen hierarchical index routes arriving vectors with the
+    # same exact int64 distance arithmetic as the batch JVM
+    # expressions, and the per-fine-cell GroupState fold is pure
+    # integer addition — so occupancy and summed inertia per (c1, c2)
+    # must be bit-identical to the batch assignment's aggregate
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.plans.mlprep import (
+        _SEM2_K1,
+        _SEM2_K2,
+        _two_level_assign,
+    )
+
+    streamed = jobs.stream_two_level_assign_state(spark, SF_SMOKE).toPandas()
+    batch = (
+        _two_level_assign(spark, SF_SMOKE, _SEM2_K1, _SEM2_K2)
+        .groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("d2").cast("long").alias("sum_d2"),
+        )
+        .toPandas()
+    )
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
