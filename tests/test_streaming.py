@@ -598,11 +598,16 @@ def test_rocksdb_state_store_matches_default_provider(spark):
 
     # stream_banded_dedup_state adds the applyInPandasWithState path
     # with a large key space (one state row per MinHash band key) —
-    # the shape that actually needs RocksDB at 100 TB
+    # the shape that actually needs RocksDB at 100 TB;
+    # stream_ivf_ann_state carries ARRAY-typed state (top-k id/cosine
+    # lists) and stream_two_level_assign_state integer-fold state
+    # behind a frozen broadcast index — the round-8 stateful shapes
     for job in (
         jobs.stream_tumbling_daily,
         jobs.stream_session_windows,
         jobs.stream_banded_dedup_state,
+        jobs.stream_ivf_ann_state,
+        jobs.stream_two_level_assign_state,
     ):
         a, b = run_both(job)
         assert len(a) > 0
