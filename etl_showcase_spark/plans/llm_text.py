@@ -2422,3 +2422,128 @@ def gtest_collocation_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "positive"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 BPE second iteration ([EXT] — bpe_pair_counts is iteration 1
+# of byte-pair-encoding training; this composes the LOOP: take the
+# arg-max pair (count DESC, pair ASC — a total order, so both engines
+# pick the same merge), APPLY the merge to every word's symbol
+# sequence, and recount adjacent-symbol pairs. Merge application uses
+# the space-separated symbol-string representation: REPLACE(s, 'x y',
+# 'xy') replaces non-overlapping occurrences left to right in both
+# engines — exactly greedy BPE ('a a a' + merge 'aa' -> 'aa a').
+# Pairs after the merge are spaced ('ab c'), so multi-char symbols
+# never collide with char pairs. The same vocabulary-table trick as
+# iteration 1 keeps everything vocab-sized: pair enumeration runs over
+# DISTINCT words weighted by count, never the raw token stream; the
+# arg-max is a broadcast 1-row frame; at 100 TB each further merge
+# iteration is one more narrow map + keyed agg over the vocab table.
+# ---------------------------------------------------------------------------
+
+_BPE2_ORACLE = f"""
+WITH tok AS (SELECT UNNEST({_SQL_TOKS}) AS w FROM documents),
+wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+p1 AS (
+  SELECT pair, SUM(c) AS n FROM (
+    SELECT w, c,
+           UNNEST(list_transform(range(1, LENGTH(w)),
+                                 i -> substr(w, CAST(i AS BIGINT), 2))) AS pair
+    FROM wc WHERE LENGTH(w) >= 2
+  ) GROUP BY pair
+),
+best AS (SELECT pair FROM p1 ORDER BY n DESC, pair ASC LIMIT 1),
+seq AS (
+  SELECT c,
+         array_to_string(list_transform(range(1, LENGTH(w) + 1),
+                                        i -> substr(w, CAST(i AS BIGINT), 1)),
+                         ' ') AS s
+  FROM wc
+),
+merged AS (
+  SELECT seq.c, b.pair AS merged_pair,
+         string_split(
+           REPLACE(seq.s,
+                   substr(b.pair, 1, 1) || ' ' || substr(b.pair, 2, 1),
+                   b.pair),
+           ' ') AS sy
+  FROM seq, best b
+),
+p2 AS (
+  SELECT merged_pair, pr AS pair, SUM(c) AS n FROM (
+    SELECT merged_pair, c,
+           UNNEST(list_transform(range(1, LEN(sy)),
+                                 i -> sy[i] || ' ' || sy[i + 1])) AS pr
+    FROM merged WHERE LEN(sy) >= 2
+  ) GROUP BY 1, 2
+)
+SELECT merged_pair, pair, CAST(n AS BIGINT) AS n_occurrences
+FROM p2 ORDER BY n DESC, pair ASC LIMIT 10
+"""
+
+
+@register("bpe_second_merge", oracle=_BPE2_ORACLE, tags=("L4", "L6"))
+def bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(textops.tokens("text")).alias("w"))
+    # wc feeds both the iteration-1 recount and the merge application
+    wc = tracked_persist(
+        toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p1 = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+    )
+    best = p1.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).select("pair")
+    seq = wc.select(
+        "c",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            " ",
+        ).alias("s"),
+    )
+    spaced = F.concat(
+        F.col("pair").substr(1, 1), F.lit(" "), F.col("pair").substr(2, 1)
+    )
+    merged = seq.crossJoin(F.broadcast(best)).select(
+        "c",
+        F.col("pair").alias("merged_pair"),
+        F.split(F.replace(F.col("s"), spaced, F.col("pair")), " ").alias("sy"),
+    )
+    p2 = (
+        merged.filter(F.size("sy") >= 2)
+        .select(
+            "merged_pair",
+            "c",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("sy") - 1),
+                    lambda i: F.concat(
+                        F.get(F.col("sy"), i - 1),
+                        F.lit(" "),
+                        F.get(F.col("sy"), i),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("merged_pair", "pair")
+        .agg(F.sum("c").alias("n"))
+    )
+    return (
+        p2.orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(10)
+        .select("merged_pair", "pair", F.col("n").cast("bigint").alias("n_occurrences"))
+    )

@@ -125,3 +125,19 @@ def test_incremental_coverage_consistent_with_full(spark):
     # the replica-heavy smoke lake must surface at least one arriving
     # document that is already fully known to the base corpus
     assert inc["fully_known"].any()
+
+
+def test_bpe_second_merge_semantics(spark):
+    """After applying the arg-max merge, the merged pair can no longer
+    exist as an adjacency (greedy left-to-right replacement consumes
+    every occurrence), and recounted pairs are spaced symbol pairs."""
+    pdf = SPECS["bpe_second_merge"].build(spark, SF_SMOKE).toPandas()
+    assert 0 < len(pdf) <= 10
+    assert pdf["merged_pair"].nunique() == 1
+    merged = pdf["merged_pair"].iloc[0]
+    spaced = f"{merged[0]} {merged[1]}"
+    assert spaced not in set(pdf["pair"])
+    # every recounted pair is two space-separated symbols
+    assert (pdf["pair"].str.count(" ") == 1).all()
+    # counts are positive and sorted output is deterministic
+    assert (pdf["n_occurrences"] > 0).all()
