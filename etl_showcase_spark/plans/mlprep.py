@@ -515,8 +515,9 @@ def power_iteration_principal_dim(spark: SparkSession, sf_dir: str) -> DataFrame
 # swaps in trained weights via the identical broadcast-free column
 # expression; the SHAPE — score every token without a vocabulary join,
 # one doc-keyed agg, one source-keyed agg — is what matters at 100 TB:
-# the weight table lives inside the expression, so the hot path is one
-# scan with zero joins and zero Python.
+# the weight LOOKUP is join-free and Python-free (it lives inside the
+# expression), though the per-doc score still pays the one
+# token-explode shuffle every per-token scorer pays.
 # ---------------------------------------------------------------------------
 
 _HQ_BUCKETS = 64
