@@ -41,8 +41,12 @@ def _fdiv(a: Column, b: Column) -> Column:
     """Exact floor division for possibly-negative a (b > 0).
 
     (a - pmod(a, b)) is divisible by b; Spark's `div` is exact 64-bit
-    integral division (IntegralDivide), so the quotient is exact for the
-    full int64 range — no double round-trip. (The earlier
+    integral division (IntegralDivide), so the quotient is exact
+    whenever the adjusted numerator a - pmod(a, b) itself fits int64 —
+    i.e. for a > INT64_MIN + b, which covers every caller (all pass
+    values bounded far inside the range; within b of INT64_MIN the
+    subtraction would wrap in Spark and error in DuckDB). No double
+    round-trip anywhere. (The earlier
     ``((a - pmod(a,b)) / b).cast("long")`` spelling lost precision once
     the numerator crossed 2^53: a=5033222943549319568,
     b=39631676720860784 gave 126 instead of the true floor 127.)
@@ -605,9 +609,11 @@ def _span_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_grams(tok: DataFrame) -> DataFrame:
+def _span_grams(tok: DataFrame, persist: bool = True) -> DataFrame:
     """(doc_id, pos, gh1, gh2): every 8-gram occurrence with its gram
     string INTERNED to a 2x64-bit xxhash64 pair before any shuffle.
+    ``persist=False`` skips the cache for single-consumer callers
+    (e.g. the incremental delta/base sides, each consumed once).
 
     The gram strings average ~50 bytes; everything downstream (the
     duplicated-gram agg and the coverage join) only needs gram
@@ -620,7 +626,7 @@ def _span_grams(tok: DataFrame) -> DataFrame:
     whose ~3e6 expected collisions at that scale would leak false
     coverage. Persisted: consumed by both the dup agg and the cov join.
     """
-    return tracked_persist(
+    g = (
         tok.filter(F.size("toks") >= _SPAN_N)
         .select(
             "doc_id",
@@ -641,6 +647,7 @@ def _span_grams(tok: DataFrame) -> DataFrame:
             F.xxhash64(F.lit("espan2"), F.col("pg.gram")).alias("gh2"),
         )
     )
+    return tracked_persist(g) if persist else g
 
 
 def _span_covered(g: DataFrame) -> DataFrame:
@@ -2508,11 +2515,15 @@ def temperature_mix_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "source",
-        F.size(textops.tokens("text")).cast("bigint").alias("n_toks"),
-        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    # persisted: tok feeds both the per-source budget branch and the
+    # ranked-prefix window branch — one tokenize scan, as advertised
+    tok = tracked_persist(
+        d.select(
+            "doc_id",
+            "source",
+            F.size(textops.tokens("text")).cast("bigint").alias("n_toks"),
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
     )
     per_source = tok.groupBy("source").agg(F.sum("n_toks").alias("tokens"))
     w_src = per_source.withColumn("r", _isqrt(F.col("tokens")))
@@ -2630,41 +2641,26 @@ LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id) c
 @register("incremental_span_coverage", oracle=_INCR_SPAN_ORACLE, tags=("L1", "L4"))
 def incremental_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        textops.tokens("text").alias("toks"),
-        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2").alias(
-            "is_new"
-        ),
-    )
-
-    def grams(frame: DataFrame) -> DataFrame:
-        return (
-            frame.filter(F.size("toks") >= _SPAN_N)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - (_SPAN_N - 1)),
-                        lambda i: F.struct(
-                            i.alias("pos"),
-                            F.array_join(F.slice("toks", i, _SPAN_N), " ").alias(
-                                "gram"
-                            ),
-                        ),
-                    )
-                ).alias("pg"),
-            )
-            .select(
-                "doc_id",
-                F.col("pg.pos").alias("pos"),
-                F.xxhash64(F.col("pg.gram")).alias("gh1"),
-                F.xxhash64(F.lit("espan2"), F.col("pg.gram")).alias("gh2"),
-            )
+    # persisted: tok feeds the base index, the delta grams, and the
+    # delta lengths — one tokenization pass, not three
+    tok = tracked_persist(
+        d.select(
+            "doc_id",
+            textops.tokens("text").alias("toks"),
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2").alias(
+                "is_new"
+            ),
         )
-
-    base_g = grams(tok.filter(~F.col("is_new"))).select("gh1", "gh2").distinct()
-    new_g = grams(tok.filter(F.col("is_new")))
+    )
+    # the SHARED gram-interning stage (_span_grams) keeps the salt and
+    # the gram window in exactly one place; each side is consumed once,
+    # so no per-side persist
+    base_g = (
+        _span_grams(tok.filter(~F.col("is_new")), persist=False)
+        .select("gh1", "gh2")
+        .distinct()
+    )
+    new_g = _span_grams(tok.filter(F.col("is_new")), persist=False)
     cov = (
         new_g.join(base_g, ["gh1", "gh2"])
         .select(

@@ -1465,11 +1465,13 @@ def stream_ivf_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    k_top = K  # captured by value below: the fold must track K
+
     def topk_fold(key, pdfs, state):
         # self-contained (pickled by value): no references to this module
         import pandas as pd
 
-        k = 10
+        k = k_top
         if state.exists:
             cids, coss, seen = (
                 list(state.get[0]),

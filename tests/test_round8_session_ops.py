@@ -8,7 +8,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from etl_showcase_spark.operators.layout import hilbert_xy2d_py, zorder_value
+from etl_showcase_spark.operators.layout import hilbert_xy2d_py
 from etl_showcase_spark.registry import all_specs
 
 from .conftest import SF_SMOKE
