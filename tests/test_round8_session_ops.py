@@ -141,3 +141,19 @@ def test_bpe_second_merge_semantics(spark):
     assert (pdf["pair"].str.count(" ") == 1).all()
     # counts are positive and sorted output is deterministic
     assert (pdf["n_occurrences"] > 0).all()
+
+
+def test_layout_locality_compare_shape(spark):
+    """One row per layout, bucket accounting consistent; direction is
+    dataset-dependent (Hilbert wins on sf0.01, Morton on the tiny
+    sf0.001 slab), so no inequality is asserted — the curve-level
+    locality guarantee is the exhaustive unit-step test above."""
+    pdf = SPECS["layout_locality_compare"].build(spark, SF_SMOKE).toPandas()
+    assert sorted(pdf["layout"]) == ["hilbert", "morton"]
+    assert (pdf["n_buckets"] > 0).all()
+    assert (pdf["max_semiperim"] >= 0).all()
+    assert (pdf["sum_semiperim"] >= pdf["max_semiperim"]).all()
+    eps = 1e-9
+    assert (
+        (pdf["avg_semiperim"] - pdf["sum_semiperim"] / pdf["n_buckets"]).abs() < eps
+    ).all()
