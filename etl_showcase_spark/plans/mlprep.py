@@ -1609,7 +1609,9 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EXSUB_MIN_RUN = 50  # Lee et al. 2022 ExactSubstr removal threshold
 
-_EXSUB_ORACLE = f"""
+# the full CTE chain (tokenize -> coverage -> islands -> removal) is
+# shared by the per-doc oracle and the corpus-level stats oracle below
+_EXSUB_CHAIN = f"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 lens AS (SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE LEN(toks) > 0),
 pos AS (
@@ -1660,7 +1662,8 @@ rebuilt AS (
          CAST(COUNT(*) AS BIGINT) AS n_kept,
          md5(STRING_AGG(tk, ' ' ORDER BY p)) AS kept_md5
   FROM kept GROUP BY doc_id
-)
+),
+per_doc AS (
 SELECT l.doc_id,
        CAST(l.n_tokens AS BIGINT) AS n_tokens,
        CAST(COALESCE(d.n_runs, 0) AS INT) AS n_runs,
@@ -1673,7 +1676,9 @@ SELECT l.doc_id,
 FROM lens l
 LEFT JOIN doc_runs d USING (doc_id)
 LEFT JOIN rebuilt r USING (doc_id)
-"""
+)"""
+
+_EXSUB_ORACLE = _EXSUB_CHAIN + "\nSELECT * FROM per_doc"
 
 
 @register("exact_substr_span_removal", oracle=_EXSUB_ORACLE, tags=("L1", "L4"))
@@ -2682,4 +2687,70 @@ def incremental_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "known_fraction"
         ),
         (F.coalesce("n_cov", F.lit(0)) == F.col("n_tokens")).alias("fully_known"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1/L6 post-dedup corpus report ([EXT] — the acceptance artifact a
+# data owner signs off after an ExactSubstr pass: per source, how many
+# documents survive, how much token mass was excised, and a
+# corpus-level md5 PIN of every surviving document's rebuilt text
+# (md5 over the doc-ordered concatenation of per-doc kept-text md5s).
+# COMPOSES the maximal-run removal end to end — the oracle nests the
+# full tokenize → coverage → islands → removal chain (the
+# dedup_impact_report discipline: the hash check replays the whole
+# two-stage pipeline, not just the summary arithmetic). Scale shape:
+# the per-doc frame is the removal query's output (linear stages, see
+# exact_substr_span_removal); this adds one broadcast source join and
+# one source-keyed agg whose collect_list is bounded by a source's
+# document count (the same per-group-bounded rebuild argument as the
+# span queries; a pathological mega-source would chunk the pin).
+# ---------------------------------------------------------------------------
+
+_POST_DEDUP_ORACLE = _EXSUB_CHAIN + """,
+src AS (SELECT doc_id, source FROM documents)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.n_kept > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_surviving,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(p.n_kept) AS BIGINT) AS kept_tokens,
+       CAST(SUM(p.n_removed) AS BIGINT) AS removed_tokens,
+       CAST(SUM(p.n_kept) AS DOUBLE) / SUM(p.n_tokens) AS kept_fraction,
+       md5(STRING_AGG(p.kept_text_md5, ',' ORDER BY p.doc_id)) AS corpus_md5
+FROM per_doc p JOIN src s USING (doc_id)
+GROUP BY s.source
+"""
+
+
+@register("post_dedup_corpus_report", oracle=_POST_DEDUP_ORACLE, tags=("L1", "L6"))
+def post_dedup_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = exact_substr_span_removal(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_kept") > 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_surviving"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_kept").cast("bigint").alias("kept_tokens"),
+            F.sum("n_removed").cast("bigint").alias("removed_tokens"),
+            (F.sum("n_kept").cast("double") / F.sum("n_tokens")).alias(
+                "kept_fraction"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "kept_text_md5"))
+                        ),
+                        lambda t: t["kept_text_md5"],
+                    ),
+                    ",",
+                )
+            ).alias("corpus_md5"),
+        )
     )

@@ -157,3 +157,18 @@ def test_layout_locality_compare_shape(spark):
     assert (
         (pdf["avg_semiperim"] - pdf["sum_semiperim"] / pdf["n_buckets"]).abs() < eps
     ).all()
+
+
+def test_post_dedup_report_consistent_with_per_doc(spark):
+    """The corpus report must aggregate the per-doc removal exactly:
+    token accounting ties out, surviving counts match, and the corpus
+    pin changes iff any document's surviving text changes."""
+    rep = SPECS["post_dedup_corpus_report"].build(spark, SF_SMOKE).toPandas()
+    ex = SPECS["exact_substr_span_removal"].build(spark, SF_SMOKE).toPandas()
+    assert rep["n_docs"].sum() == len(ex)
+    assert rep["total_tokens"].sum() == ex["n_tokens"].sum()
+    assert rep["kept_tokens"].sum() == ex["n_kept"].sum()
+    assert rep["removed_tokens"].sum() == ex["n_removed"].sum()
+    assert (rep["kept_tokens"] + rep["removed_tokens"] == rep["total_tokens"]).all()
+    assert (rep["n_surviving"] <= rep["n_docs"]).all()
+    assert rep["corpus_md5"].nunique() == len(rep)  # distinct per source
