@@ -1888,6 +1888,7 @@ _TEMP_MIX_ORACLE = f"""
 WITH per_source AS (
   SELECT source, CAST(SUM(LEN({_SQL_TOKS})) AS BIGINT) AS tokens
   FROM documents GROUP BY source
+  HAVING SUM(LEN({_SQL_TOKS})) > 0
 ),
 tot AS (SELECT SUM(tokens) AS total FROM per_source),
 seeded AS (
@@ -1938,8 +1939,13 @@ def _isqrt(n: Column) -> Column:
 @register("temperature_scaled_mix", oracle=_TEMP_MIX_ORACLE, tags=("L6",))
 def temperature_scaled_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    per_source = d.groupBy("source").agg(
-        F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("tokens")
+    per_source = (
+        d.groupBy("source")
+        .agg(F.sum(F.size(textops.tokens("text"))).cast("bigint").alias("tokens"))
+        # a source whose documents tokenize to nothing has no epochs_needed
+        # (division by tokens) — engines diverge on x/0, so exclude it here
+        # and in the oracle's HAVING alike
+        .filter(F.col("tokens") > 0)
     )
     w = (
         per_source.withColumn("isq", _isqrt(F.col("tokens")))
@@ -2437,6 +2443,120 @@ def longest_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L1/L4 worst-offender span TEXT per source ([EXT] — the follow-through
+# on longest_duplicate_spans: reviewers don't read md5 pins, they read
+# the offending text. Emits, for each SOURCE, the single longest
+# maximal cross-document duplicated run (argmax by (run_len DESC,
+# doc_id, run_start) inside the source) with its REBUILT TEXT — the
+# "show me what the dedup pass would cut" audit artifact. Same shared
+# coverage core + gaps-and-islands; the per-source argmax is one
+# window rank over the tiny runs frame; the text rebuild joins token
+# positions against a BROADCAST k-row winner list (k = #sources), so
+# the emitted text volume is O(#sources · max_run), independent of
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_SPAN_TEXT_ORACLE = f"""
+WITH tok AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, t.i AS p, toks[t.i] AS tk
+  FROM tok, UNNEST(range(1, LEN(toks) + 1)) t(i)
+  WHERE LEN(toks) > 0
+),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SPAN_N}
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN dup USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+),
+runs AS (
+  SELECT doc_id, p,
+         p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov
+),
+rl AS (
+  SELECT doc_id, grp, COUNT(*) AS run_len,
+         MIN(p) AS run_start, MAX(p) AS run_end
+  FROM runs GROUP BY doc_id, grp
+),
+winners AS (
+  SELECT s.source, rl.doc_id, rl.run_start, rl.run_end, rl.run_len
+  FROM rl JOIN (SELECT doc_id, source FROM documents) s USING (doc_id)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY s.source
+    ORDER BY rl.run_len DESC, rl.doc_id, rl.run_start) = 1
+)
+SELECT w.source,
+       w.doc_id,
+       CAST(w.run_start AS BIGINT) AS run_start,
+       CAST(w.run_len AS BIGINT) AS run_len,
+       STRING_AGG(pos.tk, ' ' ORDER BY pos.p) AS span_text
+FROM winners w
+JOIN pos ON pos.doc_id = w.doc_id
+        AND pos.p BETWEEN w.run_start AND w.run_end
+GROUP BY w.source, w.doc_id, w.run_start, w.run_len
+ORDER BY w.source
+"""
+
+
+@register("longest_span_text_per_source", oracle=_SPAN_TEXT_ORACLE, tags=("L1", "L4"))
+def longest_span_text_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = _span_tok(spark, sf_dir)
+    pos = tok.select("doc_id", F.posexplode("toks").alias("p0", "tk")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "tk"
+    )
+    cov = _span_covered(_span_grams(tok))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = cov.select("doc_id", "p", (F.col("p") - F.row_number().over(w)).alias("grp"))
+    rl = runs.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("p").alias("run_start"),
+        F.max("p").alias("run_end"),
+    )
+    src = tok.select("doc_id", "source")
+    ws = Window.partitionBy("source").orderBy(
+        F.col("run_len").desc(), F.col("doc_id").asc(), F.col("run_start").asc()
+    )
+    winners = (
+        rl.join(src, "doc_id")
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") == 1)
+        .select("source", "doc_id", "run_start", "run_end", "run_len")
+    )
+    return (
+        pos.join(F.broadcast(winners), "doc_id")
+        .filter(F.col("p").between(F.col("run_start"), F.col("run_end")))
+        .groupBy("source", "doc_id", "run_start", "run_len")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                    lambda t: t["tk"],
+                ),
+                " ",
+            ).alias("span_text")
+        )
+        .select(
+            "source",
+            "doc_id",
+            F.col("run_start").cast("bigint").alias("run_start"),
+            F.col("run_len").cast("bigint").alias("run_len"),
+            "span_text",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L6 budgeted deterministic sampling at the alpha-mix targets ([EXT] —
 # the step AFTER temperature_scaled_mix: actually select the documents
 # that realize the alpha=1/2 token budget per source. Reproducibility
@@ -2687,6 +2807,138 @@ def incremental_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "known_fraction"
         ),
         (F.coalesce("n_cov", F.lit(0)) == F.col("n_tokens")).alias("fully_known"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1/S11 cross-snapshot ExactSubstr v2: the PERSISTED frozen gram
+# index ([EXT] — incremental_span_coverage proves the delta×index
+# join shape, but recomputes the base index inside the same plan; a
+# standing crawler pipeline freezes the index ON DISK and probes it
+# for every arriving batch. This marries the S11 snapshot protocol
+# (sources/io.py write_snapshot committed-marker versions, reference
+# analog: the daily partition landing in dags/weather_etl_pipeline.py)
+# to the gram grain:
+#   v1 = the base corpus's distinct (gh1, gh2) 8-gram index, written
+#        once as an immutable committed snapshot;
+#   probe = arriving delta documents join the index READ BACK FROM
+#        DISK (the plan cannot secretly re-derive it from base text —
+#        the scan is the v=1 parquet), per-batch cost O(delta grams);
+#   v2 = v1 ∪ the delta's distinct grams, landed as the next committed
+#        version — day N+1 probes day N's output, the index evolution
+#        step that makes this a standing pipeline rather than a query.
+# Output: per-delta-doc coverage (identical semantics to
+# incremental_span_coverage) plus the corpus-level index sizes before
+# and after evolution, so the oracle hash pins BOTH the probe results
+# and the evolution arithmetic. The 16-byte gram interning argument is
+# _span_grams'; the index snapshot is ~16 bytes/distinct gram — at
+# 1e13 corpus grams that's a bucketable ~100 TB-in/0.2 PB-index-out
+# artifact probed by gram-keyed join, never rebuilt.
+# ---------------------------------------------------------------------------
+
+_GRAM_SNAP_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' AS is_new
+  FROM documents
+),
+base_g AS (
+  SELECT DISTINCT array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE NOT is_new AND LEN(toks) >= {_SPAN_N}
+),
+new_occ AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE is_new AND LEN(toks) >= {_SPAN_N}
+),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.pos + k.k AS p
+  FROM new_occ o JOIN base_g USING (gram), UNNEST(range(0, {_SPAN_N})) k(k)
+),
+lens AS (
+  SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE is_new AND LEN(toks) > 0
+),
+cnt AS (
+  SELECT (SELECT COUNT(*) FROM base_g) AS n_base_grams,
+         (SELECT COUNT(*) FROM (
+            SELECT gram FROM base_g
+            UNION
+            SELECT DISTINCT gram FROM new_occ)) AS n_index_grams_after
+)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS known_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / l.n_tokens AS known_fraction,
+       CAST(x.n_base_grams AS BIGINT) AS n_base_grams,
+       CAST(x.n_index_grams_after AS BIGINT) AS n_index_grams_after
+FROM lens l
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id) c
+  USING (doc_id)
+CROSS JOIN cnt x
+"""
+
+
+@register("incremental_gram_index_snapshot", oracle=_GRAM_SNAP_ORACLE, tags=("L1", "S11"))
+def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.io import read_snapshot, write_snapshot
+
+    d = table(spark, sf_dir, "documents")
+    tok = tracked_persist(
+        d.select(
+            "doc_id",
+            textops.tokens("text").alias("toks"),
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "2").alias(
+                "is_new"
+            ),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="gram_index_snap_") + "/grams"
+    v1 = write_snapshot(
+        _span_grams(tok.filter(~F.col("is_new")), persist=False)
+        .select("gh1", "gh2")
+        .distinct(),
+        base,
+    )
+    frozen = read_snapshot(spark, base, version=v1)
+    # delta grams feed BOTH the probe and the v2 evolution — persist once
+    new_g = _span_grams(tok.filter(F.col("is_new")))
+    v2 = write_snapshot(
+        frozen.unionByName(new_g.select("gh1", "gh2")).distinct(), base
+    )
+    after = read_snapshot(spark, base, version=v2)
+    cov = (
+        new_g.join(frozen, ["gh1", "gh2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    lens = tok.filter(F.col("is_new") & (F.size("toks") > 0)).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    sizes = frozen.agg(F.count(F.lit(1)).cast("bigint").alias("n_base_grams")).crossJoin(
+        after.agg(F.count(F.lit(1)).cast("bigint").alias("n_index_grams_after"))
+    )
+    return (
+        lens.join(cov, "doc_id", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
+            (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+                "known_fraction"
+            ),
+            "n_base_grams",
+            "n_index_grams_after",
+        )
     )
 
 

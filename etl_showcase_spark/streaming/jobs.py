@@ -1573,7 +1573,14 @@ def stream_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame
                 # argmin with c1-asc tie-break == the batch struct-min
                 best = min(range(len(c1_ids)), key=lambda i: (dc[i], c1_ids[i]))
                 c1 = c1_ids[best]
-                FC, f_ids = FN[c1]
+                if c1 in FN:
+                    FC, f_ids = FN[c1]
+                else:
+                    # a coarse cell that kept only its COALESCE'd seed has
+                    # no fine seeds; for genuinely new vectors landing
+                    # there, treat the coarse centroid as the single fine
+                    # centroid (c2=0) instead of raising KeyError
+                    FC, f_ids = C[best : best + 1], [0]
                 df_ = xx - 2 * (FC @ x2) + (FC * FC).sum(axis=1)
                 fb = min(range(len(f_ids)), key=lambda i: (df_[i], f_ids[i]))
                 ids.append(int(vid))
