@@ -136,6 +136,53 @@ def band_join(
     return df.join(F.broadcast(bands), cond, "left")
 
 
+def assert_max_length(df: DataFrame, limits: dict[str, int]) -> DataFrame:
+    """VARCHAR(n) check-constraint as a relation (SURVEY §1.2; the
+    reference enforces column widths at DDL —
+    sql/create_weather_tables.sql:10,13,22,27,44,47 — and postgres
+    rejects oversized inserts; Spark's StringType is unbounded, so the
+    contract becomes a pre-load quality gate a pipeline raises on,
+    like the Q1/Q2 gates in pipeline.py).
+
+    One scan, one 1-row aggregate (a violation counter + max observed
+    length per constrained column), exploded to one audit row per
+    column — no per-column passes, no shuffle beyond the single
+    partial→final agg, so the gate costs the same at 100 TB as the
+    narrowest possible full-scan. NULLs satisfy any width, mirroring
+    SQL VARCHAR semantics. Returns
+    (col_name, declared_max, n_rows, n_violations, max_len, passed).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, n in limits.items():
+        aggs.append(F.count_if(F.length(F.col(c)) > n).alias(f"__viol_{c}"))
+        aggs.append(F.max(F.length(F.col(c))).alias(f"__max_{c}"))
+    row = df.agg(*aggs)
+    audits = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.lit(n).cast("int").alias("declared_max"),
+            F.col(f"__viol_{c}").cast("bigint").alias("n_violations"),
+            F.col(f"__max_{c}").cast("int").alias("max_len"),
+        )
+        for c, n in limits.items()
+    ]
+    return (
+        row.select(
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.explode(F.array(*audits)).alias("__a"),
+        )
+        .select(
+            F.col("__a.col_name").alias("col_name"),
+            F.col("__a.declared_max").alias("declared_max"),
+            "n_rows",
+            F.col("__a.n_violations").alias("n_violations"),
+            F.col("__a.max_len").alias("max_len"),
+            (F.col("__a.n_violations") == 0).alias("passed"),
+        )
+        .orderBy("col_name")
+    )
+
+
 def merge_upsert(target: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Keyed upsert: rows of `updates` win over rows of `target`.
 

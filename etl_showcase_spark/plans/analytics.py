@@ -771,25 +771,134 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# G10 sketch family beyond HLL: approx_percentile (GK sketch) and a
-# Datasketches HLL roundtrip (sketch_agg → estimate — the mergeable
-# form a 1000-executor rollup would persist). Sketch internals differ
-# per engine, so this is rows-only; tests/test_properties.py bounds the
-# HLL error against exact counts.
+# G10 sketch family beyond HLL, sketch-then-exact-refine spelling (the
+# frequent_terms_exact discipline applied to quantiles): sketch
+# internals differ per engine, but the sketch's DECISIONS are
+# deterministic and oracle-checkable.
+#   Pass 1 (full scan, mergeable map-side sketches): per returnflag, a
+#     GK quantile sketch (percentile_approx, accuracy A → rank error
+#     <= n/A) proposes VALUE WINDOWS [lo, hi] guaranteed to bracket the
+#     exact rank-k element for k = ceil(q·n), plus an HLL distinct
+#     estimate and the exact distinct count.
+#   Pass 2 (rank-bounded refinement): count elements below each window,
+#     then row_number only the ~8·n/A rows INSIDE the window and pick
+#     the element at local rank k - c_lt — the exact discrete quantile,
+#     computed without ever fully sorting a group. At 100 TB this is
+#     one sketch scan plus a second scan whose per-group sort touches
+#     a few dozen rows; a full per-group sort would shuffle everything.
+#   The HLL estimate is emitted as its deterministic decision — a
+#   within-5%-of-exact boolean (HLL lgK=12 RSE ~1.6%, so 5% ≈ 3σ; the
+#   hash is stable because Spark's HLL is deterministic for fixed
+#   data) — which DuckDB asserts as literal TRUE.
+# If a GK bound ever failed, the refinement would emit no row for that
+# group and the oracle row-count mismatch would flag it loudly.
 # ---------------------------------------------------------------------------
 
+_SKETCH_QUANT_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)
+         ) AS r,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+q AS (
+  SELECT l_returnflag,
+         MAX(n) AS n,
+         MAX(CASE WHEN r = (n + 1) // 2 THEN x END) AS median_price,
+         MAX(CASE WHEN r = (99 * n + 99) // 100 THEN x END) AS p99_price
+  FROM ranked GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT q.l_returnflag,
+       CAST(q.n AS BIGINT) AS n_rows,
+       q.median_price,
+       q.p99_price,
+       d.n_orders_exact,
+       TRUE AS hll_within_5pct
+FROM q JOIN d USING (l_returnflag)
+ORDER BY l_returnflag
+"""
 
-@register("sketch_quantiles_hll", oracle=None, tags=("G10",))
+
+@register("sketch_quantiles_hll", oracle=_SKETCH_QUANT_ORACLE, tags=("G10",))
 def sketch_quantiles_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    A = 10_000  # GK accuracy: rank error <= n/A (~6 rows/group at sf0.01)
+    eps4 = 4.0 / A  # 4x the guarantee band — a few dozen extra window rows
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("x"),
+        "l_orderkey",
+    )
+    pcts = F.array(
+        F.lit(max(0.0, 0.50 - eps4)),
+        F.lit(min(1.0, 0.50 + eps4)),
+        F.lit(max(0.0, 0.99 - eps4)),
+        F.lit(min(1.0, 0.99 + eps4)),
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("x", pcts, F.lit(A)).alias("b"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("hll_est"),
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    )
+    two = F.lit(2).cast("bigint")
+    hundred = F.lit(100).cast("bigint")
+    bounds = sk.select(
+        "l_returnflag",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("measure"),
+                    F.call_function("div", F.col("n") + 1, two).alias("k"),
+                    F.col("b")[0].alias("lo"),
+                    F.col("b")[1].alias("hi"),
+                ),
+                F.struct(
+                    F.lit("p99").alias("measure"),
+                    F.call_function("div", F.lit(99) * F.col("n") + 99, hundred).alias(
+                        "k"
+                    ),
+                    F.col("b")[2].alias("lo"),
+                    F.col("b")[3].alias("hi"),
+                ),
+            )
+        ).alias("mm"),
+    ).select("l_returnflag", "mm.*")
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    c_lt = j.groupBy("l_returnflag", "measure").agg(
+        F.sum((F.col("x") < F.col("lo")).cast("bigint")).alias("c_lt")
+    )
+    w = Window.partitionBy("l_returnflag", "measure").orderBy("x")
+    picked = (
+        j.filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(c_lt), ["l_returnflag", "measure"])
+        .filter(F.col("rn") == F.col("k") - F.col("c_lt"))
+        .select("l_returnflag", "measure", F.col("x").alias("v"))
+    )
+    vals = picked.groupBy("l_returnflag").pivot("measure", ["p50", "p99"]).agg(
+        F.first("v")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_percentile("l_quantity", F.lit(0.5)).alias("approx_median_qty"),
-            F.approx_percentile("l_quantity", F.lit(0.99)).alias("approx_p99_qty"),
-            F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
-                "approx_n_orders"
-            ),
+        sk.join(vals, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("p50").alias("median_price"),
+            F.col("p99").alias("p99_price"),
+            F.col("n_orders_exact").cast("bigint").alias("n_orders_exact"),
+            (
+                F.abs(F.col("hll_est") - F.col("n_orders_exact")) * 100
+                <= F.col("n_orders_exact") * 5
+            ).alias("hll_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

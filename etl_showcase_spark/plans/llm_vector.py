@@ -888,3 +888,150 @@ def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3/S11 tombstone-delete index maintenance ([EXT] — a serving ANN
+# index at 100 TB cannot rebuild on every deletion (GDPR erasure,
+# licensing takedowns, opt-outs): the standard discipline is a
+# tombstone set consulted at serve time, folded in at the next
+# compaction. Here the LSH posting index lands as an S11 committed
+# snapshot (sources/io.py write_snapshot), the deleted ids land as a
+# second snapshot, and the SERVING query reads BOTH back from disk —
+# the plan scans the v=1 posting parquet, it cannot secretly re-derive
+# postings from live embeddings — anti-joins the tombstones onto the
+# posting list, and answers top-k over the surviving candidates with
+# the same exact quantized-cosine scoring as ann_lsh_topk.
+#
+# Scale shape: the tombstone set is a bigint column anti-joined once
+# (broadcast when small, shuffle when not); candidates are bounded by
+# band collisions exactly as in ann_lsh_topk; no stage touches deleted
+# vectors after the anti-join. The oracle replays the posting math and
+# the deletion predicate declaratively, so the hash proves deleted ids
+# appear NOWHERE — not as queries, not as candidates.
+# ---------------------------------------------------------------------------
+
+_TOMB_MOD, _TOMB_RESIDUE = 7, 3
+
+
+def _tombstone_lsh_oracle() -> str:
+    postings = _lsh_posting_sql(_ANN_LSH_PLANES, _ND_DIM, _ANN_LSH_TABLES)
+    return f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+v AS (
+  SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings
+),
+n AS (
+  SELECT vec_id, qv, SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM v
+),
+posting AS (
+  {postings}
+),
+live AS (
+  SELECT * FROM posting WHERE vec_id % {_TOMB_MOD} <> {_TOMB_RESIDUE}
+),
+qpost AS (
+  SELECT p.vec_id, p.tbl, p.key FROM live p, s WHERE p.vec_id % s.stride = 0
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM qpost q
+  JOIN live c ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         CAST(list_dot_product(x.qv, y.qv) AS DOUBLE) / (x.nrm * y.nrm) AS cosine
+  FROM cand
+  JOIN n x ON cand.q_id = x.vec_id
+  JOIN n y ON cand.c_id = y.vec_id
+)
+SELECT q_id, c_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= 10
+"""
+
+
+@register(
+    "lsh_index_tombstone_delete", oracle=_tombstone_lsh_oracle(), tags=("L3", "S11")
+)
+def lsh_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.relational import topk_per_group
+    from ..operators.similarity import lsh_bucket_keys_gemm
+    from ..sources.io import read_snapshot, write_snapshot
+
+    e = table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="lsh_tomb_")
+    idx_base, tomb_base = base + "/postings", base + "/tombstones"
+    v_idx = write_snapshot(
+        e.select(
+            "vec_id",
+            F.posexplode(
+                lsh_bucket_keys_gemm(
+                    "embedding", _ANN_LSH_PLANES, _ND_DIM, _ANN_LSH_TABLES
+                )
+            ).alias("tbl", "key"),
+        ),
+        idx_base,
+    )
+    v_tomb = write_snapshot(
+        e.filter(F.col("vec_id") % _TOMB_MOD == _TOMB_RESIDUE).select("vec_id"),
+        tomb_base,
+    )
+    tombs = read_snapshot(spark, tomb_base, version=v_tomb)
+    # the serving index: disk postings minus tombstones, consumed by
+    # both the query side and the candidate side — persist once
+    live = tracked_persist(
+        read_snapshot(spark, idx_base, version=v_idx).join(
+            F.broadcast(tombs), "vec_id", "left_anti"
+        )
+    )
+    stride = e.agg(
+        F.greatest(
+            F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long")
+        ).alias("__stride")
+    )
+    q_post = (
+        live.crossJoin(F.broadcast(stride))
+        .filter(F.col("vec_id") % F.col("__stride") == 0)
+        .select(F.col("vec_id").alias("q_id"), "tbl", "key")
+    )
+    cand = (
+        live.join(F.broadcast(q_post), ["tbl", "key"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    n = e.select(
+        "vec_id", quantize(F.col("embedding")).alias("v")
+    ).withColumn("nrm", F.sqrt(int_dot(F.col("v"), F.col("v")).cast("double")))
+    scored = (
+        cand.join(n.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
+                           F.col("nrm").alias("c_nrm")), "c_id")
+        .join(
+            F.broadcast(
+                n.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                         F.col("nrm").alias("q_nrm"))
+                .join(q_post.select("q_id").distinct(), "q_id")
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "c_id",
+            (
+                int_dot(F.col("qv"), F.col("cv")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], 10,
+        rank_col="rnk",
+    )

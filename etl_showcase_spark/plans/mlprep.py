@@ -2943,6 +2943,349 @@ def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# L1/T6 progressive (ingest-order) span coverage ([EXT] — the fully
+# online form of the ExactSubstr family: no frozen base/delta split;
+# every document is scored against the corpus AS OF ITS OWN ARRIVAL.
+# A token position counts as known iff some 8-gram covering it was
+# INTRODUCED by a strictly earlier doc_id — exactly the "keep the
+# first occurrence" accounting an ingest-time ExactSubstr dedup would
+# charge each arriving document. incremental_span_coverage is the
+# two-set special case of this; the streaming twin
+# (streaming/jobs.py stream_progressive_coverage_state) folds the same
+# semantics with per-gram first-writer GroupState and must match this
+# frame bit-for-bit.
+#
+# Scale shape: one gram-keyed MIN agg (map-side combinable — the
+# "intro" index), one gram-keyed join back onto occurrences, the 8x
+# position explode, one distinct — the duplicate_span_coverage plan
+# with the nd>=2 filter swapped for a first-writer comparison; nothing
+# pairwise, nothing quadratic.
+# ---------------------------------------------------------------------------
+
+_PROGRESSIVE_SPAN_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SPAN_N}
+),
+intro AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN intro USING (gram), UNNEST(range(0, {_SPAN_N})) o(k)
+  WHERE g.doc_id > intro.first_doc
+),
+lens AS (SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE LEN(toks) > 0)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS known_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / l.n_tokens AS known_fraction,
+       COALESCE(c.n_cov, 0) = l.n_tokens AS fully_known
+FROM lens l
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id) c
+  USING (doc_id)
+"""
+
+
+@register("progressive_span_coverage", oracle=_PROGRESSIVE_SPAN_ORACLE, tags=("L1", "T6"))
+def progressive_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _span_tok(spark, sf_dir)
+    g = _span_grams(tok)  # persisted: feeds the intro index AND the cov join
+    intro = g.groupBy("gh1", "gh2").agg(F.min("doc_id").alias("first_doc"))
+    cov = (
+        g.join(intro, ["gh1", "gh2"])
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return lens.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
+        (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+            "known_fraction"
+        ),
+        (F.coalesce("n_cov", F.lit(0)) == F.col("n_tokens")).alias("fully_known"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 within-document self-repetition score ([EXT] — the progressive
+# coverage machinery restricted to SAME-doc earlier positions:
+# boilerplate / template detection inside a single document, the
+# "repetitive document" quality signal LLM curation pipelines gate on
+# (navigation chrome, scraped templates, degenerate generations). A
+# token position counts as self-repeated iff some trigram covering it
+# occurred EARLIER in the same document. n=3 (not the cross-doc
+# family's 8): within-doc repetition is short-range — 8-grams almost
+# never self-repeat in natural text, trigram chrome does.
+#
+# Scale shape: everything is keyed by (doc_id, gram) — the repetition
+# "index" never crosses documents, so the op is embarrassingly
+# document-parallel: one per-doc-gram MIN agg, one keyed join back,
+# the 3x explode, one distinct. Zero corpus-level state; runs on an
+# arriving document in isolation, which is why it belongs in an
+# ingest-time quality gate.
+# ---------------------------------------------------------------------------
+
+_SELFREP_N = 3
+
+_SELFREP_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SELFREP_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SELFREP_N - 2})) t(i)
+  WHERE LEN(toks) >= {_SELFREP_N}
+),
+intro AS (
+  SELECT doc_id, gram, MIN(pos) AS first_pos FROM g GROUP BY doc_id, gram
+),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.k AS p
+  FROM g JOIN intro USING (doc_id, gram), UNNEST(range(0, {_SELFREP_N})) o(k)
+  WHERE g.pos > intro.first_pos
+),
+lens AS (SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE LEN(toks) > 0)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_rep, 0) AS BIGINT) AS self_rep_tokens,
+       CAST(COALESCE(c.n_rep, 0) AS DOUBLE) / l.n_tokens AS self_rep_fraction,
+       COALESCE(c.n_rep, 0) > 0 AS has_repetition
+FROM lens l
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_rep FROM cov GROUP BY doc_id) c
+  USING (doc_id)
+"""
+
+
+@register("doc_self_repetition", oracle=_SELFREP_ORACLE, tags=("L4",))
+def doc_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _SELFREP_N
+    tok = _span_tok(spark, sf_dir)
+    g = (
+        tok.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice("toks", i, n), " ").alias("gram"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(
+            "doc_id",
+            F.col("pg.pos").alias("pos"),
+            F.xxhash64(F.col("pg.gram")).alias("gh1"),
+            F.xxhash64(F.lit("selfrep"), F.col("pg.gram")).alias("gh2"),
+        )
+    )
+    g = tracked_persist(g)  # feeds the intro agg AND the coverage join
+    intro = g.groupBy("doc_id", "gh1", "gh2").agg(F.min("pos").alias("first_pos"))
+    cov = (
+        g.join(intro, ["doc_id", "gh1", "gh2"])
+        .filter(F.col("pos") > F.col("first_pos"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rep"))
+    )
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    return lens.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_rep", F.lit(0)).cast("bigint").alias("self_rep_tokens"),
+        (F.coalesce("n_rep", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+            "self_rep_fraction"
+        ),
+        (F.coalesce("n_rep", F.lit(0)) > 0).alias("has_repetition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 sequence packing ([EXT] — the LAST step of a training-data
+# pipeline: the curated corpus, as a doc_id-ordered contiguous token
+# stream, chunked into fixed-length training rows ("packs") with
+# documents spanning pack boundaries — GPT-style packing. The emitted
+# manifest (per pack: contributing docs, token counts, carryover
+# flags) is exactly what a dataloader needs to materialize examples.
+#
+# Scale shape: the only global coordination is ONE distributed running
+# sum over the total doc order (operators/relational.py
+# with_global_running_sum — range-partition + broadcast prefix
+# offsets, never a single-reducer window); each doc then computes its
+# own pack span locally (pure integer arithmetic), explodes to at most
+# ceil(n/L)+1 pieces, and one pack-keyed agg builds the manifest. At
+# 100 TB the stream position is exact because token counts are
+# integers — no float accumulation anywhere.
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 512
+
+_PACKING_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(LEN({_SQL_TOKS}) AS BIGINT) AS n
+  FROM documents WHERE LEN({_SQL_TOKS}) > 0
+),
+cum AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS prev
+  FROM tok
+),
+pieces AS (
+  SELECT doc_id, n, prev, t.k AS pack_id,
+         LEAST((t.k + 1) * {_PACK_LEN}, prev + n)
+           - GREATEST(t.k * {_PACK_LEN}, prev) AS toks
+  FROM cum,
+       UNNEST(range(prev // {_PACK_LEN}, (prev + n - 1) // {_PACK_LEN} + 1)) t(k)
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(CASE WHEN prev < pack_id * {_PACK_LEN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_carryover_docs
+FROM pieces GROUP BY pack_id ORDER BY pack_id
+"""
+
+
+_PACKING_PIECES_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(LEN({_SQL_TOKS}) AS BIGINT) AS n
+  FROM documents WHERE LEN({_SQL_TOKS}) > 0
+),
+cum AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS prev
+  FROM tok
+)
+SELECT CAST(t.k AS BIGINT) AS pack_id,
+       doc_id,
+       CAST(GREATEST(t.k * {_PACK_LEN}, prev) - t.k * {_PACK_LEN} AS BIGINT)
+         AS start_offset,
+       CAST(GREATEST(t.k * {_PACK_LEN}, prev) - prev AS BIGINT) AS doc_offset,
+       CAST(LEAST((t.k + 1) * {_PACK_LEN}, prev + n)
+            - GREATEST(t.k * {_PACK_LEN}, prev) AS BIGINT) AS length
+FROM cum,
+     UNNEST(range(prev // {_PACK_LEN}, (prev + n - 1) // {_PACK_LEN} + 1)) t(k)
+ORDER BY pack_id, start_offset
+"""
+
+
+@register("sequence_packing_pieces", oracle=_PACKING_PIECES_ORACLE, tags=("L6",))
+def sequence_packing_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-level dataloader contract behind sequence_packing: one
+    row per (pack, document) piece with the piece's offset INSIDE the
+    pack (where the tokens land in the training row), its offset
+    inside the source document (where they come from), and its length
+    — exactly the manifest a loader needs to materialize packed
+    examples and reset attention masks at piece boundaries. Same
+    single distributed running sum + local integer arithmetic as the
+    rollup; the output is ~(total_tokens / {_PACK_LEN} + n_docs) rows.
+    """
+    from ..operators.relational import with_global_running_sum
+
+    L = F.lit(_PACK_LEN).cast("bigint")
+    tok = _span_tok(spark, sf_dir)
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n"))
+    cum = with_global_running_sum(lens, [F.col("doc_id").asc()], "n", "cum")
+    prev = cum.withColumn("prev", F.col("cum") - F.col("n"))
+    pk = F.col("pack_id") * L
+    return (
+        prev.select(
+            "doc_id",
+            "n",
+            "prev",
+            F.explode(
+                F.sequence(
+                    F.call_function("div", F.col("prev"), L),
+                    F.call_function("div", F.col("prev") + F.col("n") - 1, L),
+                )
+            ).alias("pack_id"),
+        )
+        .select(
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            "doc_id",
+            (F.greatest(pk, F.col("prev")) - pk).cast("bigint").alias("start_offset"),
+            (F.greatest(pk, F.col("prev")) - F.col("prev"))
+            .cast("bigint")
+            .alias("doc_offset"),
+            (
+                F.least((F.col("pack_id") + 1) * L, F.col("prev") + F.col("n"))
+                - F.greatest(pk, F.col("prev"))
+            )
+            .cast("bigint")
+            .alias("length"),
+        )
+        .orderBy("pack_id", "start_offset")
+    )
+
+
+@register("sequence_packing", oracle=_PACKING_ORACLE, tags=("L6",))
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_running_sum
+
+    L = F.lit(_PACK_LEN).cast("bigint")
+    tok = _span_tok(spark, sf_dir)
+    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n"))
+    cum = with_global_running_sum(lens, [F.col("doc_id").asc()], "n", "cum")
+    prev = cum.withColumn("prev", F.col("cum") - F.col("n"))
+    pieces = (
+        prev.select(
+            "doc_id",
+            "n",
+            "prev",
+            F.explode(
+                F.sequence(
+                    F.call_function("div", F.col("prev"), L),
+                    F.call_function("div", F.col("prev") + F.col("n") - 1, L),
+                )
+            ).alias("pack_id"),
+        )
+        .withColumn(
+            "toks",
+            F.least((F.col("pack_id") + 1) * L, F.col("prev") + F.col("n"))
+            - F.greatest(F.col("pack_id") * L, F.col("prev")),
+        )
+    )
+    return (
+        pieces.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum((F.col("prev") < F.col("pack_id") * L).cast("bigint")).alias(
+                "n_carryover_docs"
+            ),
+        )
+        .select(
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+            "n_carryover_docs",
+        )
+        .orderBy("pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L1/L6 post-dedup corpus report ([EXT] — the acceptance artifact a
 # data owner signs off after an ExactSubstr pass: per source, how many
 # documents survive, how much token mass was excised, and a

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.numeric import davg, dec2, sql_davg
-from ..operators.relational import merge_upsert, seed_insert
+from ..operators.relational import assert_max_length, merge_upsert, seed_insert
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -141,6 +141,78 @@ def quality_validate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1))
             == F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
         ).alias("key_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1 VARCHAR(n) check-constraint gate (SURVEY §1.2's promised optional
+# check-constraint op; reference declares widths at DDL —
+# sql/create_weather_tables.sql:10,13,22,27,44,47 — and relies on
+# postgres to reject oversized inserts). The contract audited here is
+# the declared width for orders.o_orderstatus / documents.lang /
+# documents.source plus a deliberately narrower PROPOSED width for
+# o_orderpriority (8 < the actual 15), so the violation-counting path
+# is exercised, not just the all-green path.
+# ---------------------------------------------------------------------------
+
+_VARCHAR_ORACLE = """
+WITH o AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE LEN(o_orderstatus) > 1) AS v_status,
+         MAX(LEN(o_orderstatus)) AS m_status,
+         COUNT(*) FILTER (WHERE LEN(o_orderpriority) > 8) AS v_prio,
+         MAX(LEN(o_orderpriority)) AS m_prio
+  FROM orders
+),
+d AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE LEN(lang) > 2) AS v_lang,
+         MAX(LEN(lang)) AS m_lang,
+         COUNT(*) FILTER (WHERE LEN(source) > 8) AS v_src,
+         MAX(LEN(source)) AS m_src
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'orders' AS table_name, 'o_orderstatus' AS col_name,
+         1 AS declared_max, n_rows, v_status AS n_violations,
+         CAST(m_status AS INT) AS max_len, v_status = 0 AS passed FROM o
+  UNION ALL
+  SELECT 'orders', 'o_orderpriority', 8, n_rows, v_prio,
+         CAST(m_prio AS INT), v_prio = 0 FROM o
+  UNION ALL
+  SELECT 'documents', 'lang', 2, n_rows, v_lang,
+         CAST(m_lang AS INT), v_lang = 0 FROM d
+  UNION ALL
+  SELECT 'documents', 'source', 8, n_rows, v_src,
+         CAST(m_src AS INT), v_src = 0 FROM d
+)
+ORDER BY table_name, col_name
+"""
+
+
+@register("quality_varchar_contract", oracle=_VARCHAR_ORACLE, tags=("Q1",))
+def quality_varchar_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_audit = assert_max_length(
+        table(spark, sf_dir, "orders"),
+        {"o_orderstatus": 1, "o_orderpriority": 8},
+    ).withColumn("table_name", F.lit("orders"))
+    d_audit = assert_max_length(
+        table(spark, sf_dir, "documents"),
+        {"lang": 2, "source": 8},
+    ).withColumn("table_name", F.lit("documents"))
+    cols = [
+        "table_name",
+        "col_name",
+        "declared_max",
+        "n_rows",
+        "n_violations",
+        "max_len",
+        "passed",
+    ]
+    return (
+        o_audit.select(*cols)
+        .unionAll(d_audit.select(*cols))
+        .orderBy("table_name", "col_name")
     )
 
 

@@ -1629,3 +1629,92 @@ def stream_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return log.join(latest, ["c1", "c2", "n_vecs"]).select(
         "c1", "c2", "n_vecs", "sum_d2"
     )
+
+
+def stream_progressive_coverage_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming progressive span coverage: twin of the batch
+    ``progressive_span_coverage`` query (plans/mlprep.py). Documents
+    arrive doc_id-ordered; each is tokenized and exploded into 8-gram
+    occurrences with the SAME JVM expressions as the batch query
+    (_span_grams works unchanged on a streaming frame), and per-GRAM
+    GroupState holds the gram's first writer. An occurrence is emitted
+    once with its final verdict — ``known`` iff a strictly earlier
+    doc_id introduced the gram. Under ordered arrival the introducer
+    reaches every gram key before any later document, so a verdict
+    never changes after emission (append mode is exact).
+
+    This completes the incremental-op/streaming-twin pattern at the
+    gram grain (the span sibling of stream_banded_dedup_state): state
+    is one long per distinct gram — the streaming materialization of
+    the gram index incremental_gram_index_snapshot freezes to disk —
+    and the stream never sees a pair join. The emission log aggregates
+    to the batch frame bit-for-bit (tests/test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..plans.mlprep import _SPAN_N, _span_grams
+
+    docs = documents_replay_stream(spark, sf_dir)
+    tok = docs.select("doc_id", textops.tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    g = _span_grams(tok, persist=False)
+
+    def first_writer_cov(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        first = int(state.get[0]) if state.exists else None
+        cols = ["doc_id", "pos"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        df = df.sort_values(cols)
+        ids = [int(x) for x in df["doc_id"]]
+        if first is None:
+            first = ids[0]
+        state.update((int(first),))
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "pos": [int(x) for x in df["pos"]],
+                "known": [i > first for i in ids],
+            }
+        )
+
+    out = g.groupBy("gh1", "gh2").applyInPandasWithState(
+        first_writer_cov,
+        outputStructType="doc_id long, pos int, known boolean",
+        stateStructType="first_doc long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # at-least-once log; verdicts are deterministic per occurrence
+    # under ordered arrival, so distinct() makes consumers idempotent
+    emitted = _drain_replay_union(out, "stream_progressive_cov", mode="append").distinct()
+    cov = (
+        emitted.filter(F.col("known"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    lens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", textops.tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+    )
+    return lens.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
+        (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+            "known_fraction"
+        ),
+        (F.coalesce("n_cov", F.lit(0)) == F.col("n_tokens")).alias("fully_known"),
+    )

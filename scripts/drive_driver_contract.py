@@ -1,6 +1,9 @@
 """Simulate the driver's verify: plain SparkSession (driver's own, untuned),
 import __spark_entry__, smoke entry(), run every queries() entry at sf0.01
-(override with SPARK_GRAFT_SF_DIR), compare with oracle_sql() via DuckDB."""
+(override with SPARK_GRAFT_SF_DIR), compare with oracle_sql() via DuckDB.
+
+Positional args restrict the sweep to the named queries (targeted
+re-verification after editing a handful); no args = the full registry."""
 import os
 import sys
 sys.path.insert(0, "/root/repo")
@@ -27,8 +30,14 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
+only = set(sys.argv[1:])
+unknown = only - set(qs)
+assert not unknown, f"unknown query names: {sorted(unknown)}"
+
 fails = 0
 for name, fn in sorted(qs.items()):
+    if only and name not in only:
+        continue
     try:
         actual = fn(spark, SF_DIR).toPandas()
         if name in osql:

@@ -33,29 +33,6 @@ def test_oracle_parity(spark, duck, name):
 # ---------------------------------------------------------------------------
 
 
-def _inv_sketch_quantiles_hll(spark, pdf):
-    # approx sketches must land near the EXACT twin computed in-Spark
-    from pyspark.sql import functions as F
-
-    from etl_showcase_spark.catalog import table
-
-    exact = (
-        table(spark, SF_ORACLE, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_quantity, 0.5)").alias("exact_median"),
-            F.countDistinct("l_orderkey").alias("exact_n_orders"),
-        )
-        .toPandas()
-        .set_index("l_returnflag")
-    )
-    got = pdf.set_index("l_returnflag")
-    for flag in exact.index:
-        em, en = exact.loc[flag, "exact_median"], exact.loc[flag, "exact_n_orders"]
-        assert abs(got.loc[flag, "approx_median_qty"] - em) <= 0.10 * em + 1
-        assert abs(got.loc[flag, "approx_n_orders"] - en) <= 0.05 * en + 1
-
-
 def _inv_ann_ivf_topk(spark, pdf):
     # recall@10 vs the exact GEMM top-k on the same strided query set
     exact = SPECS["ann_cosine_topk"].build(spark, SF_ORACLE).toPandas()
@@ -219,7 +196,6 @@ def test_embedding_clusters_match_pair_union_find(spark):
 
 
 INVARIANTS = {
-    "sketch_quantiles_hll": _inv_sketch_quantiles_hll,
     "ann_ivf_topk": _inv_ann_ivf_topk,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
     "simhash_neardup": _inv_simhash_neardup,

@@ -181,3 +181,130 @@ def test_dynamic_partition_pruning_injected(spark):
     from .conftest import SF_ORACLE
 
     assert probe_dynamic_partition_pruning(spark, SF_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression gate for the headline bench set. The plan
+# gallery (PLANS_r*.md) is generated but nothing ASSERTED shape until
+# now — a future edit could silently turn a broadcast dim join into a
+# shuffle, or block pushdown behind an opaque UDF, and only the bench
+# would notice. Contracts are scale-tolerant (AQE/size stats convert
+# SMJ<->BHJ across SFs), so they pin what must be true at EVERY scale:
+# filters reach the scan, dim joins broadcast, nothing goes cartesian,
+# nothing drops to row-at-a-time Python.
+# ---------------------------------------------------------------------------
+
+# per-query required/forbidden plan fragments (regex, matched against
+# the physical plan string)
+PLAN_CONTRACTS = {
+    "q1_pricing_summary": {
+        "require": [r"PushedFilters: \[[^\]]*l_shipdate"],
+        "forbid": [r"ReadSchema: struct<[^>\n]*l_comment"],
+    },
+    "q3_shipping_priority": {
+        "require": [
+            r"BroadcastHashJoin",
+            r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment",
+            r"PushedFilters: \[[^\]]*l_shipdate",
+        ],
+        "forbid": [],
+    },
+    "q5_local_supplier_volume": {
+        "require": [r"BroadcastHashJoin", r"PushedFilters: \[[^\]]*o_orderdate"],
+        "forbid": [],
+    },
+    "q6_revenue_change": {
+        "require": [r"PushedFilters: \[[^\]]*l_shipdate"],
+        "forbid": [r"ReadSchema: struct<[^>\n]*l_comment"],
+    },
+    "join_fact_revenue": {
+        # the orderkey equi-join must survive as a hash-based join
+        # (SMJ at scale, BHJ when stats allow) — never nested-loop
+        "require": [r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)"],
+        "forbid": [r"BroadcastNestedLoopJoin"],
+    },
+    "weather_pipeline_recast": {
+        # unfiltered full-scan recast by design — pin column pruning
+        "require": [],
+        "forbid": [r"ReadSchema: struct<[^>\n]*l_comment"],
+    },
+    "tumbling_daily_by_type": {
+        "require": [r"PushedFilters: \[[^\]]*ts"],
+        "forbid": [r"ReadSchema: struct<[^>\n]*payload"],
+    },
+    "text_quality_stats": {"require": [], "forbid": []},
+    "minhash_lsh_neardup": {"require": [], "forbid": []},
+    "ann_cosine_topk": {"require": [], "forbid": []},
+    "ann_lsh_topk": {"require": [], "forbid": []},
+}
+
+# every bench plan, no exceptions: no cartesian blowup, no
+# row-at-a-time Python in the hot path
+_GLOBAL_FORBID = [r"CartesianProduct", r"BatchEvalPython"]
+
+
+def bench_plan_violations(name: str, plan: str) -> list[str]:
+    import re as _re
+
+    contract = PLAN_CONTRACTS[name]
+    out = []
+    for pat in contract["require"]:
+        if not _re.search(pat, plan):
+            out.append(f"missing required fragment {pat!r}")
+    for pat in list(contract["forbid"]) + _GLOBAL_FORBID:
+        if _re.search(pat, plan):
+            out.append(f"forbidden fragment {pat!r} present")
+    return out
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bench_contract_covers_whole_bench_set():
+    from etl_showcase_spark.registry import bench_specs
+
+    assert set(PLAN_CONTRACTS) == set(bench_specs()), (
+        "bench set changed — update PLAN_CONTRACTS"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(PLAN_CONTRACTS))
+def test_bench_plan_contract(spark, name):
+    from etl_showcase_spark.registry import bench_specs
+
+    from .conftest import SF_ORACLE
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df = bench_specs()[name].build(spark, SF_ORACLE)
+    violations = bench_plan_violations(name, _physical_plan(df))
+    assert not violations, f"{name}: {violations}"
+
+
+def test_bench_plan_contract_flags_broken_plans(spark):
+    # red-team the gate itself: a deliberately regressed spelling of
+    # join_fact_revenue (cross join + opaque Python-lambda filter) must
+    # trip the checker — proving the gate can actually go red
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    from .conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").limit(100)
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").limit(100)
+    opaque = F.udf(lambda x: x is not None, BooleanType())
+    broken = li.crossJoin(o.select(F.col("o_orderkey").alias("ok2"))).filter(
+        opaque(F.col("l_orderkey"))
+    )
+    # small inputs would broadcast the cross join — disable so the
+    # regressed plan is the true CartesianProduct a big edit would hit
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        violations = bench_plan_violations(
+            "join_fact_revenue", _physical_plan(broken)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    assert any("CartesianProduct" in v for v in violations)
+    assert any("BatchEvalPython" in v for v in violations)

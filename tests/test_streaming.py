@@ -602,12 +602,15 @@ def test_rocksdb_state_store_matches_default_provider(spark):
     # stream_ivf_ann_state carries ARRAY-typed state (top-k id/cosine
     # lists) and stream_two_level_assign_state integer-fold state
     # behind a frozen broadcast index — the round-8 stateful shapes
+    # stream_progressive_coverage_state (round 9) has the largest key
+    # space of all — one state row per distinct 8-gram
     for job in (
         jobs.stream_tumbling_daily,
         jobs.stream_session_windows,
         jobs.stream_banded_dedup_state,
         jobs.stream_ivf_ann_state,
         jobs.stream_two_level_assign_state,
+        jobs.stream_progressive_coverage_state,
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -719,4 +722,18 @@ def test_stateful_two_level_assign_matches_batch(spark):
         .toPandas()
     )
     assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_progressive_coverage_matches_batch(spark):
+    # per-GRAM GroupState first-writer fold under doc_id-ordered replay
+    # == the batch MIN(doc_id)-per-gram frame: every document's known
+    # token count, fraction, and fully_known verdict are bit-identical
+    from etl_showcase_spark.plans.mlprep import progressive_span_coverage
+
+    streamed = jobs.stream_progressive_coverage_state(spark, SF_SMOKE).toPandas()
+    batch = progressive_span_coverage(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    # the corpus must actually exercise the operator: someone repeats
+    assert (batch["known_tokens"] > 0).any()
     assert not compare_frames(streamed, batch)
