@@ -956,13 +956,15 @@ WHERE rnk <= 10
 """
 
 
-@register(
-    "lsh_index_tombstone_delete", oracle=_tombstone_lsh_oracle(), tags=("L3", "S11")
-)
-def lsh_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _write_posting_and_tombstone_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, str]:
+    """Land the LSH posting index and the deleted-id set as committed
+    disk snapshots; return both READ BACK from their v=1 parquet plus
+    the posting snapshot's base path — the shared index-build step of
+    the tombstone-serve and compaction-equality queries."""
     import tempfile
 
-    from ..operators.relational import topk_per_group
     from ..operators.similarity import lsh_bucket_keys_gemm
     from ..sources.io import read_snapshot, write_snapshot
 
@@ -984,14 +986,25 @@ def lsh_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % _TOMB_MOD == _TOMB_RESIDUE).select("vec_id"),
         tomb_base,
     )
-    tombs = read_snapshot(spark, tomb_base, version=v_tomb)
-    # the serving index: disk postings minus tombstones, consumed by
-    # both the query side and the candidate side — persist once
-    live = tracked_persist(
-        read_snapshot(spark, idx_base, version=v_idx).join(
-            F.broadcast(tombs), "vec_id", "left_anti"
-        )
+    return (
+        read_snapshot(spark, idx_base, version=v_idx),
+        read_snapshot(spark, tomb_base, version=v_tomb),
+        idx_base,
     )
+
+
+def _serve_lsh_topk(
+    spark: SparkSession, sf_dir: str, live: DataFrame, k: int = 10
+) -> DataFrame:
+    """Answer the strided query panel's top-k from an already-filtered
+    ("live") posting frame: posting self-join within (tbl, key), exact
+    quantized-cosine scoring against the embeddings table, per-query
+    WindowGroupLimit. Candidates are bounded by band collisions; only
+    ids cross the dedup shuffle."""
+    from ..operators.relational import topk_per_group
+
+    e = table(spark, sf_dir, "embeddings")
+    live = tracked_persist(live)  # query side + candidate side
     stride = e.agg(
         F.greatest(
             F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long")
@@ -1032,6 +1045,52 @@ def lsh_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topk_per_group(
-        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], 10,
+        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k,
         rank_col="rnk",
     )
+
+
+@register(
+    "lsh_index_tombstone_delete", oracle=_tombstone_lsh_oracle(), tags=("L3", "S11")
+)
+def lsh_index_tombstone_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings, tombs, _ = _write_posting_and_tombstone_snapshots(spark, sf_dir)
+    # filter-at-serve: disk postings minus tombstones, per request
+    return _serve_lsh_topk(
+        spark, sf_dir, postings.join(F.broadcast(tombs), "vec_id", "left_anti")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3/S11 compaction folds the tombstones in ([EXT] — the maintenance
+# half of tombstone deletion: after enough deletes accrue, a compactor
+# rewrites the posting index with the tombstoned rows REMOVED and
+# lands it as the next committed version; serving then reads the
+# compacted snapshot with no anti-join at all. This query executes
+# that fold (anti-join materialized once, landed sorted by (tbl, key)
+# so per-file min/max stats prune bucket probes) and serves top-k from
+# the COMPACTED v=2 parquet. Its oracle is the same declarative replay
+# as lsh_index_tombstone_delete — identical output is the point: the
+# hash proves fold-at-compaction ≡ filter-at-serve, the invariant that
+# lets a 100 TB index defer compaction freely.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lsh_index_compaction_equality",
+    oracle=_tombstone_lsh_oracle(),
+    tags=("L3", "S11"),
+)
+def lsh_index_compaction_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import read_snapshot, snapshot_versions, write_snapshot
+
+    postings, tombs, idx_base = _write_posting_and_tombstone_snapshots(spark, sf_dir)
+    folded = (
+        postings.join(F.broadcast(tombs), "vec_id", "left_anti")
+        .repartitionByRange(8, "tbl", "key")
+        .sortWithinPartitions("tbl", "key")
+    )
+    v2 = write_snapshot(folded, idx_base)
+    assert snapshot_versions(idx_base)[-1] == v2
+    # serve from the compacted version: NO tombstone logic anywhere
+    return _serve_lsh_topk(spark, sf_dir, read_snapshot(spark, idx_base, version=v2))

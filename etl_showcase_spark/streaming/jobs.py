@@ -1718,3 +1718,72 @@ def stream_progressive_coverage_state(spark: SparkSession, sf_dir: str) -> DataF
         ),
         (F.coalesce("n_cov", F.lit(0)) == F.col("n_tokens")).alias("fully_known"),
     )
+
+
+def stream_sequence_packing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: twin of the batch
+    ``sequence_packing_pieces`` query (plans/mlprep.py). Documents
+    arrive doc_id-ordered; a SINGLE GroupState cell holds the stream's
+    token position, and each arriving document emits its (pack, piece)
+    rows with the same integer arithmetic as the batch query. Pack
+    assignment over one token stream is inherently sequential — the
+    single-key fold IS the semantics (production shards the corpus and
+    packs per shard; this is one shard's tail). Emission verdicts
+    never change (the position is a pure left fold over doc order), so
+    append mode is exact and the drained log must equal the batch
+    pieces table bit-for-bit (tests/test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..plans.mlprep import _PACK_LEN
+
+    docs = documents_replay_stream(spark, sf_dir)
+    lens = (
+        docs.select(
+            "doc_id", F.size(textops.tokens("text")).cast("bigint").alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("__g", F.lit(0))
+    )
+    L = _PACK_LEN
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        cum = int(state.get[0]) if state.exists else 0
+        cols = ["doc_id", "n"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        df = df.sort_values("doc_id")
+        out = {"pack_id": [], "doc_id": [], "start_offset": [],
+               "doc_offset": [], "length": []}
+        for doc, n in zip(df["doc_id"], df["n"]):
+            prev, n = cum, int(n)
+            for k in range(prev // L, (prev + n - 1) // L + 1):
+                lo, hi = max(k * L, prev), min((k + 1) * L, prev + n)
+                out["pack_id"].append(k)
+                out["doc_id"].append(int(doc))
+                out["start_offset"].append(lo - k * L)
+                out["doc_offset"].append(lo - prev)
+                out["length"].append(hi - lo)
+            cum = prev + n
+        state.update((cum,))
+        yield pd.DataFrame(out)
+
+    out = lens.groupBy("__g").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "pack_id long, doc_id long, start_offset long, "
+            "doc_offset long, length long"
+        ),
+        stateStructType="cum bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # pieces are unique per (doc_id, pack_id) and verdict-stable, so
+    # distinct() makes the at-least-once log replay-idempotent
+    emitted = _drain_replay_union(out, "stream_seq_packing", mode="append").distinct()
+    return emitted.orderBy("pack_id", "start_offset")

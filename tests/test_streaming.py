@@ -611,6 +611,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_ivf_ann_state,
         jobs.stream_two_level_assign_state,
         jobs.stream_progressive_coverage_state,
+        jobs.stream_sequence_packing_state,
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -736,4 +737,16 @@ def test_stateful_progressive_coverage_matches_batch(spark):
     assert len(streamed) > 0
     # the corpus must actually exercise the operator: someone repeats
     assert (batch["known_tokens"] > 0).any()
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_sequence_packing_matches_batch(spark):
+    # the single-cell stream-position fold under doc_id-ordered replay
+    # == the batch distributed running sum: every (pack, piece) row —
+    # offsets inside the pack AND inside the document — bit-identical
+    from etl_showcase_spark.plans.mlprep import sequence_packing_pieces
+
+    streamed = jobs.stream_sequence_packing_state(spark, SF_SMOKE).toPandas()
+    batch = sequence_packing_pieces(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
