@@ -784,8 +784,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     then row_number only the ~8·n/A rows INSIDE the window and pick
 #     the element at local rank k - c_lt — the exact discrete quantile,
 #     computed without ever fully sorting a group. At 100 TB this is
-#     one sketch scan plus a second scan whose per-group sort touches
-#     a few dozen rows; a full per-group sort would shuffle everything.
+#     the sketch scan plus two cheap passes (a counting aggregate and
+#     the window over the sketch-bounded candidates — a few dozen rows
+#     per group); a full per-group sort would shuffle everything. The
+#     3-row sketch aggregate is persisted so its scan runs once, not
+#     once per consumer.
 #   The HLL estimate is emitted as its deterministic decision — a
 #   within-5%-of-exact boolean (HLL lgK=12 RSE ~1.6%, so 5% ≈ 3σ; the
 #   hash is stable because Spark's HLL is deterministic for fixed
@@ -843,11 +846,17 @@ def sketch_quantiles_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(max(0.0, 0.99 - eps4)),
         F.lit(min(1.0, 0.99 + eps4)),
     )
-    sk = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("x", pcts, F.lit(A)).alias("b"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("hll_est"),
-        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+    from ..caching import tracked_persist
+
+    # 3 rows, but its subtree is the full sketch scan — persist so the
+    # bounds branch and the final join don't each re-run it
+    sk = tracked_persist(
+        li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile_approx("x", pcts, F.lit(A)).alias("b"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("hll_est"),
+            F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        )
     )
     two = F.lit(2).cast("bigint")
     hundred = F.lit(100).cast("bigint")

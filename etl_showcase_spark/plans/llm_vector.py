@@ -66,18 +66,23 @@ WHERE rnk <= 10
 """
 
 
-def _strided_queries(e: DataFrame) -> DataFrame:
-    """Every stride-th vector, stride = max(50, n/100): a query set
-    bounded at ~100 rows however large the corpus grows. The stride is
-    a broadcast 1-row aggregate folded into the plan — no driver-side
-    count() job at build time, and the whole query stays lazy."""
-    stride = e.agg(
+def _stride_frame(e: DataFrame) -> DataFrame:
+    """The 1-row stride aggregate max(50, n/100) — THE definition of
+    the bounded query panel, spelled once (its SQL twin lives in the
+    oracles' `s` CTE). Broadcast and folded into plans lazily — no
+    driver-side count() job at build time."""
+    return e.agg(
         F.greatest(
             F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long")
         ).alias("__stride")
     )
+
+
+def _strided_queries(e: DataFrame) -> DataFrame:
+    """Every stride-th vector: a query set bounded at ~100 rows however
+    large the corpus grows."""
     return (
-        e.crossJoin(F.broadcast(stride))
+        e.crossJoin(F.broadcast(_stride_frame(e)))
         .filter(F.col("vec_id") % F.col("__stride") == 0)
         .drop("__stride")
     )
@@ -1005,13 +1010,8 @@ def _serve_lsh_topk(
 
     e = table(spark, sf_dir, "embeddings")
     live = tracked_persist(live)  # query side + candidate side
-    stride = e.agg(
-        F.greatest(
-            F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long")
-        ).alias("__stride")
-    )
     q_post = (
-        live.crossJoin(F.broadcast(stride))
+        live.crossJoin(F.broadcast(_stride_frame(e)))
         .filter(F.col("vec_id") % F.col("__stride") == 0)
         .select(F.col("vec_id").alias("q_id"), "tbl", "key")
     )

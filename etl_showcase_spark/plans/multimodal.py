@@ -511,7 +511,10 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature contributes at most DF_MAX² pairs and the pair space is
 # O(n_sigs · DF_MAX²), never all-pairs. All-integer signatures → the
 # whole pipeline (decode, resize, tile hash, df cap, pair overlap)
-# replays in SQL and every pair hash-checks.
+# replays in SQL and every pair hash-checks. The reused CTEs are
+# MATERIALIZED: DuckDB inlines plain CTEs per consumer, and the
+# twice-consumed keep/nsig subtrees re-expand the whole decode
+# pipeline combinatorially at sf0.1 (OOM) without it.
 # ---------------------------------------------------------------------------
 
 _PATCH_ND_DF_MAX = 20  # signatures on more images than this are boilerplate
@@ -559,14 +562,14 @@ sigp AS (
            '') AS psig
   FROM tiles
 ),
-sigs AS (SELECT DISTINCT doc_id, psig FROM sigp),
+sigs AS MATERIALIZED (SELECT DISTINCT doc_id, psig FROM sigp),
 dfreq AS (
   SELECT psig FROM sigs GROUP BY psig
   HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_PATCH_ND_DF_MAX}
 ),
-keep AS (SELECT s.doc_id, s.psig FROM sigs s JOIN dfreq USING (psig)),
-nsig AS (SELECT doc_id, COUNT(*) AS n_sigs FROM sigs GROUP BY doc_id),
-pairs AS (
+keep AS MATERIALIZED (SELECT s.doc_id, s.psig FROM sigs s JOIN dfreq USING (psig)),
+nsig AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sigs FROM sigs GROUP BY doc_id),
+pairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          COUNT(*) AS n_shared
   FROM keep a JOIN keep b ON a.psig = b.psig AND a.doc_id < b.doc_id

@@ -6,7 +6,7 @@ Positional args restrict the sweep to the named queries (targeted
 re-verification after editing a handful); no args = the full registry."""
 import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 import duckdb
 from etl_showcase_spark.caching import release_all
@@ -26,9 +26,18 @@ print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 assert len(rows) > 0
 
 qs, osql = ent.queries(), ent.oracle_sql()
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+def fresh_duck():
+    # spill instead of OOM on the big-SF spot-checks; a fresh
+    # connection is also the recovery path after any oracle error
+    # (DuckDB can wedge its allocator after an OOM)
+    c = duckdb.connect()
+    c.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+con = fresh_duck()
 
 only = set(sys.argv[1:])
 unknown = only - set(qs)
@@ -51,5 +60,10 @@ for name, fn in sorted(qs.items()):
     except Exception as e:
         fails += 1
         print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+        try:
+            con.close()
+        except Exception:
+            pass
+        con = fresh_duck()  # don't let one wedged oracle poison the rest
     release_all()
 print("RESULT:", "ALL-MATCH" if fails == 0 else f"{fails} FAILURES")

@@ -23,6 +23,9 @@ def test_oracle_parity(spark, duck, name):
     expected = duck.execute(spec.oracle).fetchdf()
     problems = compare_frames(actual, expected)
     assert not problems, f"{name}: " + "; ".join(problems)
+    # a zero-row MATCH proves nothing — every registered query must
+    # exercise real data at the driver's correctness scale
+    assert len(actual) > 0, f"{name} returned 0 rows — vacuous MATCH"
 
 
 # ---------------------------------------------------------------------------
