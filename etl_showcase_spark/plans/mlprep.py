@@ -3235,13 +3235,14 @@ def sequence_packing_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sequence_packing", oracle=_PACKING_ORACLE, tags=("L6",))
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pack_manifest(lens: DataFrame) -> DataFrame:
+    """The fixed-L pack manifest over a (doc_id, n) token-length frame
+    — shared by sequence_packing (raw corpus) and packed_clean_corpus
+    (post-ExactSubstr corpus). One distributed running sum, local
+    integer pack-span arithmetic, one pack-keyed agg."""
     from ..operators.relational import with_global_running_sum
 
     L = F.lit(_PACK_LEN).cast("bigint")
-    tok = _span_tok(spark, sf_dir)
-    lens = tok.select("doc_id", F.size("toks").cast("bigint").alias("n"))
     cum = with_global_running_sum(lens, [F.col("doc_id").asc()], "n", "cum")
     prev = cum.withColumn("prev", F.col("cum") - F.col("n"))
     pieces = (
@@ -3282,6 +3283,66 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_carryover_docs",
         )
         .orderBy("pack_id")
+    )
+
+
+@register("sequence_packing", oracle=_PACKING_ORACLE, tags=("L6",))
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _span_tok(spark, sf_dir)
+    return _pack_manifest(
+        tok.select("doc_id", F.size("toks").cast("bigint").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1/L6 the pipeline END TO END: pack the CLEANED corpus ([EXT] — what
+# a training run actually consumes is neither the raw corpus nor the
+# removal report but the packed stream of SURVIVING tokens. This
+# composes ExactSubstr maximal-run removal with sequence packing in
+# one oracle-checked query: per-doc kept-token counts from the full
+# tokenize → coverage → islands → removal chain feed the same fixed-L
+# manifest as sequence_packing, so the oracle hash pins the ENTIRE
+# dedup→pack pipeline (the dedup_impact_report discipline applied to
+# the final deliverable). Docs whose every token was excised drop out
+# of the stream — pack boundaries shift accordingly, which is exactly
+# why the composed check matters: a off-by-one anywhere upstream
+# reshuffles every downstream pack.
+# ---------------------------------------------------------------------------
+
+_PACKED_CLEAN_ORACLE = _EXSUB_CHAIN + f""",
+clean AS (
+  SELECT doc_id, CAST(n_kept AS BIGINT) AS n FROM per_doc WHERE n_kept > 0
+),
+ccum AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS prev
+  FROM clean
+),
+cpieces AS (
+  SELECT doc_id, n, prev, t.k AS pack_id,
+         LEAST((t.k + 1) * {_PACK_LEN}, prev + n)
+           - GREATEST(t.k * {_PACK_LEN}, prev) AS toks
+  FROM ccum,
+       UNNEST(range(prev // {_PACK_LEN}, (prev + n - 1) // {_PACK_LEN} + 1)) t(k)
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(SUM(CASE WHEN prev < pack_id * {_PACK_LEN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_carryover_docs
+FROM cpieces GROUP BY pack_id ORDER BY pack_id
+"""
+
+
+@register("packed_clean_corpus", oracle=_PACKED_CLEAN_ORACLE, tags=("L1", "L6"))
+def packed_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = exact_substr_span_removal(spark, sf_dir)
+    return _pack_manifest(
+        per_doc.filter(F.col("n_kept") > 0).select(
+            "doc_id", F.col("n_kept").alias("n")
+        )
     )
 
 

@@ -145,3 +145,23 @@ def test_packing_pieces_rollup_equals_manifest(spark):
         assert g["start_offset"].iloc[0] == 0
         ends = (g["start_offset"] + g["length"]).tolist()
         assert ends[:-1] == g["start_offset"].iloc[1:].tolist()
+
+
+def test_packed_clean_corpus_conserves_kept_tokens(spark):
+    # the composed dedup->pack pipeline must conserve exactly the
+    # SURVIVING token mass, in full packs except the tail
+    packs = (
+        SPECS["packed_clean_corpus"].build(spark, SF_SMOKE).toPandas()
+        .sort_values("pack_id").reset_index(drop=True)
+    )
+    kept_total = (
+        SPECS["exact_substr_span_removal"].build(spark, SF_SMOKE).toPandas()
+        ["n_kept"].sum()
+    )
+    assert int(packs["n_tokens"].sum()) == int(kept_total)
+    assert (packs["n_tokens"].iloc[:-1] == 512).all()
+    # the corpus has >=50-token duplicated runs at smoke scale, so the
+    # clean manifest must differ from the raw one (the composition is
+    # not a no-op)
+    raw = SPECS["sequence_packing"].build(spark, SF_SMOKE).toPandas()
+    assert int(packs["n_tokens"].sum()) < int(raw["n_tokens"].sum())
