@@ -3295,6 +3295,111 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L6/L4 curriculum pack ordering ([EXT] — quality-ascending training
+# schedules need the PACKS ranked, not the documents: a pack's quality
+# is the token-weighted mean of its pieces' document scores. Composes
+# the hashed-feature classifier (plans/mlprep.py
+# hashed_quality_classifier — join-free md5-bucket weights) with the
+# packing pieces table. All-integer: each piece contributes
+# floor(1000·doc_score·piece_len / doc_n_toks) (the matched
+# _fdiv/_sql_fdiv floor pair, since scores go negative), so per-pack
+# sums are order-independent exact BIGINTs and the global curriculum
+# rank rides the distributed row-number primitive — no single-reducer
+# sort over what is a manifest-sized but still growing frame.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(LEN({_SQL_TOKS}) AS BIGINT) AS n
+  FROM documents WHERE LEN({_SQL_TOKS}) > 0
+),
+cum AS (
+  SELECT doc_id, n,
+         CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS prev
+  FROM tok
+),
+pieces AS (
+  SELECT doc_id, t.k AS pack_id,
+         LEAST((t.k + 1) * {_PACK_LEN}, prev + n)
+           - GREATEST(t.k * {_PACK_LEN}, prev) AS length
+  FROM cum,
+       UNNEST(range(prev // {_PACK_LEN}, (prev + n - 1) // {_PACK_LEN} + 1)) t(k)
+),
+tw AS (
+  SELECT doc_id,
+         ((CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % {_HQ_BUCKETS})
+           * {_HQ_MULT}) % {_HQ_MOD} - 500 AS wt
+  FROM (SELECT doc_id, UNNEST({_SQL_TOKS}) AS tk FROM documents)
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM tw GROUP BY doc_id
+),
+pq AS (
+  SELECT p.pack_id, p.length,
+         {_sql_fdiv("1000 * d.score * p.length", "d.n_toks")} AS pq_milli
+  FROM pieces p JOIN per_doc d USING (doc_id)
+),
+packs AS (
+  SELECT pack_id,
+         CAST(COUNT(*) AS INT) AS n_pieces,
+         CAST(SUM(length) AS BIGINT) AS pack_tokens,
+         CAST(SUM(pq_milli) AS BIGINT) AS score_milli
+  FROM pq GROUP BY pack_id
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id, n_pieces, pack_tokens, score_milli,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_milli, pack_id) AS BIGINT)
+         AS curriculum_rank
+FROM packs ORDER BY curriculum_rank
+"""
+
+
+@register("curriculum_pack_order", oracle=_CURRICULUM_ORACLE, tags=("L6", "L4"))
+def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    pieces = sequence_packing_pieces(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("tk"))
+    bucket = (
+        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint") % _HQ_BUCKETS
+    )
+    per_doc = (
+        tok.select("doc_id", ((bucket * _HQ_MULT) % _HQ_MOD - 500).alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wt").cast("bigint").alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        )
+    )
+    pq = pieces.join(per_doc, "doc_id").withColumn(
+        "pq_milli",
+        _fdiv(F.lit(1000) * F.col("score") * F.col("length"), F.col("n_toks")),
+    )
+    packs = pq.groupBy("pack_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_pieces"),
+        F.sum("length").cast("bigint").alias("pack_tokens"),
+        F.sum("pq_milli").cast("bigint").alias("score_milli"),
+    )
+    return (
+        with_global_row_number(
+            packs,
+            [F.col("score_milli").asc(), F.col("pack_id").asc()],
+            "curriculum_rank",
+        )
+        .select(
+            F.col("pack_id").cast("bigint").alias("pack_id"),
+            "n_pieces",
+            "pack_tokens",
+            "score_milli",
+            F.col("curriculum_rank").cast("bigint").alias("curriculum_rank"),
+        )
+        .orderBy("curriculum_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L1/L6 the pipeline END TO END: pack the CLEANED corpus ([EXT] — what
 # a training run actually consumes is neither the raw corpus nor the
 # removal report but the packed stream of SURVIVING tokens. This
