@@ -2943,6 +2943,132 @@ def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# L1/S11 gram-index COMPACTION with probe-equality ([EXT] — the
+# maintenance step incremental_gram_index_snapshot defers: after delta
+# appends, compact_snapshot bin-packs the merged index into ~target-
+# size files SORTED by the 16-byte gram key (per-file min/max stats
+# then prune probe joins) and lands it as the next committed version.
+# The serving question is probe-equality: coverage answered from the
+# COMPACTED v=3 parquet must equal the declarative base∪delta replay.
+# Three-way md5 split so the probe is never vacuous: delta1 (md5 '0')
+# is MERGED into the index, delta2 (md5 '1') only PROBES it — a doc
+# that contributed its own grams would trivially be fully known.
+# The oracle replays base∪delta1 membership and the index cardinality;
+# pytest asserts the compaction actually reduced the file count.
+# ---------------------------------------------------------------------------
+
+_GRAM_COMPACT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+),
+base_g AS (
+  SELECT DISTINCT array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE h >= '2' AND LEN(toks) >= {_SPAN_N}
+),
+d1_g AS (
+  SELECT DISTINCT array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE h = '0' AND LEN(toks) >= {_SPAN_N}
+),
+idx AS (SELECT gram FROM base_g UNION SELECT gram FROM d1_g),
+probe_occ AS (
+  SELECT doc_id, t.i AS pos,
+         array_to_string(toks[t.i:t.i+{_SPAN_N - 1}], ' ') AS gram
+  FROM tok, UNNEST(range(1, LEN(toks) - {_SPAN_N - 2})) t(i)
+  WHERE h = '1' AND LEN(toks) >= {_SPAN_N}
+),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.pos + k.k AS p
+  FROM probe_occ o JOIN idx USING (gram), UNNEST(range(0, {_SPAN_N})) k(k)
+),
+lens AS (
+  SELECT doc_id, LEN(toks) AS n_tokens FROM tok WHERE h = '1' AND LEN(toks) > 0
+),
+cnt AS (SELECT COUNT(*) AS n_index_grams FROM idx)
+SELECT l.doc_id,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS known_tokens,
+       CAST(COALESCE(c.n_cov, 0) AS DOUBLE) / l.n_tokens AS known_fraction,
+       CAST(x.n_index_grams AS BIGINT) AS n_index_grams
+FROM lens l
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id) c
+  USING (doc_id)
+CROSS JOIN cnt x
+"""
+
+
+@register("gram_index_compaction_probe", oracle=_GRAM_COMPACT_ORACLE, tags=("L1", "S11"))
+def gram_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.io import compact_snapshot, read_snapshot, write_snapshot
+
+    d = table(spark, sf_dir, "documents")
+    tok = tracked_persist(
+        d.select(
+            "doc_id",
+            textops.tokens("text").alias("toks"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="gram_compact_") + "/grams"
+    write_snapshot(
+        _span_grams(tok.filter(F.col("h") >= "2"), persist=False)
+        .select("gh1", "gh2")
+        .distinct(),
+        base,
+    )
+    write_snapshot(
+        read_snapshot(spark, base, version=1)
+        .unionByName(
+            _span_grams(tok.filter(F.col("h") == "0"), persist=False).select(
+                "gh1", "gh2"
+            )
+        )
+        .distinct()
+        # the merged landing is deliberately fragmented so the
+        # compaction has real small-file debt to pay down
+        .repartition(24),
+        base,
+    )
+    v3 = compact_snapshot(
+        spark, base, target_file_bytes=64 * 1024 * 1024, sort_cols=["gh1", "gh2"]
+    )
+    idx = read_snapshot(spark, base, version=v3)
+    probe = _span_grams(tok.filter(F.col("h") == "1"), persist=False)
+    cov = (
+        probe.join(idx, ["gh1", "gh2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    lens = tok.filter((F.col("h") == "1") & (F.size("toks") > 0)).select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    sizes = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_index_grams"))
+    return (
+        lens.join(cov, "doc_id", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
+            (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+                "known_fraction"
+            ),
+            "n_index_grams",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L1/T6 progressive (ingest-order) span coverage ([EXT] — the fully
 # online form of the ExactSubstr family: no frozen base/delta split;
 # every document is scored against the corpus AS OF ITS OWN ARRIVAL.

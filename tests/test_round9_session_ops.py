@@ -165,3 +165,28 @@ def test_packed_clean_corpus_conserves_kept_tokens(spark):
     # not a no-op)
     raw = SPECS["sequence_packing"].build(spark, SF_SMOKE).toPandas()
     assert int(packs["n_tokens"].sum()) < int(raw["n_tokens"].sum())
+
+
+def test_gram_compaction_reduces_files_and_preserves_probe(spark):
+    # the compaction must actually pay down the deliberately fragmented
+    # v=2 landing (24 files -> few), and the probe numbers must be
+    # sane (coverage bounded by doc length, index non-empty)
+    import glob
+
+    pdf = SPECS["gram_index_compaction_probe"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["known_tokens"] <= pdf["n_tokens"]).all()
+    assert (pdf["n_index_grams"] > 0).all()
+    # find the query's snapshot dirs from this session's tempdirs
+    import tempfile
+
+    bases = glob.glob(tempfile.gettempdir() + "/gram_compact_*/grams")
+    assert bases, "snapshot base not found"
+    base = max(bases, key=lambda p: max(
+        (0,) + tuple(int(v.rsplit("=", 1)[1]) for v in glob.glob(p + "/v=*"))))
+    files = {
+        v.rsplit("=", 1)[1]: len(glob.glob(v + "/*.parquet"))
+        for v in glob.glob(base + "/v=*")
+    }
+    assert files["2"] == 24  # the fragmented landing
+    assert files["3"] < files["2"]  # compaction paid it down
