@@ -967,7 +967,11 @@ def _write_posting_and_tombstone_snapshots(
     """Land the LSH posting index and the deleted-id set as committed
     disk snapshots; return both READ BACK from their v=1 parquet plus
     the posting snapshot's base path — the shared index-build step of
-    the tombstone-serve and compaction-equality queries."""
+    the tombstone-serve and compaction-equality queries. The tempdir is
+    removed at interpreter exit (bench/stress loops would otherwise
+    leak a posting index per repetition)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.similarity import lsh_bucket_keys_gemm
@@ -975,6 +979,7 @@ def _write_posting_and_tombstone_snapshots(
 
     e = table(spark, sf_dir, "embeddings")
     base = tempfile.mkdtemp(prefix="lsh_tomb_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     idx_base, tomb_base = base + "/postings", base + "/tombstones"
     v_idx = write_snapshot(
         e.select(

@@ -554,19 +554,30 @@ FROM per_doc GROUP BY source
 """
 
 
-@register("hashed_quality_classifier", oracle=_HASHED_QUALITY_ORACLE, tags=("L4",))
-def hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "source", F.explode(textops.tokens("text")).alias("tk"))
+def _hq_doc_scores(d: DataFrame, *extra_keys: str) -> DataFrame:
+    """Per-document hashed-classifier scores — THE weight table and
+    token hash, spelled once (its SQL twin is the tw/per_doc CTE pair
+    in _HASHED_QUALITY_ORACLE / _CURRICULUM_ORACLE). Returns
+    (doc_id, *extra_keys, score, n_toks)."""
+    tok = d.select(
+        "doc_id", *extra_keys, F.explode(textops.tokens("text")).alias("tk")
+    )
     bucket = F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint") % _HQ_BUCKETS
-    per_doc = (
-        tok.select("doc_id", "source", ((bucket * _HQ_MULT) % _HQ_MOD - 500).alias("wt"))
-        .groupBy("doc_id", "source")
+    return (
+        tok.select(
+            "doc_id", *extra_keys, ((bucket * _HQ_MULT) % _HQ_MOD - 500).alias("wt")
+        )
+        .groupBy("doc_id", *extra_keys)
         .agg(
             F.sum("wt").cast("bigint").alias("score"),
             F.count(F.lit(1)).cast("bigint").alias("n_toks"),
         )
     )
+
+
+@register("hashed_quality_classifier", oracle=_HASHED_QUALITY_ORACLE, tags=("L4",))
+def hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _hq_doc_scores(table(spark, sf_dir, "documents"), "source")
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum((F.col("score") > 0).cast("bigint")).cast("bigint").alias("n_pos"),
@@ -2880,10 +2891,55 @@ CROSS JOIN cnt x
 """
 
 
-@register("incremental_gram_index_snapshot", oracle=_GRAM_SNAP_ORACLE, tags=("L1", "S11"))
-def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _probe_coverage_report(
+    probe_grams: DataFrame, lens: DataFrame, idx: DataFrame, sizes: DataFrame
+) -> DataFrame:
+    """Delta-probe coverage report, shared by the gram-index snapshot
+    and compaction queries: probe grams that hit the index cover their
+    8 positions; the per-doc distinct covered count left-joins onto the
+    doc lengths, and the corpus-level size columns (whatever ``sizes``
+    carries) broadcast onto every row."""
+    cov = (
+        probe_grams.join(idx, ["gh1", "gh2"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    return (
+        lens.join(cov, "doc_id", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
+            (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+                "known_fraction"
+            ),
+            *sizes.columns,
+        )
+    )
+
+
+def _snapshot_tmpbase(prefix: str) -> str:
+    """A fresh snapshot base under a tempdir that is removed at
+    interpreter exit — repeated builds in one process (bench reps,
+    stress loops) would otherwise leak full gram-index parquet trees
+    into /tmp with no vacuum."""
+    import atexit
+    import shutil
     import tempfile
 
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root + "/grams"
+
+
+@register("incremental_gram_index_snapshot", oracle=_GRAM_SNAP_ORACLE, tags=("L1", "S11"))
+def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import read_snapshot, write_snapshot
 
     d = table(spark, sf_dir, "documents")
@@ -2896,7 +2952,7 @@ def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
             ),
         )
     )
-    base = tempfile.mkdtemp(prefix="gram_index_snap_") + "/grams"
+    base = _snapshot_tmpbase("gram_index_snap_")
     v1 = write_snapshot(
         _span_grams(tok.filter(~F.col("is_new")), persist=False)
         .select("gh1", "gh2")
@@ -2910,36 +2966,13 @@ def incremental_gram_index_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
         frozen.unionByName(new_g.select("gh1", "gh2")).distinct(), base
     )
     after = read_snapshot(spark, base, version=v2)
-    cov = (
-        new_g.join(frozen, ["gh1", "gh2"])
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
-    )
     lens = tok.filter(F.col("is_new") & (F.size("toks") > 0)).select(
         "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
     sizes = frozen.agg(F.count(F.lit(1)).cast("bigint").alias("n_base_grams")).crossJoin(
         after.agg(F.count(F.lit(1)).cast("bigint").alias("n_index_grams_after"))
     )
-    return (
-        lens.join(cov, "doc_id", "left")
-        .crossJoin(F.broadcast(sizes))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
-            (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
-                "known_fraction"
-            ),
-            "n_base_grams",
-            "n_index_grams_after",
-        )
-    )
+    return _probe_coverage_report(new_g, lens, frozen, sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -3002,8 +3035,6 @@ CROSS JOIN cnt x
 
 @register("gram_index_compaction_probe", oracle=_GRAM_COMPACT_ORACLE, tags=("L1", "S11"))
 def gram_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources.io import compact_snapshot, read_snapshot, write_snapshot
 
     d = table(spark, sf_dir, "documents")
@@ -3014,7 +3045,10 @@ def gram_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h"),
         )
     )
-    base = tempfile.mkdtemp(prefix="gram_compact_") + "/grams"
+    base = _snapshot_tmpbase("gram_compact_")
+    # exposed for tests: pin assertions to THIS build's snapshot base,
+    # not a /tmp-wide glob that could match a stale or foreign run
+    gram_index_compaction_probe.last_base = base
     write_snapshot(
         _span_grams(tok.filter(F.col("h") >= "2"), persist=False)
         .select("gh1", "gh2")
@@ -3039,33 +3073,11 @@ def gram_index_compaction_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = read_snapshot(spark, base, version=v3)
     probe = _span_grams(tok.filter(F.col("h") == "1"), persist=False)
-    cov = (
-        probe.join(idx, ["gh1", "gh2"])
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_N - 1))).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
-    )
     lens = tok.filter((F.col("h") == "1") & (F.size("toks") > 0)).select(
         "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
     sizes = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_index_grams"))
-    return (
-        lens.join(cov, "doc_id", "left")
-        .crossJoin(F.broadcast(sizes))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce("n_cov", F.lit(0)).cast("bigint").alias("known_tokens"),
-            (F.coalesce("n_cov", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
-                "known_fraction"
-            ),
-            "n_index_grams",
-        )
-    )
+    return _probe_coverage_report(probe, lens, idx, sizes)
 
 
 # ---------------------------------------------------------------------------
@@ -3486,19 +3498,7 @@ def curriculum_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import with_global_row_number
 
     pieces = sequence_packing_pieces(spark, sf_dir)
-    d = table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(textops.tokens("text")).alias("tk"))
-    bucket = (
-        F.conv(F.substring(F.md5("tk"), 1, 8), 16, 10).cast("bigint") % _HQ_BUCKETS
-    )
-    per_doc = (
-        tok.select("doc_id", ((bucket * _HQ_MULT) % _HQ_MOD - 500).alias("wt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("wt").cast("bigint").alias("score"),
-            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-        )
-    )
+    per_doc = _hq_doc_scores(table(spark, sf_dir, "documents"))
     pq = pieces.join(per_doc, "doc_id").withColumn(
         "pq_milli",
         _fdiv(F.lit(1000) * F.col("score") * F.col("length"), F.col("n_toks")),

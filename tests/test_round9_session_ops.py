@@ -173,17 +173,15 @@ def test_gram_compaction_reduces_files_and_preserves_probe(spark):
     # sane (coverage bounded by doc length, index non-empty)
     import glob
 
+    from etl_showcase_spark.plans.mlprep import gram_index_compaction_probe
+
     pdf = SPECS["gram_index_compaction_probe"].build(spark, SF_SMOKE).toPandas()
     assert len(pdf) > 0
     assert (pdf["known_tokens"] <= pdf["n_tokens"]).all()
     assert (pdf["n_index_grams"] > 0).all()
-    # find the query's snapshot dirs from this session's tempdirs
-    import tempfile
-
-    bases = glob.glob(tempfile.gettempdir() + "/gram_compact_*/grams")
-    assert bases, "snapshot base not found"
-    base = max(bases, key=lambda p: max(
-        (0,) + tuple(int(v.rsplit("=", 1)[1]) for v in glob.glob(p + "/v=*"))))
+    # THIS build's snapshot base, exposed by the query fn — a /tmp-wide
+    # glob could match a stale or foreign run and mask a regression
+    base = gram_index_compaction_probe.last_base
     files = {
         v.rsplit("=", 1)[1]: len(glob.glob(v + "/*.parquet"))
         for v in glob.glob(base + "/v=*")
