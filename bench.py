@@ -51,6 +51,22 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # Calibration canary FIRST: a frozen, JVM-only scan-agg
+    # (bench_canary.py, pinned by a source-hash test, never edited).
+    # Because its code is byte-identical across rounds, its wall time
+    # measures the box, not the engine — normalized numbers below let
+    # cross-round comparisons separate plan regressions from machine
+    # variance.
+    from bench_canary import canary_query
+
+    for _ in range(2):
+        canary_query(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    canary_best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        canary_query(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        canary_best = min(canary_best, time.perf_counter() - t0)
+
     # 2 untimed warm-ups + best-of-4 timed: the expression-heavy
     # queries (MinHash's 32 array_min(transform) chains) generate huge
     # codegen methods that HotSpot only reaches steady state on after
@@ -77,12 +93,21 @@ def main() -> None:
             timings[name] = round(best, 3)
         release_all()  # operator caches are per-query; don't accumulate
 
+    total = sum(timings.values())
     out = {
         "metric": "headline-suite wall time",
-        "value": round(sum(timings.values()), 3),
+        "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # frozen-code calibration: canary_s moves only with the box;
+        # *_normalized = raw / canary_s is the box-independent number to
+        # compare across rounds (see bench_canary.py)
+        "canary_s": round(canary_best, 3),
+        "value_normalized": round(total / canary_best, 2),
+        "queries_normalized": {
+            name: round(t / canary_best, 2) for name, t in timings.items()
+        },
     }
     if errors:
         out["errors"] = errors

@@ -308,3 +308,34 @@ def test_bench_plan_contract_flags_broken_plans(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     assert any("CartesianProduct" in v for v in violations)
     assert any("BatchEvalPython" in v for v in violations)
+
+
+def test_bench_canary_frozen():
+    """The calibration canary (bench_canary.py) must be byte-identical
+    across rounds — its whole value is that its wall time moves only
+    with the box. Any edit must be a deliberate decision that resets
+    the cross-round baseline, so it fails here first."""
+    import hashlib
+
+    src = (PKG.parent / "bench_canary.py").read_bytes()
+    assert (
+        hashlib.sha256(src).hexdigest()
+        == "27255d0648848b131d4a815a7b7a8bdf862654a6f953ae50e498b9bc4fdd6d8c"
+    ), (
+        "bench_canary.py changed — the canary is frozen by design; if the "
+        "edit is deliberate, update this hash and note the baseline reset "
+        "in SURVEY §6"
+    )
+
+
+def test_bench_canary_is_jvm_only():
+    """The canary must never touch Python workers — no UDF/pandas/Arrow
+    imports, only pyspark.sql.functions — else it inherits the worker
+    variance it exists to factor out."""
+    src = (PKG.parent / "bench_canary.py").read_text()
+    code = src.split('"""', 2)[2]  # strip the module docstring
+    for forbidden in ("pandas", "mapInPandas", "mapInArrow", "F.udf", "udtf"):
+        assert forbidden not in code, f"canary uses {forbidden}"
+    assert "etl_showcase_spark" not in code, (
+        "canary must not import living engine code"
+    )
