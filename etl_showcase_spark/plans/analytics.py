@@ -793,8 +793,12 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   within-5%-of-exact boolean (HLL lgK=12 RSE ~1.6%, so 5% ≈ 3σ; the
 #   hash is stable because Spark's HLL is deterministic for fixed
 #   data) — which DuckDB asserts as literal TRUE.
-# If a GK bound ever failed, the refinement would emit no row for that
-# group and the oracle row-count mismatch would flag it loudly.
+# If a GK bound ever failed (true rank-k element outside [lo, hi]),
+# the pick filter rn == k - c_lt matches nothing for that measure and
+# the pivot leaves the group's median/p99 NULL — the group ROW still
+# survives, so the failure signal is the oracle VALUE-hash mismatch
+# (NULL vs the exact quantile), not a row-count drop. The external
+# comparison still flags it deterministically.
 # ---------------------------------------------------------------------------
 
 _SKETCH_QUANT_ORACLE = """

@@ -2282,6 +2282,64 @@ def _two_level_assign(spark: SparkSession, sf_dir: str, k1: int, k2: int) -> Dat
     )
 
 
+def _frozen_index_assign(
+    vectors: DataFrame, cent_full: DataFrame, fcent_full: DataFrame
+) -> DataFrame:
+    """Batch mirror of ``streaming.jobs.frozen_two_level_route``: route
+    ``vectors`` (vec_id, x2 — already ×1000-scaled int arrays) against
+    a FROZEN two-level index. The fine table is made TOTAL before the
+    join: a coarse cell with no fine seeds gets its own centroid as the
+    single fine centroid (c2=0) — the same coarse-as-fine COALESCE
+    fallback the stream applies — so the two paths agree even when the
+    arriving data differs from the index-building data. When the data
+    IS the index data, ``fseeds ⊆ members`` makes the fallback
+    unreachable and this reduces to ``_two_level_assign``'s inner join
+    (tests/test_streaming.py::test_empty_fine_cell_fallback_agrees
+    exercises the route both ways)."""
+
+    def dist(x: Column, c: Column) -> Column:
+        return int_dot(x, x) - 2 * int_dot(x, c) + int_dot(c, c)
+
+    coarse_assigned = (
+        vectors.crossJoin(F.broadcast(cent_full))
+        .select(
+            "vec_id",
+            "x2",
+            F.struct(
+                dist(F.col("x2"), F.col("c")).alias("d"),
+                F.col("c1").cast("bigint").alias("c1"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("m"), F.first("x2").alias("x2"))
+        .select("vec_id", "x2", F.col("m.c1").cast("int").alias("c1"))
+    )
+    fallback = (
+        cent_full.join(fcent_full.select("c1").distinct(), "c1", "left_anti")
+        .select("c1", F.lit(0).cast("int").alias("c2"), F.col("c").alias("fc"))
+    )
+    fine_total = fcent_full.unionByName(fallback)
+    return (
+        coarse_assigned.join(F.broadcast(fine_total), "c1")
+        .select(
+            "vec_id",
+            "c1",
+            F.struct(
+                dist(F.col("x2"), F.col("fc")).alias("d"),
+                F.col("c2").cast("bigint").alias("c2"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id", "c1")
+        .agg(F.min("dc").alias("fm"))
+        .select(
+            "vec_id",
+            "c1",
+            F.col("fm.c2").cast("int").alias("c2"),
+            F.col("fm.d").alias("d2"),
+        )
+    )
+
+
 @register(
     "semantic_dedup_prune_2level", oracle=_semdedup_2level_oracle(), tags=("L3", "L1")
 )

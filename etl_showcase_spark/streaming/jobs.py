@@ -1514,41 +1514,21 @@ def stream_ivf_ann_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.join(latest, ["q_id", "ver"]).select("q_id", "c_id", "cosine", "rnk")
 
 
-def stream_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the hierarchical (coarse-to-fine) k-means
-    assignment behind ``semantic_dedup_prune_2level``: the two
-    centroid tables are built once by the shared batch index step
-    (_two_level_index — a production system refreshes its routing
-    index offline exactly this way) and COLLECTED as the frozen
-    routing index (metadata-sized: k1 + k1·k2 rows); arriving vectors
-    are routed coarse→fine in one vectorized Arrow stage with the SAME
-    exact int64 distance arithmetic as the batch JVM expressions, and
-    per-FINE-CELL GroupState folds (n_vecs, sum_d2) — pure integer
-    addition, so the drained occupancy/inertia table is bit-identical
-    to the batch assignment's aggregate (tests/test_streaming.py).
-
-    This is the ingest-time shape of cluster-routing admission (which
-    cell does each arriving embedding land in, how full and how tight
-    is each cell) — state is two bigints per fine cell, nothing
-    data-sized accumulates."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from ..operators.similarity import quantize
-    from ..plans.mlprep import _SEM2_K1, _SEM2_K2, _two_level_index
-
-    cent_full, fcent_full, _ = _two_level_index(spark, sf_dir, _SEM2_K1, _SEM2_K2)
-    coarse = sorted((int(r["c1"]), [int(v) for v in r["c"]]) for r in cent_full.collect())
-    fine: dict[int, list[tuple[int, list[int]]]] = {}
-    for r in fcent_full.collect():
-        fine.setdefault(int(r["c1"]), []).append(
-            (int(r["c2"]), [int(v) for v in r["fc"]])
-        )
-    for cell in fine.values():
-        cell.sort()
-
-    arriving = embeddings_replay_stream(spark, sf_dir).select(
-        "vec_id", quantize(F.col("embedding")).alias("x")
-    )
+def frozen_two_level_route(
+    coarse: list[tuple[int, list[int]]],
+    fine: dict[int, list[tuple[int, list[int]]]],
+):
+    """mapInPandas routing kernel for a FROZEN two-level index: returns
+    the generator fn that assigns each arriving quantized vector
+    coarse→fine with exact int64 arithmetic (argmin with id-asc
+    tie-break == the batch struct-min). A coarse cell with no fine
+    seeds (possible when the index and the arriving data differ —
+    never with same-data replay, since fseeds ⊆ members by
+    construction) falls back to the coarse centroid as the single fine
+    centroid (c2=0); the batch mirror is
+    plans.mlprep._frozen_index_assign, and
+    tests/test_streaming.py::test_empty_fine_cell_fallback_agrees
+    proves the two paths emit identical rows on that route."""
 
     def route(batches):
         # frozen index ships by value in the closure; exact int64
@@ -1591,7 +1571,48 @@ def stream_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame
                 {"vec_id": ids, "c1": c1s, "c2": c2s, "d2": d2s}
             )
 
-    routed = arriving.mapInPandas(route, "vec_id long, c1 int, c2 int, d2 long")
+    return route
+
+
+def stream_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the hierarchical (coarse-to-fine) k-means
+    assignment behind ``semantic_dedup_prune_2level``: the two
+    centroid tables are built once by the shared batch index step
+    (_two_level_index — a production system refreshes its routing
+    index offline exactly this way) and COLLECTED as the frozen
+    routing index (metadata-sized: k1 + k1·k2 rows); arriving vectors
+    are routed coarse→fine in one vectorized Arrow stage with the SAME
+    exact int64 distance arithmetic as the batch JVM expressions, and
+    per-FINE-CELL GroupState folds (n_vecs, sum_d2) — pure integer
+    addition, so the drained occupancy/inertia table is bit-identical
+    to the batch assignment's aggregate (tests/test_streaming.py).
+
+    This is the ingest-time shape of cluster-routing admission (which
+    cell does each arriving embedding land in, how full and how tight
+    is each cell) — state is two bigints per fine cell, nothing
+    data-sized accumulates."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.similarity import quantize
+    from ..plans.mlprep import _SEM2_K1, _SEM2_K2, _two_level_index
+
+    cent_full, fcent_full, _ = _two_level_index(spark, sf_dir, _SEM2_K1, _SEM2_K2)
+    coarse = sorted((int(r["c1"]), [int(v) for v in r["c"]]) for r in cent_full.collect())
+    fine: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in fcent_full.collect():
+        fine.setdefault(int(r["c1"]), []).append(
+            (int(r["c2"]), [int(v) for v in r["fc"]])
+        )
+    for cell in fine.values():
+        cell.sort()
+
+    arriving = embeddings_replay_stream(spark, sf_dir).select(
+        "vec_id", quantize(F.col("embedding")).alias("x")
+    )
+
+    routed = arriving.mapInPandas(
+        frozen_two_level_route(coarse, fine), "vec_id long, c1 int, c2 int, d2 long"
+    )
 
     def fold(key, pdfs, state):
         # self-contained (pickled by value): no references to this module

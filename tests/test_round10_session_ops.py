@@ -1,0 +1,187 @@
+"""Round-10 session additions: regression tests for the two round-9
+ADVICE fixes (the IVF/two-level empty-fine-cell fallback and the
+zero-token temperature-mix guard), plus the stream≡batch agreement
+proof on the fallback route itself (this round's ADVICE: the batch
+twin must not silently drop vectors the stream COALESCEs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_showcase_spark.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+# ---------------------------------------------------------------------------
+# Empty-fine-cell fallback: a coarse cell with no fine seeds must route
+# (c2=0, coarse-centroid distance) identically in the streaming kernel
+# and the batch frozen-index assigner — and must not KeyError (the
+# original round-9 ADVICE defect).
+# ---------------------------------------------------------------------------
+
+
+def _toy_index(spark):
+    """2-D frozen index: coarse cell 0 at (0,0) with two fine seeds,
+    coarse cell 1 at (1000,1000)·1000 with NO fine seeds — the
+    fallback-eligible shape that never occurs when index == data
+    (fseeds ⊆ members), but does when new data arrives."""
+    cent_full = spark.createDataFrame(
+        [(0, [0, 0]), (1, [1_000_000, 1_000_000])],
+        "c1 int, c array<bigint>",
+    )
+    fcent_full = spark.createDataFrame(
+        [(0, 0, [0, 0]), (0, 1, [500_000, 500_000])],
+        "c1 int, c2 int, fc array<bigint>",
+    )
+    # quantized (UNscaled) arriving vectors: 900/901 land in the
+    # fine-less cell 1; 7/8 in cell 0 (one per fine seed side)
+    vecs = spark.createDataFrame(
+        [(10, [900, 900]), (11, [1001, 999]), (12, [7, 7]), (13, [400, 480])],
+        "vec_id long, x array<bigint>",
+    )
+    return cent_full, fcent_full, vecs
+
+
+def test_empty_fine_cell_fallback_agrees(spark):
+    from etl_showcase_spark.plans.mlprep import _frozen_index_assign
+    from etl_showcase_spark.streaming.jobs import frozen_two_level_route
+
+    cent_full, fcent_full, vecs = _toy_index(spark)
+    coarse = sorted(
+        (int(r["c1"]), [int(v) for v in r["c"]]) for r in cent_full.collect()
+    )
+    fine: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in fcent_full.collect():
+        fine.setdefault(int(r["c1"]), []).append(
+            (int(r["c2"]), [int(v) for v in r["fc"]])
+        )
+
+    # the exact shipped streaming kernel, driven as a static mapInPandas
+    # (the kernel is micro-batch-agnostic by construction)
+    streamed = (
+        vecs.mapInPandas(
+            frozen_two_level_route(coarse, fine),
+            "vec_id long, c1 int, c2 int, d2 long",
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    batch = (
+        _frozen_index_assign(
+            vecs.select(
+                "vec_id", F.transform("x", lambda y: y * 1000).alias("x2")
+            ),
+            cent_full,
+            fcent_full,
+        )
+        .select("vec_id", "c1", "c2", "d2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # no vector dropped on either path (the original batch inner join
+    # would have silently lost vec 10 and 11)
+    assert len(streamed) == 4 and len(batch) == 4
+    # the fallback actually fired: fine-less cell 1 serves c2=0
+    fb = streamed[streamed["c1"] == 1]
+    assert len(fb) == 2 and (fb["c2"] == 0).all()
+    # vec 11 sits (1,-1) off the coarse centroid in quantized units:
+    # d2 = (1000^2 + 1000^2) exactly — the coarse-as-fine distance
+    assert int(streamed.set_index("vec_id").loc[11, "d2"]) == 2_000_000
+    # bit-identical stream ≡ batch on every routed row, fallback included
+    assert streamed.equals(batch)
+
+
+def test_frozen_assign_reduces_to_two_level_assign(spark):
+    # when the arriving data IS the index data, fseeds ⊆ members makes
+    # the fallback unreachable and the total left-join spelling must
+    # coincide with the blessed inner-join helper row-for-row
+    from etl_showcase_spark.plans.mlprep import (
+        _SEM2_K1,
+        _SEM2_K2,
+        _frozen_index_assign,
+        _two_level_assign,
+        _two_level_index,
+    )
+
+    cent_full, fcent_full, m = _two_level_index(spark, SF_SMOKE, _SEM2_K1, _SEM2_K2)
+    frozen = (
+        _frozen_index_assign(m.select("vec_id", "x2"), cent_full, fcent_full)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    blessed = (
+        _two_level_assign(spark, SF_SMOKE, _SEM2_K1, _SEM2_K2)
+        .select("vec_id", "c1", "c2", "d2")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(frozen) > 0
+    assert frozen.equals(blessed)
+
+
+# ---------------------------------------------------------------------------
+# Zero-token source guard in temperature_scaled_mix (round-9 ADVICE
+# fix, plans/mlprep.py): a source whose documents all tokenize to
+# nothing must be EXCLUDED (not divide-by-zero under ANSI mode), and
+# the exclusion must match the oracle's HAVING guard exactly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def zero_token_sf_dir(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_SMOKE}/documents.parquet")
+    base = t.slice(0, 60)
+    extra = pa.table(
+        {
+            "doc_id": pa.array([100000, 100001, 100002], pa.int64()),
+            "text": pa.array(["", "   ", "\t\n "], pa.string()),
+            "lang": pa.array(["xx"] * 3, pa.string()),
+            "source": pa.array(["ZERO_TOKEN_SRC"] * 3, pa.string()),
+            "n_chars": pa.array([0, 3, 3], pa.int64()),
+        }
+    )
+    merged = pa.concat_tables(
+        [base.select(extra.column_names), extra]
+    )
+    pq.write_table(merged, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_temperature_mix_excludes_zero_token_source(spark, zero_token_sf_dir):
+    import duckdb
+
+    from etl_showcase_spark.testing import compare_frames
+
+    spec = SPECS["temperature_scaled_mix"]
+    actual = spec.build(spark, zero_token_sf_dir).toPandas()
+    # the guard, not an ANSI divide-by-zero, handles the empty source
+    assert len(actual) > 0
+    assert "ZERO_TOKEN_SRC" not in set(actual["source"])
+    # and real sources survive
+    assert len(set(actual["source"])) >= 2
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{zero_token_sf_dir}/documents.parquet')"
+        )
+        expected = con.execute(spec.oracle).fetchdf()
+    finally:
+        con.close()
+    problems = compare_frames(actual, expected)
+    assert not problems, "; ".join(problems)

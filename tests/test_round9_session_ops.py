@@ -186,5 +186,8 @@ def test_gram_compaction_reduces_files_and_preserves_probe(spark):
         v.rsplit("=", 1)[1]: len(glob.glob(v + "/*.parquet"))
         for v in glob.glob(base + "/v=*")
     }
-    assert files["2"] == 24  # the fragmented landing
+    # the fragmented landing: .repartition(24) yields AT MOST 24 part
+    # files — fewer if some partitions land empty (fewer distinct grams
+    # than partitions), so pin genuine fragmentation, not the exact count
+    assert 2 <= files["2"] <= 24
     assert files["3"] < files["2"]  # compaction paid it down
