@@ -926,3 +926,111 @@ def binaryfile_blob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("content")).alias("content_md5"),
         F.split(content_str, "\n").getItem(0).alias("header_line"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/Q2 vacuum-policy audit ([EXT] — SURVEY §7.5 idea bank): the
+# janitor's dashboard that completes the snapshot lake lifecycle
+# (write → compact → torn writer → vacuum). A deterministic six-version
+# history is landed over documents (initial load, compaction, full
+# upsert, an EXPIRED torn writer below the newest commit, the current
+# version, and an IN-FLIGHT torn writer above it), then
+# sources/io.py:audit_vacuum_policy — the same decision engine
+# vacuum_snapshots deletes from — classifies every version dir. The
+# relation carries the oracle-expressible half (version, committed,
+# row count, decision, reclaimable); the byte/file-count half and the
+# audit≡vacuum agreement are asserted in
+# tests/test_round10_session_ops.py. At 100 TB the audit is pure
+# driver-side file-listing metadata (O(versions) stat calls) and each
+# row count is a parquet footer-only COUNT(*) scan — no data pages
+# move for the dashboard.
+# ---------------------------------------------------------------------------
+
+_VACUUM_AUDIT_ORACLE = """
+SELECT 1 AS version, TRUE AS committed,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0) AS n_rows,
+       'reclaimable' AS decision, TRUE AS reclaimable
+UNION ALL
+SELECT 2, TRUE,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 4 <> 0),
+       'reclaimable', TRUE
+UNION ALL
+SELECT 3, TRUE, (SELECT COUNT(*) FROM documents), 'retained', FALSE
+UNION ALL
+SELECT 4, FALSE,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0),
+       'torn_expired', TRUE
+UNION ALL
+SELECT 5, TRUE,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0),
+       'retained', FALSE
+UNION ALL
+SELECT 6, FALSE,
+       (SELECT COUNT(*) FROM documents WHERE doc_id % 5 = 0),
+       'torn_inflight', FALSE
+"""
+
+
+@register("vacuum_policy_audit", oracle=_VACUUM_AUDIT_ORACLE, tags=("S11", "Q2"))
+def vacuum_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-retention dashboard over a deterministic snapshot history.
+
+    v1 initial load (doc_id % 4 <> 0, fragmented into 4 files) →
+    v2 compact_snapshot of v1 (same rows, bin-packed) →
+    v3 full upsert (all documents) →
+    v4 TORN below the newest commit (marker removed; grace 0 ⇒ expired) →
+    v5 current (doc_id % 7 <> 0) →
+    v6 TORN above the newest commit (an in-flight writer — protected
+    regardless of age).
+
+    keep_last=2 retains {v3, v5}; v1/v2 age out; v4 is reclaimable torn
+    debt; v6 must never be touched. Row counts come from per-version
+    parquet scans (COUNT(*) is footer-metadata-only), so the oracle can
+    recompute every column from the documents view plus the declared
+    policy."""
+    import atexit
+    import os
+    import shutil
+
+    from ..sources.io import audit_vacuum_policy, compact_snapshot, write_snapshot
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    root = tempfile.mkdtemp(prefix="vacuum_audit_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/docs"
+    write_snapshot(d.filter(F.col("doc_id") % 4 != 0).repartition(4), base)
+    compact_snapshot(spark, base, target_file_bytes=256 * 1024 * 1024)
+    write_snapshot(d, base)
+    v4 = write_snapshot(d.filter(F.col("doc_id") % 3 == 0), base)
+    os.remove(os.path.join(base, f"v={v4}", "_COMMITTED"))
+    write_snapshot(d.filter(F.col("doc_id") % 7 != 0), base)
+    v6 = write_snapshot(d.filter(F.col("doc_id") % 5 == 0), base)
+    os.remove(os.path.join(base, f"v={v6}", "_COMMITTED"))
+
+    audit = audit_vacuum_policy(base, keep_last=2, torn_grace_seconds=0.0)
+    vacuum_policy_audit.last_base = base  # for the byte-level pytest half
+    meta = spark.createDataFrame(
+        [
+            (
+                r["version"],
+                r["committed"],
+                r["decision"],
+                r["decision"] in ("reclaimable", "torn_expired"),
+            )
+            for r in audit
+        ],
+        "version int, committed boolean, decision string, reclaimable boolean",
+    )
+    counts = None
+    for r in audit:
+        c = (
+            spark.read.parquet(f"{base}/v={r['version']}")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+            .select(F.lit(r["version"]).cast("int").alias("version"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return (
+        meta.join(counts, "version")
+        .select("version", "committed", "n_rows", "decision", "reclaimable")
+        .orderBy("version")
+    )

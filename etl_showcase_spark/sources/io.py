@@ -818,6 +818,93 @@ def jsonl_pyds_sink(df: DataFrame, path: str) -> None:
     df.write.format("etl_jsonl_sink").option("path", path).mode("append").save()
 
 
+def audit_vacuum_policy(
+    base_path: str, keep_last: int = 2, torn_grace_seconds: float = 3600.0
+) -> list[dict]:
+    """Dry-run janitor dashboard for the snapshot protocol: the SAME
+    decision logic as ``vacuum_snapshots`` — which derives its
+    deletions from this audit, so there is exactly one decision engine
+    and the dashboard can never drift from what vacuum would do — but
+    read-only. One dict per ``v=*`` directory, ascending:
+
+      version   int
+      committed bool (a _COMMITTED marker exists)
+      n_files   regular files in the version dir (markers included —
+                rmtree reclaims them all)
+      bytes     total size of those files (the reclaim payoff)
+      decision  retained        committed, inside the keep_last window
+                reclaimable     committed, aged out of the window
+                torn_inflight   uncommitted, NEWER than the last commit
+                                (a slow writer may still be landing it
+                                — never touched, mtime irrelevant)
+                torn_graced     uncommitted, older, but a file was
+                                touched within the grace window (the
+                                writer's lease is still fresh)
+                torn_expired    uncommitted, older, quiescent past the
+                                grace window — safe to reclaim
+                racing          the listing raced with a concurrent
+                                writer/vacuum — protected this pass
+
+    The newest committed version is never reclaimable (keep_last >= 1
+    enforced). Reclaimable bytes = sum of ``bytes`` over decisions in
+    {reclaimable, torn_expired}.
+    """
+    import os
+    import time
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
+    committed = snapshot_versions(base_path)
+    keep = set(committed[-keep_last:])
+    newest = committed[-1] if committed else None
+    now = time.time()
+    rows: list[dict] = []
+    for v in _all_snapshot_versions(base_path):
+        d = os.path.join(base_path, f"v={v}")
+        torn = v not in committed
+        n_files = n_bytes = 0
+        newest_mtime = None
+        try:
+            for root, _, fs in os.walk(d):
+                for f in fs:
+                    st = os.stat(os.path.join(root, f))
+                    n_files += 1
+                    n_bytes += st.st_size
+                    if newest_mtime is None or st.st_mtime > newest_mtime:
+                        newest_mtime = st.st_mtime
+            if newest_mtime is None:
+                newest_mtime = os.path.getmtime(d)
+        except OSError:  # raced with its writer or a peer vacuum
+            rows.append(
+                {
+                    "version": v,
+                    "committed": not torn,
+                    "n_files": n_files,
+                    "bytes": n_bytes,
+                    "decision": "racing",
+                }
+            )
+            continue
+        if not torn:
+            decision = "retained" if v in keep else "reclaimable"
+        elif newest is None or v > newest:
+            decision = "torn_inflight"
+        elif now - newest_mtime < torn_grace_seconds:
+            decision = "torn_graced"
+        else:
+            decision = "torn_expired"
+        rows.append(
+            {
+                "version": v,
+                "committed": not torn,
+                "n_files": n_files,
+                "bytes": n_bytes,
+                "decision": decision,
+            }
+        )
+    return rows
+
+
 def vacuum_snapshots(
     base_path: str, keep_last: int = 2, torn_grace_seconds: float = 3600.0
 ) -> list[int]:
@@ -838,39 +925,23 @@ def vacuum_snapshots(
     enforced), so readers of "latest" are always safe; readers pinned
     to an old version lose it by explicit retention policy — the same
     contract as Delta/Iceberg VACUUM. Returns deleted version numbers.
+
+    Deletions are exactly the versions ``audit_vacuum_policy`` (the
+    read-only dry-run dashboard) marks ``reclaimable`` or
+    ``torn_expired`` — one decision engine shared by both.
     """
     import os
     import shutil
-    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
-    committed = snapshot_versions(base_path)
-    if not committed:
+    if not snapshot_versions(base_path):
         return []
-    keep = set(committed[-keep_last:])
-    newest = committed[-1]
-    now = time.time()
     deleted = []
-    for v in _all_snapshot_versions(base_path):
-        torn = v not in committed
-        if v in keep or (torn and v > newest):
-            continue
-        d = os.path.join(base_path, f"v={v}")
-        if torn:
-            try:
-                last_write = max(
-                    (
-                        os.path.getmtime(os.path.join(root, f))
-                        for root, _, fs in os.walk(d)
-                        for f in fs
-                    ),
-                    default=os.path.getmtime(d),
-                )
-            except OSError:  # raced with its writer or a peer vacuum
-                continue
-            if now - last_write < torn_grace_seconds:
-                continue  # possibly in-flight — let it finish or expire
-        shutil.rmtree(d, ignore_errors=True)
-        deleted.append(v)
+    for row in audit_vacuum_policy(base_path, keep_last, torn_grace_seconds):
+        if row["decision"] in ("reclaimable", "torn_expired"):
+            shutil.rmtree(
+                os.path.join(base_path, f"v={row['version']}"), ignore_errors=True
+            )
+            deleted.append(row["version"])
     return sorted(deleted)

@@ -185,3 +185,55 @@ def test_temperature_mix_excludes_zero_token_source(spark, zero_token_sf_dir):
         con.close()
     problems = compare_frames(actual, expected)
     assert not problems, "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Vacuum-policy audit (round-10, SURVEY §7.5): the oracle checks the
+# logical half (rows/decisions); this asserts the physical half — the
+# audit's file/byte stats match the disk, and vacuum_snapshots deletes
+# EXACTLY what the audit marks reclaimable, never the protected dirs.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_audit_matches_disk_and_vacuum_agrees(spark):
+    import os
+
+    from etl_showcase_spark.plans.ingest import vacuum_policy_audit
+    from etl_showcase_spark.sources.io import (
+        audit_vacuum_policy,
+        read_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    pdf = SPECS["vacuum_policy_audit"].build(spark, SF_SMOKE).toPandas()
+    base = vacuum_policy_audit.last_base
+
+    # physical half: n_files/bytes in the audit == the actual tree
+    audit = {r["version"]: r for r in audit_vacuum_policy(base, 2, 0.0)}
+    for v, row in audit.items():
+        disk_files = disk_bytes = 0
+        for root, _, fs in os.walk(os.path.join(base, f"v={v}")):
+            for f in fs:
+                disk_files += 1
+                disk_bytes += os.path.getsize(os.path.join(root, f))
+        assert row["n_files"] == disk_files and row["bytes"] == disk_bytes
+
+    # the dashboard's reclaim set is exactly what vacuum deletes
+    expect_deleted = sorted(
+        v for v, r in audit.items() if r["decision"] in ("reclaimable", "torn_expired")
+    )
+    assert expect_deleted == sorted(
+        pdf[pdf["reclaimable"]]["version"].tolist()
+    )
+    deleted = vacuum_snapshots(base, keep_last=2, torn_grace_seconds=0.0)
+    assert deleted == expect_deleted
+
+    # safety: retained + in-flight survive, latest still serves
+    survivors = {int(p[2:]) for p in os.listdir(base) if p.startswith("v=")}
+    assert survivors == {3, 5, 6}  # retained, retained, torn_inflight
+    assert snapshot_versions(base) == [3, 5]
+    assert read_snapshot(spark, base).count() > 0
+    # a re-audit after vacuum has nothing left to reclaim
+    post = audit_vacuum_policy(base, 2, 0.0)
+    assert all(r["decision"] in ("retained", "torn_inflight") for r in post)
