@@ -3699,3 +3699,183 @@ def post_dedup_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 per-source quality-drift dashboard ([EXT] — SURVEY §7.5 idea
+# bank): the monitoring relation a standing ingest pipeline watches —
+# per source and ingest month, the hashed-classifier SCORE distribution
+# vs the trailing month. The month key is the deterministic synthetic
+# cohort md5(doc_id) mod 4 — the testdata carries no timestamp column,
+# and the md5 split (incremental_gram_index_snapshot's convention) is
+# independent of the data layout, unlike doc_id % k (source assignment
+# is doc_id-periodic, which would pin every source to one month).
+# The drift metric reuses token_distribution_drift's log-free integer
+# discipline AT THE SCORE GRAIN: PSI's per-bucket logarithm would hinge
+# on libm parity between engines, so the dashboard reports exact
+# TOTAL VARIATION DISTANCE over score BANDS —
+#   tvd_numerator = SUM_bands |a_i*B - b_i*A|   (exact BIGINT)
+#   score_tvd     = numerator / (2*A*B)          (one exactly-rounded
+#                                                 double division)
+# plus the two drill-down columns a dashboard needs: the largest
+# single-band probability shift in ppm (exact integer division) and
+# WHICH band moved most (row_number over shift desc, band asc — both
+# engines spell it identically). Bands are fixed-width 500-point score
+# buckets, computed on a +1e10-shifted score so truncating div (Spark)
+# and floor div (DuckDB) agree on the all-non-negative operands.
+# A month with an empty trailing baseline is excluded (drift against
+# nothing is undefined — the temperature-mix guard discipline).
+# At 100 TB: the one token-explode shuffle every per-token scorer pays,
+# a doc-keyed agg, then everything lives at the (source, month, band)
+# grain — a few thousand rows; totals broadcast. The a*B cross-products
+# would need DECIMAL widening past ~3e9 docs/month/source, a one-line
+# cast.
+# ---------------------------------------------------------------------------
+
+_QDRIFT_BAND = 500
+_QDRIFT_SHIFT = 10_000_000_000
+_QDRIFT_MONTHS = 4
+
+_QDRIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST({_SQL_TOKS}) AS tk FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         ((CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % {_HQ_BUCKETS})
+           * {_HQ_MULT}) % {_HQ_MOD} - 500 AS wt
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, source, CAST(SUM(wt) AS BIGINT) AS score
+  FROM scored GROUP BY 1, 2
+),
+banded AS (
+  SELECT source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % {_QDRIFT_MONTHS} AS INT) AS month_id,
+         CAST((score + {_QDRIFT_SHIFT}) // {_QDRIFT_BAND} AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM per_doc GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT COALESCE(c.source, p.source) AS source,
+         COALESCE(c.month_id, p.month_id + 1) AS month_id,
+         COALESCE(c.band, p.band) AS band,
+         COALESCE(c.n, 0) AS a, COALESCE(p.n, 0) AS b
+  FROM (SELECT * FROM banded WHERE month_id >= 1) c
+  FULL OUTER JOIN
+       (SELECT * FROM banded WHERE month_id <= {_QDRIFT_MONTHS - 2}) p
+    ON c.source = p.source AND c.band = p.band
+       AND c.month_id = p.month_id + 1
+),
+tot AS (
+  SELECT source, month_id,
+         CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+  FROM pairs GROUP BY 1, 2
+),
+sh AS (
+  SELECT pr.source, pr.month_id, pr.band, t.ta, t.tb,
+         ABS(pr.a * t.tb - pr.b * t.ta) AS shift
+  FROM pairs pr JOIN tot t USING (source, month_id)
+  WHERE t.ta > 0 AND t.tb > 0
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source, month_id ORDER BY shift DESC, band ASC) AS rn
+  FROM sh
+)
+SELECT source, CAST(month_id AS INT) AS month_id,
+       CAST(MIN(ta) AS BIGINT) AS n_docs,
+       CAST(MIN(tb) AS BIGINT) AS n_docs_prev,
+       CAST(COUNT(*) AS BIGINT) AS n_bands,
+       CAST(SUM(shift) AS BIGINT) AS tvd_numerator,
+       CAST(SUM(shift) AS DOUBLE) / (2.0 * MIN(ta) * MIN(tb)) AS score_tvd,
+       CAST(CAST(MAX(shift) AS HUGEINT) * 1000000 // (MIN(ta) * MIN(tb))
+            AS BIGINT) AS max_band_shift_ppm,
+       CAST(MIN(CASE WHEN rn = 1 THEN band END) AS BIGINT)
+         AS top_shifted_band
+FROM rk GROUP BY 1, 2
+"""
+
+
+@register("quality_drift_dashboard", oracle=_QDRIFT_ORACLE, tags=("L4", "L6"))
+def quality_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_doc = _hq_doc_scores(table(spark, sf_dir, "documents"), "source")
+    banded = (
+        per_doc.select(
+            "source",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+                ).cast("bigint")
+                % _QDRIFT_MONTHS
+            )
+            .cast("int")
+            .alias("month_id"),
+            F.call_function(
+                "div",
+                F.col("score") + F.lit(_QDRIFT_SHIFT).cast("bigint"),
+                F.lit(_QDRIFT_BAND).cast("bigint"),
+            ).alias("band"),
+        )
+        .groupBy("source", "month_id", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cur = banded.filter(F.col("month_id") >= 1).select(
+        "source", "month_id", "band", F.col("n").alias("a")
+    )
+    prv = banded.filter(F.col("month_id") <= _QDRIFT_MONTHS - 2).select(
+        "source",
+        (F.col("month_id") + 1).cast("int").alias("month_id"),
+        "band",
+        F.col("n").alias("b"),
+    )
+    pairs = (
+        cur.join(prv, ["source", "month_id", "band"], "full_outer")
+        .select(
+            "source",
+            "month_id",
+            "band",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("a"),
+            F.coalesce("b", F.lit(0)).cast("bigint").alias("b"),
+        )
+    )
+    tot = pairs.groupBy("source", "month_id").agg(
+        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
+    )
+    sh = (
+        pairs.join(F.broadcast(tot), ["source", "month_id"])
+        .filter((F.col("ta") > 0) & (F.col("tb") > 0))
+        .select(
+            "source",
+            "month_id",
+            "band",
+            "ta",
+            "tb",
+            F.abs(F.col("a") * F.col("tb") - F.col("b") * F.col("ta")).alias("shift"),
+        )
+    )
+    w = Window.partitionBy("source", "month_id").orderBy(
+        F.col("shift").desc(), F.col("band").asc()
+    )
+    rk = sh.withColumn("rn", F.row_number().over(w))
+    return rk.groupBy("source", "month_id").agg(
+        F.min("ta").cast("bigint").alias("n_docs"),
+        F.min("tb").cast("bigint").alias("n_docs_prev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+        F.sum("shift").cast("bigint").alias("tvd_numerator"),
+        (
+            F.sum("shift").cast("double")
+            / (F.lit(2.0) * F.min("ta").cast("double") * F.min("tb").cast("double"))
+        ).alias("score_tvd"),
+        F.call_function(
+            "div", F.max("shift") * F.lit(1_000_000).cast("bigint"),
+            F.min("ta") * F.min("tb"),
+        ).cast("bigint").alias("max_band_shift_ppm"),
+        F.min(F.when(F.col("rn") == 1, F.col("band"))).cast("bigint").alias(
+            "top_shifted_band"
+        ),
+    )
