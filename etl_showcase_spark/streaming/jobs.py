@@ -1808,3 +1808,131 @@ def stream_sequence_packing_state(spark: SparkSession, sf_dir: str) -> DataFrame
     # distinct() makes the at-least-once log replay-idempotent
     emitted = _drain_replay_union(out, "stream_seq_packing", mode="append").distinct()
     return emitted.orderBy("pack_id", "start_offset")
+
+
+def stream_curriculum_state(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Streaming curriculum head: a running top-k GroupState over
+    CLOSING packs, composing ``stream_sequence_packing_state``'s
+    single-cell position fold with ``curriculum_pack_order``'s
+    pack-quality integer (plans/mlprep.py). Documents arrive
+    doc_id-ordered; each doc's hashed-classifier score is a pure JVM
+    array expression (same per-token weights as _hq_doc_scores —
+    integer addition commutes, so the array fold equals the batch's
+    explode+sum). The state cell tracks the stream token position, the
+    one partially-open pack's running (n_pieces, score_milli), and the
+    top-k closed packs by (score_milli asc, pack_id asc) — the HEAD of
+    the curriculum, k rows of state total. A pack closes exactly when
+    the position advances past its end (closed ⇔ pack_tokens == L), so
+    the drained latest emission must equal the batch
+    curriculum_pack_order restricted to FULL packs, re-ranked 1..k —
+    bit-identical (tests/test_streaming.py). At 100 TB this is the
+    admission-time shape of curriculum selection: O(k) state, one
+    integer fold per arriving doc, no retro-scan of closed packs."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..plans.mlprep import _HQ_BUCKETS, _HQ_MOD, _HQ_MULT, _PACK_LEN
+
+    docs = documents_replay_stream(spark, sf_dir)
+    toks = textops.tokens("text")
+
+    def wt(tk):
+        bucket = F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast(
+            "bigint"
+        ) % _HQ_BUCKETS
+        return (bucket * _HQ_MULT) % _HQ_MOD - 500
+
+    lens = (
+        docs.select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n"),
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, tk: acc + wt(tk)
+            ).alias("score"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("__g", F.lit(0))
+    )
+    L, K = _PACK_LEN, k
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            cum, open_id, open_np, open_sm = (
+                int(state.get[0]), int(state.get[1]),
+                int(state.get[2]), int(state.get[3]),
+            )
+            top = sorted(zip(state.get[4], state.get[5], state.get[6]))
+            # stored as parallel (score_milli, pack_id, n_pieces) arrays
+        else:
+            cum, open_id, open_np, open_sm, top = 0, -1, 0, 0, []
+        cols = ["doc_id", "n", "score"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        df = df.sort_values("doc_id")
+        closed = []
+        for _, n, score in df.itertuples(index=False):
+            prev, n, score = cum, int(n), int(score)
+            for kk in range(prev // L, (prev + n - 1) // L + 1):
+                lo, hi = max(kk * L, prev), min((kk + 1) * L, prev + n)
+                pq = (1000 * score * (hi - lo)) // n  # floor, == _fdiv
+                if kk == open_id:
+                    open_np += 1
+                    open_sm += pq
+                else:
+                    if open_id >= 0:
+                        closed.append((open_sm, open_id, open_np))
+                    open_id, open_np, open_sm = kk, 1, pq
+            cum = prev + n
+        # the open pack closes only once the position passes its end
+        if open_id >= 0 and cum >= (open_id + 1) * L:
+            closed.append((open_sm, open_id, open_np))
+            open_id, open_np, open_sm = -1, 0, 0
+        top = sorted(top + closed)[:K]
+        state.update(
+            (
+                cum, open_id, open_np, open_sm,
+                [t[0] for t in top], [t[1] for t in top], [t[2] for t in top],
+            )
+        )
+        if not top:
+            return
+        yield pd.DataFrame(
+            {
+                "rank": list(range(1, len(top) + 1)),
+                "pack_id": [t[1] for t in top],
+                "n_pieces": [t[2] for t in top],
+                "pack_tokens": [L] * len(top),
+                "score_milli": [t[0] for t in top],
+                "ver": [cum] * len(top),
+            }
+        )
+
+    out = lens.groupBy("__g").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "rank int, pack_id long, n_pieces int, pack_tokens long, "
+            "score_milli long, ver long"
+        ),
+        stateStructType=(
+            "cum bigint, open_id bigint, open_np bigint, open_sm bigint, "
+            "top_sm array<bigint>, top_id array<bigint>, top_np array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode emissions are the full top-k at position ver: the
+    # latest version over the whole cross-restart log wins
+    log = _drain_replay_union(out, "stream_curriculum", mode="update").distinct()
+    latest = log.agg(F.max("ver").alias("ver"))
+    return (
+        log.join(latest, "ver")
+        .select("rank", "pack_id", "n_pieces", "pack_tokens", "score_milli")
+        .orderBy("rank")
+    )

@@ -612,6 +612,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_two_level_assign_state,
         jobs.stream_progressive_coverage_state,
         jobs.stream_sequence_packing_state,
+        jobs.stream_curriculum_state,  # round 10: O(k) top-k state
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -750,3 +751,29 @@ def test_stateful_sequence_packing_matches_batch(spark):
     batch = sequence_packing_pieces(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_curriculum_matches_batch(spark):
+    # the running top-k GroupState over CLOSING packs == the batch
+    # curriculum restricted to FULL packs (closed ⇔ pack_tokens == L),
+    # re-ranked 1..k: every column bit-identical, ties broken by
+    # (score_milli, pack_id) on both sides
+    from etl_showcase_spark.plans.mlprep import _PACK_LEN, curriculum_pack_order
+
+    streamed = jobs.stream_curriculum_state(spark, SF_SMOKE, k=10).toPandas()
+    batch = curriculum_pack_order(spark, SF_SMOKE).toPandas()
+    full = (
+        batch[batch["pack_tokens"] == _PACK_LEN]
+        .sort_values(["score_milli", "pack_id"])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    # the corpus must actually exercise the operator: some packs closed
+    # and some pack is NOT in the head (k < number of full packs)
+    assert len(full) == 10 and (batch["pack_tokens"] == _PACK_LEN).sum() > 10
+    expected = full.assign(rank=range(1, len(full) + 1))[
+        ["rank", "pack_id", "n_pieces", "pack_tokens", "score_milli"]
+    ]
+    expected = expected.astype(dict(streamed.dtypes))
+    assert not compare_frames(streamed, expected.reset_index(drop=True))
