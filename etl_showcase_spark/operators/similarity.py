@@ -192,7 +192,13 @@ def lsh_ann_topk(
 
     Asymmetric sides, by design: the QUERY side is bounded (O(1) in
     corpus size), so BOTH its posting list and its vector table are
-    broadcast. Candidate dedup is ids-only — carrying the quantized
+    broadcast — and its signatures are computed with pure JVM integer
+    expressions (lsh_bucket_key per table: same planes, same exact
+    arithmetic as the GEMM), so the only Python/Arrow stage left in the
+    plan is the corpus-side GEMM that actually grows with data. One
+    pandas-UDF stage instead of two means one Python-worker warm-up on
+    the latency path, which is where the bench variance lived.
+    Candidate dedup is ids-only — carrying the quantized
     query vector through dropDuplicates would put an array<bigint>
     inside the aggregation buffer and demote the whole dedup to
     SortAggregate (sort by q_id,c_id instead of hashing them); with
@@ -204,10 +210,13 @@ def lsh_ann_topk(
     CORPUS side — the one that grows with data — stays ids-only through
     candidate dedup; corpus vectors rejoin exactly once, by id, for the
     exact-cosine scoring."""
+    qv = quantize(F.col(vec_col))
     q_base = queries.select(
         F.col(query_id).alias("q_id"),
-        quantize(F.col(vec_col)).alias("q_vec"),
-        lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables).alias("keys"),
+        qv.alias("q_vec"),
+        F.array(
+            *[lsh_bucket_key(qv, n_planes, dim, t) for t in range(n_tables)]
+        ).alias("keys"),  # JVM expressions — bit-identical to the GEMM keys
     ).transform(tracked_persist)  # bounded: the query set is O(1) in corpus size
     q_sig = q_base.select("q_id", F.posexplode("keys").alias("tbl", "key"))
     q_vecs = q_base.select(

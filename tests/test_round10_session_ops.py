@@ -237,3 +237,35 @@ def test_vacuum_audit_matches_disk_and_vacuum_agrees(spark):
     # a re-audit after vacuum has nothing left to reclaim
     post = audit_vacuum_policy(base, 2, 0.0)
     assert all(r["decision"] in ("retained", "torn_inflight") for r in post)
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk variance reduction (round-10): the query-side signatures
+# moved from the pandas-UDF GEMM to pure JVM integer expressions. The
+# two spellings must stay bit-identical on every vector — this is the
+# contract that let the swap keep the blessed hash.
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_expression_keys_equal_gemm_keys(spark):
+    from etl_showcase_spark.operators.similarity import (
+        lsh_bucket_key,
+        lsh_bucket_keys_gemm,
+        quantize,
+    )
+
+    n_planes, dim, n_tables = 4, 64, 8
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(300)
+    qv = quantize(F.col("embedding"))
+    both = e.select(
+        "vec_id",
+        F.array(
+            *[lsh_bucket_key(qv, n_planes, dim, t) for t in range(n_tables)]
+        ).alias("expr_keys"),
+        lsh_bucket_keys_gemm("embedding", n_planes, dim, n_tables).alias(
+            "gemm_keys"
+        ),
+    )
+    diff = both.filter(F.col("expr_keys") != F.col("gemm_keys")).count()
+    assert diff == 0
+    assert both.count() == 300
