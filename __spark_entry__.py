@@ -12,13 +12,14 @@ modules (see etl_showcase_spark/registry.py).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_showcase_spark import registry
 
-SF0001 = "/root/testdata/sf0.001"
+SF0001 = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -61,3 +61,40 @@ def sql_davg(expr: str, alias: str) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+# ---------------------------------------------------------------------------
+# The 2^53 cast boundary (found round 10, pearson_corr_exact at
+# sf0.001): DuckDB converts DECIMAL(p,s)→DOUBLE as
+# (double)int_repr / (double)10^s — TWO roundings once the scaled
+# integer exceeds 2^53 — while Spark's BigDecimal→double rounds once.
+# The two disagree by 1 ULP on ~half of such values. dsum's scale-2
+# money sums stay below the boundary through sf0.1 (int repr ~2e13 vs
+# 9.007e15), but scale-4 PRODUCT sums (e.g. Σ price², int repr ~7e16
+# at sf0.001) are already past it. d2d() decomposes the cast so every
+# step is a SINGLE unambiguous rounding in both engines:
+#   double(v) := double(floor(v)) + double(v - floor(v))
+# floor(v) is an integer-valued decimal (int→double: one correct
+# rounding at any magnitude); the fraction's scaled int is < 10^s,
+# far below 2^53 (its cast is exact-then-one-division); the final add
+# is one exactly-rounded IEEE op on identical operands. Use d2d (and
+# the sql_d2d twin) for any decimal whose scaled integer can pass
+# 2^53 — in practice every sum of decimal PRODUCTS.
+# ---------------------------------------------------------------------------
+
+
+def d2d(c: Column, alias: str | None = None) -> Column:
+    """Cross-engine-deterministic DECIMAL→DOUBLE cast (see block
+    comment): floor/fraction decomposition, bit-identical in Spark and
+    DuckDB at any magnitude."""
+    f = F.floor(c)
+    out = f.cast("double") + (c - f).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def sql_d2d(expr: str) -> str:
+    """DuckDB twin of d2d()."""
+    return (
+        f"(CAST(FLOOR({expr}) AS DOUBLE)"
+        f" + CAST(({expr}) - FLOOR({expr}) AS DOUBLE))"
+    )

@@ -1404,21 +1404,31 @@ def brand_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT
 # decimals, and the final correlation is computed from them in one
 # deterministic double expression — same single shuffle as any
-# multi-measure agg.
+# multi-measure agg. The moment casts use d2d/sql_d2d (round 10): the
+# scale-4 PRODUCT sums put their scaled integers past 2^53 already at
+# sf0.001, where DuckDB's naive DECIMAL→DOUBLE double-rounds and
+# drifts 1 ULP from Spark's single rounding (functions/numeric.py
+# block comment; caught by the CI fixture-scale sweep).
 # ---------------------------------------------------------------------------
 
-_CORR_ORACLE = """
+
+def _corr_oracle() -> str:
+    from ..functions.numeric import sql_d2d
+
+    def m(expr: str) -> str:
+        return sql_d2d(f"SUM({expr})")
+
+    q = "CAST(l_quantity AS DECIMAL(12,2))"
+    p = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    return f"""
 WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+         {m(q)} AS sx,
+         {m(p)} AS sy,
+         {m(f"{q} * {p}")} AS sxy,
+         {m(f"{q} * {q}")} AS sxx,
+         {m(f"{p} * {p}")} AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -1429,17 +1439,19 @@ FROM m
 """
 
 
-@register("pearson_corr_exact", oracle=_CORR_ORACLE, tags=("G1", "G8"))
+@register("pearson_corr_exact", oracle=_corr_oracle(), tags=("G1", "G8"))
 def pearson_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import d2d
+
     li = table(spark, sf_dir, "lineitem")
     x, y = dec2("l_quantity"), dec2("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("__sx"),
-        F.sum(y).cast("double").alias("__sy"),
-        F.sum(x * y).cast("double").alias("__sxy"),
-        F.sum(x * x).cast("double").alias("__sxx"),
-        F.sum(y * y).cast("double").alias("__syy"),
+        d2d(F.sum(x), "__sx"),
+        d2d(F.sum(y), "__sy"),
+        d2d(F.sum(x * y), "__sxy"),
+        d2d(F.sum(x * x), "__sxx"),
+        d2d(F.sum(y * y), "__syy"),
     )
     corr = (F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
         F.sqrt(F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))

@@ -4,7 +4,7 @@ import os
 
 import pytest
 
-SF_SMOKE = "/root/testdata/sf0.001"
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
 SF_ORACLE = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.01")
 
 

@@ -16,6 +16,21 @@ ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is not None)
 ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if s.oracle is None)
 
 
+# Queries whose OUTPUT is legitimately empty below the driver's sf0.01
+# (the hash still must match): at fixture scale (the CI fallback lake,
+# tests/fixtures/sf0.001) these find no qualifying pairs — a data
+# property, not a regression. The vacuity gate stays HARD at sf0.01.
+FIXTURE_SCALE_VACUOUS = {
+    "er_weighted_field_agreement",  # no field-agreeing pairs survive blocking
+    "kcore_copurchase",  # the 3-core is empty on the tiny co-purchase graph
+    "q20_excess_shipments",  # no supplier exceeds the excess threshold
+    "q22_idle_rich_customers",  # no above-avg-balance idle customers
+    "q7_nation_volume",  # the two named nations never trade at sf0.001
+}
+
+_AT_DRIVER_SCALE = SF_ORACLE.rstrip("/").endswith("sf0.01")
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, name):
     spec = SPECS[name]
@@ -25,7 +40,8 @@ def test_oracle_parity(spark, duck, name):
     assert not problems, f"{name}: " + "; ".join(problems)
     # a zero-row MATCH proves nothing — every registered query must
     # exercise real data at the driver's correctness scale
-    assert len(actual) > 0, f"{name} returned 0 rows — vacuous MATCH"
+    if _AT_DRIVER_SCALE or name not in FIXTURE_SCALE_VACUOUS:
+        assert len(actual) > 0, f"{name} returned 0 rows — vacuous MATCH"
 
 
 # ---------------------------------------------------------------------------

@@ -269,3 +269,39 @@ def test_lsh_expression_keys_equal_gemm_keys(spark):
     diff = both.filter(F.col("expr_keys") != F.col("gemm_keys")).count()
     assert diff == 0
     assert both.count() == 300
+
+
+# ---------------------------------------------------------------------------
+# The 2^53 decimal→double cast boundary (round-10, caught by the CI
+# fixture-scale sweep): DuckDB double-rounds DECIMAL→DOUBLE once the
+# scaled integer passes 2^53; d2d/sql_d2d force both engines through
+# identical single roundings. Pin the hazard AND the fix on the real
+# value that exposed it.
+# ---------------------------------------------------------------------------
+
+
+def test_d2d_agrees_across_engines_past_2pow53(spark):
+    import duckdb
+
+    from etl_showcase_spark.functions.numeric import d2d, sql_d2d
+
+    # scaled int 7096786968835_8685 > 2^53: the naive casts disagree
+    lit = "7096786968835.8685"
+    s = spark.sql(f"SELECT CAST('{lit}' AS DECIMAL(38,4)) v").select(
+        d2d(F.col("v"), "dec"), F.col("v").cast("double").alias("naive")
+    ).collect()[0]
+    con = duckdb.connect()
+    try:
+        dec_sql = sql_d2d("v")
+        duck = con.execute(
+            f"SELECT {dec_sql}, CAST(v AS DOUBLE) "
+            f"FROM (SELECT CAST('{lit}' AS DECIMAL(38,4)) v)"
+        ).fetchone()
+    finally:
+        con.close()
+    # the fix: bit-identical across engines
+    assert s["dec"] == duck[0]
+    # the hazard is real: the naive casts actually disagree on this value
+    assert s["naive"] != duck[1]
+    # and d2d is value-faithful (within the two correctly-rounded ULPs)
+    assert abs(s["dec"] - float(lit)) <= abs(float(lit)) * 1e-15

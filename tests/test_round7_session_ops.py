@@ -11,7 +11,7 @@ from collections import Counter
 
 import pyarrow.parquet as pq
 
-SF = "/root/testdata/sf0.001"
+from .conftest import SF_SMOKE as SF
 
 
 def _docs():

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from etl_showcase_spark.operators import textops
 
+from .conftest import SF_SMOKE
+
 
 def _one(spark, text, col):
     return (
@@ -100,7 +102,7 @@ def test_grouped_rank_trend_arrow_twin_equality(spark):
         grouped_rank_trend_arrow,
     )
 
-    ev = table(spark, "/root/testdata/sf0.001", "events")
+    ev = table(spark, SF_SMOKE, "events")
     a = {
         r["key"]: (r["n_obs"], r["slope_per_event"])
         for r in grouped_rank_trend(ev, "user_id", "ts", "event_id", "value").collect()
