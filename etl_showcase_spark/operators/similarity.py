@@ -192,12 +192,15 @@ def lsh_ann_topk(
 
     Asymmetric sides, by design: the QUERY side is bounded (O(1) in
     corpus size), so BOTH its posting list and its vector table are
-    broadcast — and its signatures are computed with pure JVM integer
-    expressions (lsh_bucket_key per table: same planes, same exact
-    arithmetic as the GEMM), so the only Python/Arrow stage left in the
-    plan is the corpus-side GEMM that actually grows with data. One
-    pandas-UDF stage instead of two means one Python-worker warm-up on
-    the latency path, which is where the bench variance lived.
+    broadcast. Both sides sign with the GEMM — evaluated and rejected
+    in round 10: computing the query-side keys as JVM lsh_bucket_key
+    expressions (bit-identical, see
+    tests/test_round10_session_ops.py::test_lsh_expression_keys_equal_gemm_keys)
+    removes one pandas-UDF stage but regresses the query 1.4s -> 3.7s
+    at sf0.1, because 32 planes x 64 dims of INTERPRETED higher-order
+    zip_with/aggregate cost ~µs per element while the Arrow GEMM does
+    the same work in one vectorized matmul. Python-worker warm-up is
+    cheaper than interpreted expression evaluation here.
     Candidate dedup is ids-only — carrying the quantized
     query vector through dropDuplicates would put an array<bigint>
     inside the aggregation buffer and demote the whole dedup to
@@ -210,13 +213,10 @@ def lsh_ann_topk(
     CORPUS side — the one that grows with data — stays ids-only through
     candidate dedup; corpus vectors rejoin exactly once, by id, for the
     exact-cosine scoring."""
-    qv = quantize(F.col(vec_col))
     q_base = queries.select(
         F.col(query_id).alias("q_id"),
-        qv.alias("q_vec"),
-        F.array(
-            *[lsh_bucket_key(qv, n_planes, dim, t) for t in range(n_tables)]
-        ).alias("keys"),  # JVM expressions — bit-identical to the GEMM keys
+        quantize(F.col(vec_col)).alias("q_vec"),
+        lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables).alias("keys"),
     ).transform(tracked_persist)  # bounded: the query set is O(1) in corpus size
     q_sig = q_base.select("q_id", F.posexplode("keys").alias("tbl", "key"))
     q_vecs = q_base.select(
