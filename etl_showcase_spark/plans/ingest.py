@@ -1034,3 +1034,86 @@ def vacuum_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "committed", "n_rows", "decision", "reclaimable")
         .orderBy("version")
     )
+
+
+# ---------------------------------------------------------------------------
+# S11 snapshot-lineage diff ([EXT] — SURVEY §7.5 round-11 candidate,
+# landed round 10): "what changed since yesterday" between two
+# committed versions of a snapshot base, computed through the REAL
+# snapshot machinery (write_snapshot -> read_snapshot both sides). A
+# deterministic two-version history lands over documents — v1 keeps
+# doc_id % 3 <> 0; v2 keeps doc_id % 5 <> 0 and rewrites the text of
+# docs with doc_id % 7 = 0 (a marker prefix) — then the diff is one
+# doc_id-keyed full outer join classifying every key: added (B only),
+# deleted (A only), updated (both, md5(text) differs). Unchanged rows
+# are excluded — at 100 TB the diff relation is change-sized, not
+# corpus-sized, and the join is one co-partitioned shuffle on the
+# natural key (bucketed snapshot layouts make it exchange-free). The
+# oracle replays the predicates straight off the documents view.
+# ---------------------------------------------------------------------------
+
+_LINEAGE_ORACLE = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN '[rev2] ' || text ELSE text END) AS h
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'deleted'
+            ELSE 'updated' END AS status,
+       a.h AS old_md5, b.h AS new_md5
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+"""
+
+
+@register("snapshot_lineage_diff", oracle=_LINEAGE_ORACLE, tags=("S11", "Q2"))
+def snapshot_lineage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..sources.io import read_snapshot, write_snapshot
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lineage_diff_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/docs"
+    v_a = write_snapshot(d.filter(F.col("doc_id") % 3 != 0), base)
+    v_b = write_snapshot(
+        d.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("[rev2] "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ),
+        base,
+    )
+    a = read_snapshot(spark, base, v_a).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("old_md5")
+    )
+    b = read_snapshot(spark, base, v_b).select(
+        F.col("doc_id").alias("b_id"), F.md5("text").alias("new_md5")
+    )
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    return (
+        j.filter(
+            F.col("a_id").isNull()
+            | F.col("b_id").isNull()
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
+        .select(
+            F.coalesce("a_id", "b_id").alias("doc_id"),
+            F.when(F.col("a_id").isNull(), F.lit("added"))
+            .when(F.col("b_id").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            "old_md5",
+            "new_md5",
+        )
+    )

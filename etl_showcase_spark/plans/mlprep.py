@@ -3879,3 +3879,60 @@ def quality_drift_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_shifted_band"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/Q2 drift ALERTING ([EXT] — SURVEY §7.5 round-11 candidate, landed
+# round 10): the quality-gate discipline applied to the drift relation.
+# Each source carries a declared TVD budget (deterministic here:
+# 500k/700k/900k ppm keyed by LENGTH(source) mod 3 — a real deployment
+# reads the budget table from config); a (source, month) breaches when
+# exact-integer tvd exceeds it:
+#   tvd_numerator * 1e6  >  budget_ppm * 2 * ta * tb
+# — all integers, no float threshold (the comparison is done in
+# DECIMAL(38,0)/HUGEINT so the cross-product can't overflow at any
+# corpus size). Only breach rows are emitted: the alert relation is
+# incident-sized, not dashboard-sized.
+# ---------------------------------------------------------------------------
+
+_QDRIFT_ALERT_ORACLE = f"""
+WITH dash AS ({_QDRIFT_ORACLE}
+)
+SELECT source, month_id, n_docs, n_docs_prev,
+       CAST(CAST(tvd_numerator AS HUGEINT) * 1000000
+            // (2 * n_docs * n_docs_prev) AS BIGINT) AS tvd_ppm,
+       CAST(500000 + (LENGTH(source) % 3) * 200000 AS BIGINT) AS budget_ppm
+FROM dash
+WHERE CAST(tvd_numerator AS HUGEINT) * 1000000
+      > (500000 + (LENGTH(source) % 3) * 200000)
+        * CAST(2 * n_docs * n_docs_prev AS HUGEINT)
+"""
+
+
+@register("quality_drift_alerts", oracle=_QDRIFT_ALERT_ORACLE, tags=("L4", "Q2"))
+def quality_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dash = quality_drift_dashboard(spark, sf_dir)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731 — overflow headroom
+    budget = (
+        F.lit(500000).cast("bigint")
+        + (F.length("source") % 3).cast("bigint") * 200000
+    )
+    denom = 2 * F.col("n_docs") * F.col("n_docs_prev")
+    return (
+        dash.withColumn("budget_ppm", budget)
+        .filter(
+            dec(F.col("tvd_numerator")) * 1000000 > dec(F.col("budget_ppm") * denom)
+        )
+        .select(
+            "source",
+            "month_id",
+            "n_docs",
+            "n_docs_prev",
+            F.call_function(
+                "div", dec(F.col("tvd_numerator")) * 1000000, dec(denom)
+            )
+            .cast("bigint")
+            .alias("tvd_ppm"),
+            "budget_ppm",
+        )
+    )
