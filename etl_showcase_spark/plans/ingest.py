@@ -971,9 +971,10 @@ SELECT 6, FALSE,
 """
 
 
-@register("vacuum_policy_audit", oracle=_VACUUM_AUDIT_ORACLE, tags=("S11", "Q2"))
-def vacuum_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lake-retention dashboard over a deterministic snapshot history.
+def build_vacuum_history(spark: SparkSession, sf_dir: str) -> str:
+    """The deterministic six-version snapshot history shared by
+    vacuum_policy_audit and the streaming janitor twin
+    (streaming/jobs.py:stream_vacuum_janitor_state); returns the base.
 
     v1 initial load (doc_id % 4 <> 0, fragmented into 4 files) →
     v2 compact_snapshot of v1 (same rows, bin-packed) →
@@ -981,18 +982,12 @@ def vacuum_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v4 TORN below the newest commit (marker removed; grace 0 ⇒ expired) →
     v5 current (doc_id % 7 <> 0) →
     v6 TORN above the newest commit (an in-flight writer — protected
-    regardless of age).
-
-    keep_last=2 retains {v3, v5}; v1/v2 age out; v4 is reclaimable torn
-    debt; v6 must never be touched. Row counts come from per-version
-    parquet scans (COUNT(*) is footer-metadata-only), so the oracle can
-    recompute every column from the documents view plus the declared
-    policy."""
+    regardless of age)."""
     import atexit
     import os
     import shutil
 
-    from ..sources.io import audit_vacuum_policy, compact_snapshot, write_snapshot
+    from ..sources.io import compact_snapshot, write_snapshot
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     root = tempfile.mkdtemp(prefix="vacuum_audit_")
@@ -1006,7 +1001,20 @@ def vacuum_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(d.filter(F.col("doc_id") % 7 != 0), base)
     v6 = write_snapshot(d.filter(F.col("doc_id") % 5 == 0), base)
     os.remove(os.path.join(base, f"v={v6}", "_COMMITTED"))
+    return base
 
+
+@register("vacuum_policy_audit", oracle=_VACUUM_AUDIT_ORACLE, tags=("S11", "Q2"))
+def vacuum_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-retention dashboard over the deterministic snapshot history
+    of build_vacuum_history. keep_last=2 retains {v3, v5}; v1/v2 age
+    out; v4 is reclaimable torn debt; v6 must never be touched. Row
+    counts come from per-version parquet scans (COUNT(*) is
+    footer-metadata-only), so the oracle can recompute every column
+    from the documents view plus the declared policy."""
+    from ..sources.io import audit_vacuum_policy
+
+    base = build_vacuum_history(spark, sf_dir)
     audit = audit_vacuum_policy(base, keep_last=2, torn_grace_seconds=0.0)
     vacuum_policy_audit.last_base = base  # for the byte-level pytest half
     meta = spark.createDataFrame(

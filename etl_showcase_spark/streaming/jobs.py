@@ -1936,3 +1936,173 @@ def stream_curriculum_state(
         .select("rank", "pack_id", "n_pieces", "pack_tokens", "score_milli")
         .orderBy("rank")
     )
+
+
+def snapshot_events_replay_stream(spark: SparkSession, base_path: str) -> DataFrame:
+    """Version-ordered micro-batch replay of a snapshot base's METADATA
+    events — one (version, committed, n_files, bytes) row per
+    micro-batch, read from a parquet manifest staged next to the base
+    (the stream must replay across foreachBatch restarts, so the events
+    live on disk like every other replay source, not in a closure).
+    This is the lake's "a writer landed/committed a version" feed; at
+    100 TB it is O(versions) metadata rows, never data-sized."""
+    import os
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    from ..sources.io import audit_vacuum_policy
+
+    manifest = base_path + "_events.parquet"
+    if not os.path.exists(manifest):
+        # stats only — decisions are NOT shipped; the stream derives them
+        rows = audit_vacuum_policy(base_path, keep_last=1, torn_grace_seconds=0.0)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "version": pa.array([r["version"] for r in rows], pa.int64()),
+                    "committed": pa.array([r["committed"] for r in rows]),
+                    "n_files": pa.array([r["n_files"] for r in rows], pa.int64()),
+                    "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
+                }
+            ),
+            manifest,
+        )
+
+    class _SnapEventsReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path)
+                self._tbl = t.take(
+                    pc.sort_indices(t, sort_keys=[("version", "ascending")])
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter(
+                [
+                    (r["version"], r["committed"], r["n_files"], r["bytes"])
+                    for r in sl
+                ]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + 1, self._table().num_rows)  # ONE event per batch
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _SnapEventsSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "snapshot_events_replay"
+
+        def schema(self) -> str:
+            return "version long, committed boolean, n_files long, bytes long"
+
+        def simpleStreamReader(self, schema):
+            return _SnapEventsReader(self.options)
+
+    spark.dataSource.register(_SnapEventsSource)
+    return (
+        spark.readStream.format("snapshot_events_replay")
+        .option("path", manifest)
+        .load()
+    )
+
+
+def stream_vacuum_janitor_state(
+    spark: SparkSession, sf_dir: str, keep_last: int = 2
+) -> DataFrame:
+    """Streaming vacuum janitor: the lake-lifecycle half of S11 under
+    streaming semantics. Snapshot metadata events (one version per
+    micro-batch, version-ordered) replay into a single GroupState cell
+    that maintains the FULL retention decision table incrementally —
+    exactly audit_vacuum_policy's grace-0 policy re-derived after every
+    event, over O(versions) integer state. Decisions CHANGE as history
+    grows (a retained version ages out when the keep_last window slides
+    past it; a torn dir flips inflight→expired when a newer commit
+    lands), so update-mode emission + latest-version-wins drain is the
+    correct protocol, and the final table must equal the batch audit of
+    the same base bit-for-bit (tests/test_streaming.py, RocksDB parity
+    included)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.ingest import build_vacuum_history
+
+    base = build_vacuum_history(spark, sf_dir)
+    stream_vacuum_janitor_state.last_base = base
+    events = snapshot_events_replay_stream(spark, base).withColumn("__g", F.lit(0))
+    K = keep_last
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            vs = [int(v) for v in state.get[0]]
+            cm = [bool(c) for c in state.get[1]]
+            nf = [int(x) for x in state.get[2]]
+            bt = [int(x) for x in state.get[3]]
+        else:
+            vs, cm, nf, bt = [], [], [], []
+        cols = ["version", "committed", "n_files", "bytes"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        for v, c, f_, b in df.sort_values("version").itertuples(index=False):
+            vs.append(int(v)); cm.append(bool(c)); nf.append(int(f_)); bt.append(int(b))
+        state.update((vs, cm, nf, bt))
+        committed = sorted(v for v, c in zip(vs, cm) if c)
+        keep = set(committed[-K:])
+        newest = committed[-1] if committed else None
+        out = {"version": [], "committed": [], "n_files": [], "bytes": [],
+               "decision": [], "ver": []}
+        for v, c, f_, b in sorted(zip(vs, cm, nf, bt)):
+            if c:
+                dec = "retained" if v in keep else "reclaimable"
+            elif newest is None or v > newest:
+                dec = "torn_inflight"
+            else:
+                dec = "torn_expired"  # grace-0 twin: quiescence is immediate
+            out["version"].append(v); out["committed"].append(c)
+            out["n_files"].append(f_); out["bytes"].append(b)
+            out["decision"].append(dec); out["ver"].append(len(vs))
+        yield pd.DataFrame(out)
+
+    out = events.groupBy("__g").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "version long, committed boolean, n_files long, bytes long, "
+            "decision string, ver long"
+        ),
+        stateStructType=(
+            "vs array<bigint>, cm array<boolean>, "
+            "nf array<bigint>, bt array<bigint>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_vacuum_janitor", mode="update").distinct()
+    latest = log.agg(F.max("ver").alias("ver"))
+    return (
+        log.join(latest, "ver")
+        .select("version", "committed", "n_files", "bytes", "decision")
+        .orderBy("version")
+    )

@@ -613,6 +613,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_progressive_coverage_state,
         jobs.stream_sequence_packing_state,
         jobs.stream_curriculum_state,  # round 10: O(k) top-k state
+        jobs.stream_vacuum_janitor_state,  # round 10: O(versions) metadata state
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -777,3 +778,24 @@ def test_stateful_curriculum_matches_batch(spark):
     ]
     expected = expected.astype(dict(streamed.dtypes))
     assert not compare_frames(streamed, expected.reset_index(drop=True))
+
+
+def test_stateful_vacuum_janitor_matches_batch_audit(spark):
+    # one metadata event per micro-batch: the janitor's incremental
+    # decision table must converge to exactly the batch audit of the
+    # same base (grace-0 policy; 'racing' cannot occur in replay)
+    import pandas as pd
+
+    from etl_showcase_spark.sources.io import audit_vacuum_policy
+
+    streamed = jobs.stream_vacuum_janitor_state(spark, SF_SMOKE).toPandas()
+    base = jobs.stream_vacuum_janitor_state.last_base
+    audit = pd.DataFrame(audit_vacuum_policy(base, keep_last=2, torn_grace_seconds=0.0))
+    audit = audit[["version", "committed", "n_files", "bytes", "decision"]]
+    audit = audit.astype(dict(streamed.dtypes)).reset_index(drop=True)
+    assert len(streamed) == 6
+    # the history exercises every decision class the replay can produce
+    assert set(streamed["decision"]) == {
+        "retained", "reclaimable", "torn_expired", "torn_inflight"
+    }
+    assert not compare_frames(streamed, audit)
