@@ -341,13 +341,16 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plus a map-side join.
 # ---------------------------------------------------------------------------
 
-_ZSCORE_ORACLE = """
+# (ss uses sql_d2d: the scale-4 squared sum's scaled integer crosses the
+# 2^53 single-rounding boundary around sf1 — see functions/numeric.py)
+from ..functions.numeric import sql_d2d as _sql_d2d  # noqa: E402
+
+_ZSCORE_ORACLE = f"""
 WITH st AS (
   SELECT event_type,
          COUNT(value) AS n,
          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
-              AS DOUBLE) AS ss
+         {_sql_d2d("SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))")} AS ss
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type, e.value,
@@ -363,13 +366,13 @@ WHERE st.n >= 2
 
 @register("zscore_outlier_events", oracle=_ZSCORE_ORACLE, tags=("G8", "P10", "J1"))
 def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.numeric import dec2
+    from ..functions.numeric import d2d, dec2
 
     ev = table(spark, sf_dir, "events")
     st = ev.groupBy("event_type").agg(
         F.count("value").alias("__n"),
         F.sum(dec2("value")).cast("double").alias("__s"),
-        F.sum(dec2("value") * dec2("value")).cast("double").alias("__ss"),
+        d2d(F.sum(dec2("value") * dec2("value")), "__ss"),
     )
     mean = F.col("__s") / F.col("__n")
     var = F.col("__ss") / F.col("__n") - mean * mean
