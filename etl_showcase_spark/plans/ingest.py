@@ -1125,3 +1125,67 @@ def snapshot_lineage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_md5",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/J2 bucketed-lake lineage ([EXT] — SURVEY §7.5; the
+# join_fact_revenue_bucketed discipline applied to the snapshot diff):
+# the same added/deleted/updated relation as snapshot_lineage_diff, but
+# with both versions landed as doc_id-bucketed managed tables, so the
+# full-outer diff join reads co-located, pre-sorted buckets — ZERO
+# Exchange anywhere in the plan (pytest-asserted). At 100 TB this is
+# how a lake owner runs the nightly diff: the bucket shuffle is paid
+# once when each version lands, and every subsequent diff/join on the
+# natural key is shuffle-free. Same oracle as the plain twin — the
+# layout must not change a single row.
+# ---------------------------------------------------------------------------
+
+
+@register("snapshot_lineage_diff_bucketed", oracle=_LINEAGE_ORACLE, tags=("S11", "J2"))
+def snapshot_lineage_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io import write_bucketed
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    names = (f"bkt_lineage_a_{tag}", f"bkt_lineage_b_{tag}")
+    write_bucketed(
+        d.filter(F.col("doc_id") % 3 != 0).select(
+            "doc_id", F.md5("text").alias("old_md5")
+        ),
+        names[0],
+        ["doc_id"],
+        8,
+    )
+    write_bucketed(
+        d.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit("[rev2] "), F.col("text")),
+                ).otherwise(F.col("text"))
+            ).alias("new_md5"),
+        ),
+        names[1],
+        ["doc_id"],
+        8,
+    )
+    a = spark.table(names[0]).withColumnRenamed("doc_id", "a_id")
+    b = spark.table(names[1]).withColumnRenamed("doc_id", "b_id")
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    return (
+        j.filter(
+            F.col("a_id").isNull()
+            | F.col("b_id").isNull()
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
+        .select(
+            F.coalesce("a_id", "b_id").alias("doc_id"),
+            F.when(F.col("a_id").isNull(), F.lit("added"))
+            .when(F.col("b_id").isNull(), F.lit("deleted"))
+            .otherwise(F.lit("updated"))
+            .alias("status"),
+            "old_md5",
+            "new_md5",
+        )
+    )

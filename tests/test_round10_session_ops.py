@@ -305,3 +305,20 @@ def test_d2d_agrees_across_engines_past_2pow53(spark):
     assert s["naive"] != duck[1]
     # and d2d is value-faithful (within the two correctly-rounded ULPs)
     assert abs(s["dec"] - float(lit)) <= abs(float(lit)) * 1e-15
+
+
+def test_bucketed_lineage_diff_has_zero_exchange(spark):
+    # the whole point of the bucketed twin: both versions land
+    # doc_id-bucketed, so the full-outer diff join carries NO Exchange
+    # anywhere in the physical plan — the shuffle was paid at landing
+    from etl_showcase_spark.plans.ingest import (
+        snapshot_lineage_diff_bucketed,
+    )
+
+    df = snapshot_lineage_diff_bucketed(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    # and the relation itself is the real diff, not vacuous
+    pdf = df.toPandas()
+    assert set(pdf["status"]) == {"added", "deleted", "updated"}
