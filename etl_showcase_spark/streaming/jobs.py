@@ -2106,3 +2106,158 @@ def stream_vacuum_janitor_state(
         .select("version", "committed", "n_files", "bytes", "decision")
         .orderBy("version")
     )
+
+
+def stream_lineage_diff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``snapshot_lineage_diff`` (plans/ingest.py):
+    incremental lineage. Both versions' (doc_id, side, md5) rows replay
+    version-ordered — all of v_A, then all of v_B, the order a lake's
+    landing log actually produces — into per-DOC_ID GroupState holding
+    (old_md5, new_md5). Every event re-emits the key's current
+    classification: an A-only doc is tentatively 'deleted' and STAYS
+    deleted unless its B row arrives and flips it to
+    'updated'/'unchanged'; a B-only doc is 'added'. Latest-emission-
+    per-key over the drained update log is therefore the final diff,
+    with 'unchanged' filtered at the end — bit-identical to the batch
+    full-outer diff (tests/test_streaming.py). Key space = one state
+    row per document id (the RocksDB-sized shape, like the banded-dedup
+    twin); per-key state is two fixed-width digests."""
+    import os
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # stage the version-ordered landing log next to a fresh tmp base
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="lineage_stream_")
+    manifest = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(manifest):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        a = d.filter(F.col("doc_id") % 3 != 0).select(
+            F.lit(0).alias("side"), "doc_id", F.md5("text").alias("h")
+        )
+        b = d.filter(F.col("doc_id") % 5 != 0).select(
+            F.lit(1).alias("side"),
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.lit("[rev2] "), F.col("text")),
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        a.unionByName(b).orderBy("side", "doc_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(manifest)
+
+    class _LineageEventsReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "200"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path)
+                self._tbl = t.take(
+                    pc.sort_indices(
+                        t,
+                        sort_keys=[("side", "ascending"), ("doc_id", "ascending")],
+                    )
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter([(r["side"], r["doc_id"], r["h"]) for r in sl])
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _LineageEventsSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "lineage_events_replay"
+
+        def schema(self) -> str:
+            return "side int, doc_id long, h string"
+
+        def simpleStreamReader(self, schema):
+            return _LineageEventsReader(self.options)
+
+    spark.dataSource.register(_LineageEventsSource)
+    events = (
+        spark.readStream.format("lineage_events_replay")
+        .option("path", manifest)
+        .load()
+    )
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        old_h, new_h, n_ev = (
+            (state.get[0], state.get[1], int(state.get[2]))
+            if state.exists
+            else (None, None, 0)
+        )
+        cols = ["side", "h"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        for side, h in df.sort_values("side").itertuples(index=False):
+            if int(side) == 0:
+                old_h = h
+            else:
+                new_h = h
+            n_ev += 1
+        state.update((old_h, new_h, n_ev))
+        if old_h is None:
+            status = "added"
+        elif new_h is None:
+            status = "deleted"
+        elif old_h != new_h:
+            status = "updated"
+        else:
+            status = "unchanged"
+        yield pd.DataFrame(
+            {
+                "doc_id": [int(key[0])],
+                "status": [status],
+                "old_md5": [old_h],
+                "new_md5": [new_h],
+                "ver": [n_ev],
+            }
+        )
+
+    out = events.groupBy("doc_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "doc_id long, status string, old_md5 string, new_md5 string, ver long"
+        ),
+        stateStructType="old_h string, new_h string, n_ev bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_lineage_diff", mode="update").distinct()
+    latest = log.groupBy("doc_id").agg(F.max("ver").alias("ver"))
+    return (
+        log.join(latest, ["doc_id", "ver"])
+        .filter(F.col("status") != "unchanged")
+        .select("doc_id", "status", "old_md5", "new_md5")
+    )

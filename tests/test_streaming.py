@@ -614,6 +614,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_sequence_packing_state,
         jobs.stream_curriculum_state,  # round 10: O(k) top-k state
         jobs.stream_vacuum_janitor_state,  # round 10: O(versions) metadata state
+        jobs.stream_lineage_diff_state,  # round 10: per-doc_id key space
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -799,3 +800,17 @@ def test_stateful_vacuum_janitor_matches_batch_audit(spark):
         "retained", "reclaimable", "torn_expired", "torn_inflight"
     }
     assert not compare_frames(streamed, audit)
+
+
+def test_stateful_lineage_diff_matches_batch(spark):
+    # per-doc_id GroupState over the version-ordered landing log:
+    # tentative 'deleted' flips to updated/unchanged when the B row
+    # lands; latest-per-key of the drained update log == the batch
+    # full-outer diff, bit-identical (unchanged rows excluded)
+    from etl_showcase_spark.plans.ingest import snapshot_lineage_diff
+
+    streamed = jobs.stream_lineage_diff_state(spark, SF_SMOKE).toPandas()
+    batch = snapshot_lineage_diff(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert set(streamed["status"]) == {"added", "deleted", "updated"}
+    assert not compare_frames(streamed, batch)
