@@ -1189,3 +1189,82 @@ def snapshot_lineage_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
             "new_md5",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/Q3/G7 incremental materialized-view maintenance ([EXT] — the
+# reference claims "Materialized views for performance" (README.md:52)
+# and refreshes them by full recompute (sql/transform_weather.sql);
+# at 100 TB a full refresh rescans the fact table nightly. This is the
+# incremental spelling over the snapshot protocol: the priority-grain
+# revenue rollup lands as MV v=1 over the base orders (o_orderkey % 4
+# <> 0), the delta (remaining quarter) arrives, and v=2 is produced by
+# DELTA-APPLY — aggregate ONLY the delta rows, full-outer merge with
+# the O(groups) MV v1, write_snapshot — never rescanning the base. The
+# oracle recomputes the rollup over ALL orders from scratch: hash
+# equality IS the maintenance-correctness proof (exact decimal sums
+# merge exactly; the double cast happens once at read). Cost at scale:
+# |delta| scan + O(groups) merge, vs the reference's full rescan.
+# ---------------------------------------------------------------------------
+
+_MV_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT)
+         AS n_from_delta,
+       2 AS mv_version
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("incremental_mv_maintenance", oracle=_MV_ORACLE, tags=("S11", "Q3", "G7"))
+def incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..sources.io import read_snapshot, write_snapshot
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="mv_maint_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/mv_priority_revenue"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec2("o_totalprice")).alias("__rev"),  # stays DECIMAL
+        )
+
+    write_snapshot(rollup(o.filter(F.col("o_orderkey") % 4 != 0)), base)
+    # the nightly delta lands: aggregate ONLY it, merge at the group grain
+    delta = rollup(o.filter(F.col("o_orderkey") % 4 == 0)).select(
+        "priority",
+        F.col("n_orders").alias("d_orders"),
+        F.col("__rev").alias("d_rev"),
+    )
+    mv1 = read_snapshot(spark, base, version=1)
+    merged = (
+        mv1.join(delta, "priority", "full_outer")
+        .select(
+            "priority",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_orders", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (
+                F.coalesce(F.col("__rev"), F.lit(0).cast("decimal(12,2)"))
+                + F.coalesce(F.col("d_rev"), F.lit(0).cast("decimal(12,2)"))
+            ).alias("__rev"),
+            F.coalesce("d_orders", F.lit(0)).cast("bigint").alias("n_from_delta"),
+        )
+    )
+    v2 = write_snapshot(merged, base)
+    return read_snapshot(spark, base, version=v2).select(
+        "priority",
+        "n_orders",
+        F.col("__rev").cast("double").alias("revenue"),
+        "n_from_delta",
+        F.lit(v2).cast("int").alias("mv_version"),
+    )
