@@ -1810,6 +1810,68 @@ def stream_sequence_packing_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return emitted.orderBy("pack_id", "start_offset")
 
 
+def documents_replay_stream_with_source(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 100
+) -> DataFrame:
+    """documents_replay_stream plus the source column (the quality-drift
+    twin groups by source) — same ordering, offsets, and pickling
+    constraints as the two-column reader."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/documents.parquet"
+
+    class _DocSrcReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "100"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path, columns=["doc_id", "text", "source"])
+                self._tbl = t.take(
+                    pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter([(r["doc_id"], r["text"], r["source"]) for r in sl])
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _DocSrcReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "documents_src_replay"
+
+        def schema(self) -> str:
+            return "doc_id long, text string, source string"
+
+        def simpleStreamReader(self, schema):
+            return _DocSrcReplayReader(self.options)
+
+    spark.dataSource.register(_DocSrcReplaySource)
+    return (
+        spark.readStream.format("documents_src_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
 def stream_curriculum_state(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
@@ -2260,4 +2322,138 @@ def stream_lineage_diff_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.join(latest, ["doc_id", "ver"])
         .filter(F.col("status") != "unchanged")
         .select("doc_id", "status", "old_md5", "new_md5")
+    )
+
+
+def stream_quality_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``quality_drift_dashboard`` (plans/mlprep.py):
+    drift monitoring as documents ARRIVE. Each doc's hashed-classifier
+    score is the same pure JVM array fold as stream_curriculum_state;
+    per-SOURCE GroupState holds the (month, band) → count table
+    (O(months × distinct bands) integers per source), and every
+    micro-batch re-emits the source's trailing-month drift rows with
+    the batch query's exact arithmetic — BIGINT TVD numerator, one
+    IEEE double division, exact ppm floor-div, row_number tie-break
+    re-expressed as (shift desc, band asc) min — so the drained latest
+    emission per (source, month) is bit-identical to the batch
+    dashboard (tests/test_streaming.py, RocksDB parity included). This
+    is the standing-ingest shape: the dashboard updates per batch
+    without rescanning the corpus."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..plans.mlprep import (
+        _HQ_BUCKETS,
+        _HQ_MOD,
+        _HQ_MULT,
+        _QDRIFT_BAND,
+        _QDRIFT_MONTHS,
+        _QDRIFT_SHIFT,
+    )
+
+    docs = documents_replay_stream_with_source(spark, sf_dir)
+    toks = textops.tokens("text")
+
+    def wt(tk):
+        bucket = F.conv(F.substring(F.md5(tk), 1, 8), 16, 10).cast(
+            "bigint"
+        ) % _HQ_BUCKETS
+        return (bucket * _HQ_MULT) % _HQ_MOD - 500
+
+    lens = docs.select(
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("bigint")
+            % _QDRIFT_MONTHS
+        )
+        .cast("int")
+        .alias("month_id"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, tk: acc + wt(tk)
+        ).alias("score"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+    ).filter(F.col("n_toks") >= 0)
+    SHIFT, BAND, MONTHS = _QDRIFT_SHIFT, _QDRIFT_BAND, _QDRIFT_MONTHS
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            counts = {}
+            for m, b, n in zip(state.get[0], state.get[1], state.get[2]):
+                counts[(int(m), int(b))] = int(n)
+            seen = int(state.get[3])
+        else:
+            counts, seen = {}, 0
+        cols = ["month_id", "score"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        for m, s in zip(df["month_id"], df["score"]):
+            b = (int(s) + SHIFT) // BAND
+            counts[(int(m), b)] = counts.get((int(m), b), 0) + 1
+            seen += 1
+        ks = sorted(counts)
+        state.update(
+            (
+                [k[0] for k in ks], [k[1] for k in ks], [counts[k] for k in ks],
+                seen,
+            )
+        )
+        out = {c: [] for c in (
+            "source", "month_id", "n_docs", "n_docs_prev", "n_bands",
+            "tvd_numerator", "score_tvd", "max_band_shift_ppm",
+            "top_shifted_band", "ver",
+        )}
+        per_month = {}
+        for (m, b), n in counts.items():
+            per_month.setdefault(m, {})[b] = n
+        for m in range(1, MONTHS):
+            cur, prv = per_month.get(m, {}), per_month.get(m - 1, {})
+            ta, tb = sum(cur.values()), sum(prv.values())
+            if ta <= 0 or tb <= 0:
+                continue
+            bands = sorted(set(cur) | set(prv))
+            shifts = [
+                (abs(cur.get(b, 0) * tb - prv.get(b, 0) * ta), b) for b in bands
+            ]
+            num = sum(s for s, _ in shifts)
+            mx = max(s for s, _ in shifts)
+            top = min(b for s, b in shifts if s == mx)
+            out["source"].append(key[0]); out["month_id"].append(m)
+            out["n_docs"].append(ta); out["n_docs_prev"].append(tb)
+            out["n_bands"].append(len(bands)); out["tvd_numerator"].append(num)
+            out["score_tvd"].append(float(num) / (2.0 * float(ta) * float(tb)))
+            out["max_band_shift_ppm"].append(mx * 1_000_000 // (ta * tb))
+            out["top_shifted_band"].append(top)
+            out["ver"].append(seen)
+        if not out["source"]:
+            return
+        yield pd.DataFrame(out)
+
+    out = lens.groupBy("source").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "source string, month_id int, n_docs long, n_docs_prev long, "
+            "n_bands long, tvd_numerator long, score_tvd double, "
+            "max_band_shift_ppm long, top_shifted_band long, ver long"
+        ),
+        stateStructType=(
+            "ms array<int>, bs array<bigint>, ns array<bigint>, seen bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_quality_drift", mode="update").distinct()
+    latest = log.groupBy("source").agg(F.max("ver").alias("ver"))
+    return (
+        log.join(latest, ["source", "ver"])
+        .select(
+            "source", "month_id", "n_docs", "n_docs_prev", "n_bands",
+            "tvd_numerator", "score_tvd", "max_band_shift_ppm",
+            "top_shifted_band",
+        )
     )

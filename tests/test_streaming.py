@@ -615,6 +615,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_curriculum_state,  # round 10: O(k) top-k state
         jobs.stream_vacuum_janitor_state,  # round 10: O(versions) metadata state
         jobs.stream_lineage_diff_state,  # round 10: per-doc_id key space
+        jobs.stream_quality_drift_state,  # round 10: per-source band table
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -813,4 +814,16 @@ def test_stateful_lineage_diff_matches_batch(spark):
     batch = snapshot_lineage_diff(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert set(streamed["status"]) == {"added", "deleted", "updated"}
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_quality_drift_matches_batch(spark):
+    # per-source GroupState band-count table, drift rows re-emitted per
+    # batch with the batch query's exact integer arithmetic: the final
+    # dashboard must be bit-identical to the batch relation
+    from etl_showcase_spark.plans.mlprep import quality_drift_dashboard
+
+    streamed = jobs.stream_quality_drift_state(spark, SF_SMOKE).toPandas()
+    batch = quality_drift_dashboard(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
