@@ -719,3 +719,95 @@ def random_projection_gemm(vec_q: Column, matrix: list[list[int]]) -> Column:
         return pd.Series(list(m @ R))
 
     return project(vec_q)
+
+
+def gemm_contrastive_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Contrastive-pair mining, the gemm_exact_topk way: for each query
+    vector, the exact top-k SAME-label neighbours ('pos' — the
+    positives a contrastive loss pulls together) and the top-k
+    DIFFERENT-label neighbours ('neg' — the hard negatives it pushes
+    apart, the rows a random negative sampler would never surface).
+
+    Same scale shape as gemm_exact_topk: the bounded query panel is
+    collected once with its labels (O(1) in corpus size), quantized to
+    int64 and broadcast; each corpus Arrow batch does ONE integer
+    matmul; per-batch pruning keeps the (k+1) best PER SIDE per query
+    (ties with the boundary score included), so the global
+    (cosine desc, id asc) ranking per (query, side) is exact. The
+    corpus streams through once at any scale factor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpd = queries.select(
+        F.col(query_id).alias("q_id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("l"),
+    ).toPandas()
+    if not len(qpd):
+        return spark.createDataFrame(
+            [], "q_id long, side string, c_id long, cosine double, rnk int"
+        )
+    q_ids = qpd["q_id"].to_numpy()
+    q_lab = qpd["l"].to_numpy()
+    q_int = np.floor(
+        np.stack(qpd["v"].to_numpy()).astype("float64") * 1000 + 0.5
+    ).astype("int64")
+    q_nrm = np.sqrt((q_int * q_int).sum(axis=1).astype("float64"))
+    bq = spark.sparkContext.broadcast((q_ids, q_lab, q_int, q_nrm))
+    keep = k + 1  # self-matches are filtered after scoring
+
+    def score_batches(batches):
+        ids, labs, Q, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack would raise
+                continue
+            c_ids = pdf["c_id"].to_numpy()
+            c_lab = pdf["l"].to_numpy()
+            c_int = np.floor(
+                np.stack(pdf["v"].to_numpy()).astype("float64") * 1000 + 0.5
+            ).astype("int64")
+            c_nrm = np.sqrt((c_int * c_int).sum(axis=1).astype("float64"))
+            sims = (c_int @ Q.T).astype("float64") / (c_nrm[:, None] * qn[None, :])
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                same = c_lab == labs[j]
+                for side, mask in (("pos", same), ("neg", ~same)):
+                    idx = np.flatnonzero(mask)
+                    if not len(idx):
+                        continue
+                    vals = col[idx]
+                    if len(vals) > keep:
+                        thr = np.partition(vals, len(vals) - keep)[len(vals) - keep]
+                        idx = idx[vals >= thr]
+                    yield pd.DataFrame(
+                        {
+                            "q_id": ids[j],
+                            "side": side,
+                            "c_id": c_ids[idx],
+                            "cosine": col[idx],
+                        }
+                    )
+
+    scored = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        F.col(vec_col).alias("v"),
+        F.col(label_col).alias("l"),
+    ).mapInPandas(score_batches, "q_id long, side string, c_id long, cosine double")
+    pruned = scored.filter(F.col("q_id") != F.col("c_id"))
+    return topk_per_group(
+        pruned,
+        ["q_id", "side"],
+        [F.col("cosine").desc(), F.col("c_id").asc()],
+        k,
+        rank_col="rnk",
+    )

@@ -1268,3 +1268,119 @@ def incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from_delta",
         F.lit(v2).cast("int").alias("mv_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/S4 file-grain snapshot lineage ([EXT] — SURVEY §7.5 round-11
+# candidate: "which bucket files changed between versions — the
+# incremental-recompute planner's input"). Both versions land through
+# write_snapshot_partitioned with a deterministic bucket = doc_id % 16
+# Hive partition column, so the row diff can be attributed to the
+# PARTITION DIRECTORIES that physically hold the rows. The relation is
+# the planner's work list: per bucket, how many rows were added /
+# deleted / updated / unchanged between v1 and v2 and whether the
+# bucket needs recomputing at all — at 100 TB the planner reprocesses
+# ONLY the needs_recompute=true directories and skips the rest
+# wholesale (the same economics as join_fact_revenue_bucketed: pay the
+# layout once at land time, skip shuffles and rescans forever after).
+# The oracle derives the identical relation semantically from the
+# documents table (the %3/%5/%7 version model shared with
+# snapshot_lineage_diff); equality proves the partitioned lake
+# roundtrip is value-preserving at the bucket grain. The PHYSICAL half
+# (flagged buckets are exactly the partition dirs whose parquet
+# content differs) is pytest-asserted via the exposed `last_base`.
+# ---------------------------------------------------------------------------
+
+_LINEAGE_FILES_ORACLE = """
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+     b AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+     j AS (
+       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'deleted'
+                   WHEN COALESCE(a.doc_id, b.doc_id) % 7 = 0 THEN 'updated'
+                   ELSE 'unchanged' END AS status
+       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+     )
+SELECT doc_id % 16 AS bucket,
+       CAST(COUNT(*) FILTER (WHERE status <> 'added') AS BIGINT) AS n_docs_a,
+       CAST(COUNT(*) FILTER (WHERE status <> 'deleted') AS BIGINT) AS n_docs_b,
+       CAST(COUNT(*) FILTER (WHERE status = 'added') AS BIGINT) AS n_added,
+       CAST(COUNT(*) FILTER (WHERE status = 'deleted') AS BIGINT) AS n_deleted,
+       CAST(COUNT(*) FILTER (WHERE status = 'updated') AS BIGINT) AS n_updated,
+       CAST(COUNT(*) FILTER (WHERE status = 'unchanged') AS BIGINT)
+         AS n_unchanged,
+       COUNT(*) FILTER (WHERE status <> 'unchanged') > 0 AS needs_recompute
+FROM j GROUP BY doc_id % 16
+"""
+
+
+@register(
+    "snapshot_lineage_files", oracle=_LINEAGE_FILES_ORACLE, tags=("S11", "S4", "J2")
+)
+def snapshot_lineage_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..sources.io import read_snapshot, write_snapshot_partitioned
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.pmod("doc_id", F.lit(16)).alias("bucket")
+    )
+    root = tempfile.mkdtemp(prefix="lineage_files_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/docs"
+    snapshot_lineage_files.last_base = base
+    v_a = write_snapshot_partitioned(d.filter(F.col("doc_id") % 3 != 0), base, ["bucket"])
+    v_b = write_snapshot_partitioned(
+        d.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("[rev2] "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "bucket",
+        ),
+        base,
+        ["bucket"],
+    )
+    # the honest lake comparison: statuses come from the WRITTEN bytes,
+    # not the in-memory frames — md5 over the read-back text
+    a = read_snapshot(spark, base, v_a).select(
+        F.col("doc_id").alias("a_id"),
+        F.col("bucket").cast("bigint").alias("a_bucket"),
+        F.md5("text").alias("a_md5"),
+    )
+    b = read_snapshot(spark, base, v_b).select(
+        F.col("doc_id").alias("b_id"),
+        F.col("bucket").cast("bigint").alias("b_bucket"),
+        F.md5("text").alias("b_md5"),
+    )
+    status = (
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("deleted"))
+        .when(F.col("a_md5") != F.col("b_md5"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer").select(
+        F.coalesce("a_bucket", "b_bucket").alias("bucket"),
+        status.alias("status"),
+    )
+    agg = [
+        F.sum((F.col("status") == s).cast("bigint")).alias(n)
+        for s, n in [
+            ("added", "n_added"),
+            ("deleted", "n_deleted"),
+            ("updated", "n_updated"),
+            ("unchanged", "n_unchanged"),
+        ]
+    ]
+    return j.groupBy("bucket").agg(
+        F.sum((F.col("status") != "added").cast("bigint")).alias("n_docs_a"),
+        F.sum((F.col("status") != "deleted").cast("bigint")).alias("n_docs_b"),
+        *agg,
+        (F.sum((F.col("status") != "unchanged").cast("bigint")) > 0).alias(
+            "needs_recompute"
+        ),
+    )

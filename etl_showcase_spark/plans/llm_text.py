@@ -2547,3 +2547,188 @@ def bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("merged_pair", "pair", F.col("n").cast("bigint").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/F11 PII redaction REWRITE ([EXT] — pii_pattern_counts is the cheap
+# routing pass; this is the expensive stage it routes to: emit the
+# scrubbed text itself). The corpus contains no surface PII, so the
+# query first INJECTS deterministic synthetic PII (the same
+# doc_id-keyed mutation trick as the lineage queries) — email on
+# doc_id%4, URL on %6, long digit run on %5 — then redacts with the
+# shared engine-portable patterns (operators/textops.py:EMAIL_RE/
+# URL_RE/DIGIT_RUN_RE, parity already proven by pii_pattern_counts) in
+# a fixed EMAIL→URL→NUM order. Hash equality on md5(clean) proves the
+# REWRITE (Java regex replace-all vs RE2 'g') is byte-identical across
+# engines — a strictly stronger claim than matching counts. All string
+# expressions, JVM-side, embarrassingly parallel: one map stage at any
+# scale.
+# ---------------------------------------------------------------------------
+
+def _pii_raw_sql() -> str:
+    """SQL twin of _pii_raw_col(): the injected raw text."""
+    sid = "CAST(doc_id AS VARCHAR)"
+    return (
+        "text"
+        f" || CASE WHEN doc_id % 4 = 0 THEN ' contact user' || {sid}"
+        " || '@example.com now' ELSE '' END"
+        f" || CASE WHEN doc_id % 6 = 0 THEN ' see https://ex.example/p/' || {sid}"
+        " || '?s=1' ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN ' ref 00' || {sid}"
+        " || '4242 done' ELSE '' END"
+    )
+
+
+def _pii_raw_col() -> Column:
+    """The deterministic synthetic-PII injection (doc_id-keyed): email
+    on doc_id%4, URL on %6, long digit run on %5 — shared by the
+    rewrite and span-audit queries and their tests."""
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit(" see https://ex.example/p/"), sid, F.lit("?s=1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ref 00"), sid, F.lit("4242 done")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_redact_sql() -> str:
+    raw = _pii_raw_sql()
+    clean = (
+        "regexp_replace(regexp_replace(regexp_replace(raw,"
+        f" '{textops.EMAIL_RE}', '[EMAIL]', 'g'),"
+        f" '{textops.URL_RE}', '[URL]', 'g'),"
+        f" '{textops.DIGIT_RUN_RE}', '[NUM]', 'g')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {raw} AS raw FROM documents),
+r AS (SELECT doc_id, raw, {clean} AS clean FROM t)
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(raw, '{textops.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(LEN(regexp_extract_all(raw, '{textops.URL_RE}')) AS INT) AS n_urls,
+       CAST(LEN(regexp_extract_all(raw, '{textops.DIGIT_RUN_RE}')) AS INT)
+         AS n_digit_runs,
+       md5(clean) AS clean_md5,
+       CAST(LENGTH(raw) - LENGTH(clean) AS BIGINT) AS char_delta
+FROM r
+"""
+
+
+@register("pii_redact_rewrite", oracle=_pii_redact_sql(), tags=("L4", "F11", "P5"))
+def pii_redact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    raw = _pii_raw_col()
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), textops.EMAIL_RE, "[EMAIL]"),
+            textops.URL_RE,
+            "[URL]",
+        ),
+        textops.DIGIT_RUN_RE,
+        "[NUM]",
+    )
+    counts = textops.pii_pattern_counts(F.col("raw"))
+    return (
+        d.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            counts["n_emails"].cast("int").alias("n_emails"),
+            counts["n_urls"].cast("int").alias("n_urls"),
+            counts["n_digit_runs"].cast("int").alias("n_digit_runs"),
+            F.md5(clean).alias("clean_md5"),
+            (F.length("raw") - F.length(clean)).cast("bigint").alias("char_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/F11/A2 span-grain redaction audit ([EXT] — the reviewable log a
+# compliance pipeline wants NEXT TO the rewrite: one row per match
+# with its exact 1-based character offset and length, per pattern
+# kind). Offsets are reconstructed cross-engine without any position
+# API: split(raw, pattern) yields the BETWEEN-match segments (trailing
+# empties kept by both engines — parity probed in tests), so the n-th
+# match starts at sum(len(segments 1..n)) + sum(len(matches 1..n-1))
+# + 1 — pure higher-order array expressions (transform/slice/
+# aggregate), JVM-side, one map stage at any scale. Spans are
+# per-kind on the RAW text (kinds may overlap; the rewrite's
+# EMAIL→URL→NUM order resolves precedence at redaction time).
+# ---------------------------------------------------------------------------
+
+_PII_KINDS = (
+    ("email", textops.EMAIL_RE),
+    ("url", textops.URL_RE),
+    ("num", textops.DIGIT_RUN_RE),
+)
+
+
+def _pii_spans_sql() -> str:
+    parts = []
+    for kind, rx in _PII_KINDS:
+        parts.append(f"""
+SELECT doc_id, '{kind}' AS kind, occ,
+       CAST(
+         COALESCE(list_sum(list_transform(segs[1:occ], s -> LENGTH(s))), 0)
+         + COALESCE(list_sum(list_transform(ms[1:occ-1], s -> LENGTH(s))), 0)
+         + 1 AS BIGINT) AS span_start,
+       CAST(LENGTH(ms[occ]) AS BIGINT) AS span_len
+FROM (
+  SELECT doc_id, segs, ms, CAST(u.i AS INT) AS occ
+  FROM (
+    SELECT doc_id, string_split_regex(raw, '{rx}') AS segs,
+           regexp_extract_all(raw, '{rx}') AS ms
+    FROM (SELECT doc_id, {_pii_raw_sql()} AS raw FROM documents)
+  ), UNNEST(range(1, LEN(ms) + 1)) AS u(i)
+)""")
+    return " UNION ALL ".join(parts)
+
+
+@register("pii_redaction_spans", oracle=_pii_spans_sql(), tags=("L4", "F11", "A2"))
+def pii_redaction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_raw_col().alias("raw")
+    )
+    parts = []
+    for kind, rx in _PII_KINDS:
+        sl = F.transform(F.split(F.col("raw"), rx), lambda s: F.length(s))
+        ml = F.transform(
+            F.regexp_extract_all(F.col("raw"), F.lit(rx), 0), lambda s: F.length(s)
+        )
+        ex = d.select("doc_id", sl.alias("sl"), ml.alias("ml")).select(
+            "doc_id", "sl", "ml", F.posexplode("ml").alias("occ0", "mlen")
+        )
+        start = (
+            F.aggregate(
+                F.slice("sl", F.lit(1), F.col("occ0") + 1),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            )
+            + F.aggregate(
+                F.slice("ml", F.lit(1), F.col("occ0")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            )
+            + 1
+        )
+        parts.append(
+            ex.select(
+                "doc_id",
+                F.lit(kind).alias("kind"),
+                (F.col("occ0") + 1).cast("int").alias("occ"),
+                start.cast("bigint").alias("span_start"),
+                F.col("mlen").cast("bigint").alias("span_len"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1099,3 +1099,67 @@ def lsh_index_compaction_equality(spark: SparkSession, sf_dir: str) -> DataFrame
     assert snapshot_versions(idx_base)[-1] == v2
     # serve from the compacted version: NO tombstone logic anywhere
     return _serve_lsh_topk(spark, sf_dir, read_snapshot(spark, idx_base, version=v2))
+
+
+# ---------------------------------------------------------------------------
+# L3 contrastive-pair mining ([EXT] — the training-data op behind
+# embedding-model fine-tuning: every anchor needs its exact top-k
+# same-label positives and top-k different-label HARD negatives; random
+# negatives are easy and teach nothing). Same bounded-panel GEMM shape
+# as ann_cosine_topk (operators/similarity.py:gemm_contrastive_topk):
+# the stride-capped anchor panel broadcasts once, the corpus streams
+# through one int64 matmul per Arrow batch, per-batch pruning keeps
+# k+1 per (anchor, side) with boundary ties — exact at any scale. The
+# oracle replays the full cross join with the label CASE in DuckDB.
+# ---------------------------------------------------------------------------
+
+_CONTRASTIVE_K = 5
+
+_CONTRASTIVE_ORACLE = f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, {_SQL_QUANT} AS qv, label AS ql
+  FROM embeddings, s WHERE vec_id % s.stride = 0
+),
+c AS (
+  SELECT vec_id AS c_id, {_SQL_QUANT} AS cv, label AS cl FROM embeddings
+),
+scored AS (
+  SELECT q_id,
+         CASE WHEN cl = ql THEN 'pos' ELSE 'neg' END AS side,
+         c_id,
+         CAST(list_dot_product(qv, cv) AS DOUBLE)
+           / (SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE))
+              * SQRT(CAST(list_dot_product(cv, cv) AS DOUBLE))) AS cosine
+  FROM c CROSS JOIN q
+  WHERE q_id <> c_id
+)
+SELECT q_id, side, c_id, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id, side ORDER BY cosine DESC, c_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_CONTRASTIVE_K}
+"""
+
+
+@register("contrastive_hard_negatives", oracle=_CONTRASTIVE_ORACLE, tags=("L3", "J8"))
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gemm_contrastive_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    res = gemm_contrastive_topk(
+        _strided_queries(e),
+        e,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "label",
+        k=_CONTRASTIVE_K,
+    )
+    return res.select(
+        "q_id", "side", "c_id", "cosine", F.col("rnk").cast("int").alias("rnk")
+    )

@@ -3936,3 +3936,74 @@ def quality_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L6/O1 seeded epoch shuffle ([EXT] — training-order reproducibility):
+# a multi-epoch trainer needs a DIFFERENT, deterministic, globally
+# agreed document order per epoch, computed without a single-node RNG
+# or a single-reducer sort. Order key = md5(epoch ':' doc_id) — a
+# seeded, engine-portable permutation; the global position comes from
+# with_global_row_number (range-partition + broadcast prefix counts,
+# operators/relational.py), so the shuffle scales as an ordinary sort
+# at 100 TB. Emitted at the BATCH-manifest grain (fixed 64-doc
+# batches): per (epoch, batch) the doc count, char volume, and the
+# head/tail docs — what a data-loader shard map actually consumes.
+# Hash equality with the oracle's partition-less ROW_NUMBER proves the
+# distributed order IS the sequential order, epoch by epoch.
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHUFFLE_BATCH = 64
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH e(epoch) AS (SELECT 1 UNION ALL SELECT 2),
+r AS (
+  SELECT e.epoch, d.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                        CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS pos
+  FROM documents d CROSS JOIN e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST((pos - 1) // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       arg_min(doc_id, pos) AS head_doc,
+       arg_max(doc_id, pos) AS tail_doc
+FROM r GROUP BY epoch, (pos - 1) // {_EPOCH_SHUFFLE_BATCH}
+"""
+
+
+@register("seeded_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE, tags=("L6", "O1"))
+def seeded_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    epochs = []
+    for e in (1, 2):
+        key = F.md5(
+            F.concat(F.lit(str(e)), F.lit(":"), F.col("doc_id").cast("string"))
+        )
+        epochs.append(
+            with_global_row_number(
+                d.withColumn("__k", key),
+                [F.col("__k").asc(), F.col("doc_id").asc()],
+                "pos",
+            ).select(F.lit(e).cast("int").alias("epoch"), "doc_id", "n_chars", "pos")
+        )
+    u = epochs[0].unionByName(epochs[1])
+    return (
+        u.withColumn(
+            "batch_id",
+            F.floor((F.col("pos") - 1) / _EPOCH_SHUFFLE_BATCH).cast("bigint"),
+        )
+        .groupBy("epoch", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min_by("doc_id", "pos").alias("head_doc"),
+            F.max_by("doc_id", "pos").alias("tail_doc"),
+        )
+    )

@@ -665,6 +665,26 @@ def write_snapshot(df: DataFrame, base_path: str) -> int:
     return version
 
 
+def write_snapshot_partitioned(
+    df: DataFrame, base_path: str, partition_by: list[str]
+) -> int:
+    """write_snapshot with a Hive partition layout INSIDE the version
+    directory (base_path/v=N/<col>=<val>/...). Same commit protocol
+    (version allocated past all v=* dirs, _COMMITTED marker written
+    last); read_snapshot recovers the partition columns unchanged.
+    This is the layout a recompute planner wants: a version diff can
+    then be attributed to the partition directories that actually
+    changed, and unchanged partitions can be skipped wholesale."""
+    import os
+
+    version = (max(_all_snapshot_versions(base_path), default=0)) + 1
+    path = f"{base_path}/v={version}"
+    df.write.mode("errorifexists").partitionBy(*partition_by).parquet(path)
+    with open(os.path.join(path, "_COMMITTED"), "w") as fh:
+        fh.write(str(version))
+    return version
+
+
 def snapshot_versions(base_path: str) -> list[int]:
     """Committed versions, ascending (uncommitted/torn dirs ignored)."""
     import os

@@ -2457,3 +2457,148 @@ def stream_quality_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_shifted_band",
         )
     )
+
+
+def documents_epoch_replay_stream(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 100
+) -> DataFrame:
+    """documents_replay_stream in EPOCH-SHUFFLE order: rows arrive
+    sorted by md5('1:' || doc_id) — the epoch-1 permutation of the
+    batch seeded_epoch_shuffle (plans/mlprep.py) — exactly the order a
+    streaming data-loader would consume from the shuffled manifest.
+    The key is computed with hashlib in the reader (same lowercase hex
+    as Spark's md5/DuckDB's md5) and shipped alongside the row so the
+    stateful fold can re-assert intra-batch order."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/documents.parquet"
+
+    class _EpochReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "100"))
+            self._rows_sorted = None
+
+        def _data(self):
+            if self._rows_sorted is None:
+                import hashlib
+
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path, columns=["doc_id", "n_chars"])
+                rows = [
+                    (
+                        hashlib.md5(f"1:{r['doc_id']}".encode()).hexdigest(),
+                        r["doc_id"],
+                        r["n_chars"],
+                    )
+                    for r in t.to_pylist()
+                ]
+                rows.sort()  # (key, doc_id): the total order
+                self._rows_sorted = rows
+            return self._rows_sorted
+
+        def _rows(self, start: int, end: int):
+            return iter(
+                [(d, n, k) for k, d, n in self._data()[start:end]]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, len(self._data()))
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _EpochReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "documents_epoch_replay"
+
+        def schema(self) -> str:
+            return "doc_id long, n_chars long, key string"
+
+        def simpleStreamReader(self, schema):
+            return _EpochReplayReader(self.options)
+
+    spark.dataSource.register(_EpochReplaySource)
+    return (
+        spark.readStream.format("documents_epoch_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_epoch_packing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming epoch packer: twin of the batch ``seeded_epoch_shuffle``
+    manifest (plans/mlprep.py), epoch 1. Documents arrive in
+    md5('1:'||doc_id) order; a SINGLE GroupState cell holds (position,
+    open-batch partial: n_docs, sum_chars, head_doc) and emits each
+    fixed-64-doc batch row AS IT CLOSES — the
+    stream_sequence_packing_state shape at the batch-manifest grain.
+    Closed-batch rows never change (the fold is a pure left fold over
+    the shuffle order), so append mode is exact and the drained log
+    must equal the batch manifest restricted to FULL batches
+    bit-for-bit (tests/test_streaming.py). O(1) state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.mlprep import _EPOCH_SHUFFLE_BATCH
+
+    docs = documents_epoch_replay_stream(spark, sf_dir).withColumn("__g", F.lit(0))
+    B = _EPOCH_SHUFFLE_BATCH
+
+    def fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            pos, nd, sc, head = (int(x) for x in state.get)
+        else:
+            pos, nd, sc, head = 0, 0, 0, -1
+        cols = ["doc_id", "n_chars", "key"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        df = df.sort_values(["key", "doc_id"])
+        out = {
+            "epoch": [], "batch_id": [], "n_docs": [],
+            "sum_chars": [], "head_doc": [], "tail_doc": [],
+        }
+        for doc, n in zip(df["doc_id"], df["n_chars"]):
+            if nd == 0:
+                head = int(doc)
+            nd += 1
+            sc += int(n)
+            pos += 1
+            if nd == B:
+                out["epoch"].append(1)
+                out["batch_id"].append(pos // B - 1)
+                out["n_docs"].append(nd)
+                out["sum_chars"].append(sc)
+                out["head_doc"].append(head)
+                out["tail_doc"].append(int(doc))
+                nd, sc, head = 0, 0, -1
+        state.update((pos, nd, sc, head))
+        if out["epoch"]:
+            yield pd.DataFrame(out)
+
+    out = docs.groupBy("__g").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "epoch int, batch_id long, n_docs long, sum_chars long, "
+            "head_doc long, tail_doc long"
+        ),
+        stateStructType="pos bigint, nd bigint, sc bigint, head bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # closed batches are unique per batch_id and verdict-stable, so
+    # distinct() makes the at-least-once log replay-idempotent
+    emitted = _drain_replay_union(out, "stream_epoch_packing", mode="append").distinct()
+    return emitted.orderBy("batch_id")

@@ -322,3 +322,217 @@ def test_bucketed_lineage_diff_has_zero_exchange(spark):
     # and the relation itself is the real diff, not vacuous
     pdf = df.toPandas()
     assert set(pdf["status"]) == {"added", "deleted", "updated"}
+
+
+def test_lineage_files_flags_match_physical_partition_dirs(spark):
+    # file-grain lineage contract: a bucket is flagged needs_recompute
+    # exactly when the (doc_id, text) CONTENT of its v=1 vs v=2
+    # partition directories differs — checked here against the written
+    # parquet bytes, independently of the query's own join
+    import glob
+    import os
+
+    import duckdb
+
+    from etl_showcase_spark.plans.ingest import snapshot_lineage_files
+
+    pdf = snapshot_lineage_files(spark, SF_SMOKE).toPandas()
+    base = snapshot_lineage_files.last_base
+    assert sorted(pdf["bucket"]) == list(range(16))
+    con = duckdb.connect()
+    for _, row in pdf.iterrows():
+        sides = []
+        for v in (1, 2):
+            d = os.path.join(base, f"v={v}", f"bucket={int(row['bucket'])}")
+            files = glob.glob(d + "/*.parquet")
+            assert files, f"missing partition dir {d}"
+            sides.append(
+                set(
+                    con.execute(
+                        "SELECT doc_id, text FROM read_parquet(?)", [files]
+                    ).fetchall()
+                )
+            )
+        assert bool(row["needs_recompute"]) == (sides[0] != sides[1]), row
+        assert len(sides[0]) == row["n_docs_a"] and len(sides[1]) == row["n_docs_b"]
+
+
+def test_write_snapshot_partitioned_commit_protocol(spark, tmp_path):
+    # version allocation must skip torn (uncommitted) dirs, and
+    # read_snapshot must recover the partition column
+    import os
+
+    from etl_showcase_spark.sources.io import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot_partitioned,
+    )
+
+    base = str(tmp_path / "snap")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(2)).alias("p")
+    )
+    v1 = write_snapshot_partitioned(df, base, ["p"])
+    assert v1 == 1 and snapshot_versions(base) == [1]
+    os.makedirs(base + "/v=2")  # torn write: dir exists, no _COMMITTED
+    v3 = write_snapshot_partitioned(df, base, ["p"])
+    assert v3 == 3 and snapshot_versions(base) == [1, 3]
+    back = read_snapshot(spark, base, v3)
+    assert sorted(back.columns) == ["k", "p"]
+    assert back.count() == 10
+
+
+def test_seeded_epoch_shuffle_permutes_and_partitions(spark):
+    from etl_showcase_spark.plans.mlprep import (
+        _EPOCH_SHUFFLE_BATCH,
+        seeded_epoch_shuffle,
+    )
+
+    pdf = seeded_epoch_shuffle(spark, SF_SMOKE).toPandas()
+    n_docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").count()
+    for e in (1, 2):
+        ep = pdf[pdf["epoch"] == e]
+        # batches partition the corpus: full batches + one remainder
+        assert ep["n_docs"].sum() == n_docs
+        assert sorted(ep["batch_id"]) == list(range(len(ep)))
+        full = ep[ep["batch_id"] < len(ep) - 1]
+        assert (full["n_docs"] == _EPOCH_SHUFFLE_BATCH).all()
+    # the two epochs are genuinely different permutations: the batch
+    # head docs disagree somewhere (md5-keyed orders are independent)
+    heads = pdf.pivot_table(index="batch_id", columns="epoch", values="head_doc")
+    assert (heads[1] != heads[2]).any()
+    # determinism: a second run is bit-identical (no RNG anywhere)
+    again = seeded_epoch_shuffle(spark, SF_SMOKE).toPandas()
+    key = ["epoch", "batch_id"]
+    assert pdf.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_contrastive_sides_and_exactness(spark):
+    import numpy as np
+
+    from etl_showcase_spark.plans.llm_vector import (
+        _CONTRASTIVE_K,
+        contrastive_hard_negatives,
+    )
+
+    pdf = contrastive_hard_negatives(spark, SF_SMOKE).toPandas()
+    emb = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").toPandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    # side contract: 'pos' shares the anchor's label, 'neg' never does
+    for _, r in pdf.iterrows():
+        same = labels[r["q_id"]] == labels[r["c_id"]]
+        assert (r["side"] == "pos") == same
+        assert 1 <= r["rnk"] <= _CONTRASTIVE_K
+    # exactness vs a local quantized brute force for one anchor/side
+    q_id = int(pdf["q_id"].iloc[0])
+    V = np.floor(np.stack(emb["embedding"].to_numpy()).astype("float64") * 1000 + 0.5)
+    ids = emb["vec_id"].to_numpy()
+    qv = V[ids == q_id][0]
+    cos = (V @ qv) / (np.sqrt((V * V).sum(1)) * np.sqrt((qv * qv).sum()))
+    neg = (ids != q_id) & (emb["label"].to_numpy() != labels[q_id])
+    order = sorted(zip(-cos[neg], ids[neg]))[:_CONTRASTIVE_K]
+    expect = [int(i) for _, i in order]
+    got = pdf[(pdf["q_id"] == q_id) & (pdf["side"] == "neg")].sort_values("rnk")
+    assert list(got["c_id"]) == expect
+
+
+def test_pii_redaction_is_a_fixpoint_and_total(spark):
+    # re-applying the redaction chain to the CLEAN text must change
+    # nothing (no pattern survives one pass), and every injected doc
+    # must actually have been hit
+    from pyspark.sql import functions as F
+
+    from etl_showcase_spark.operators import textops
+    from etl_showcase_spark.plans.llm_text import pii_redact_rewrite
+
+    pdf = pii_redact_rewrite(spark, SF_SMOKE).toPandas()
+    hit = pdf[pdf["doc_id"] % 4 == 0]
+    assert (hit["n_emails"] >= 1).all()
+    assert (pdf[pdf["doc_id"] % 6 == 0]["n_urls"] >= 1).all()
+    assert (pdf[pdf["doc_id"] % 5 == 0]["n_digit_runs"] >= 1).all()
+    untouched = pdf[
+        (pdf["doc_id"] % 4 != 0) & (pdf["doc_id"] % 6 != 0) & (pdf["doc_id"] % 5 != 0)
+    ]
+    assert len(untouched) and (untouched["char_delta"] == 0).all()
+    assert (
+        untouched[["n_emails", "n_urls", "n_digit_runs"]].to_numpy() == 0
+    ).all()
+    # fixpoint: counts on a redacted sample are zero in-engine
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet")
+    sid = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit(" see https://ex.example/p/"), sid, F.lit("?s=1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ref 00"), sid, F.lit("4242 done")),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, textops.EMAIL_RE, "[EMAIL]"),
+            textops.URL_RE,
+            "[URL]",
+        ),
+        textops.DIGIT_RUN_RE,
+        "[NUM]",
+    )
+    leftover = docs.select(
+        (
+            F.regexp_count(clean, F.lit(textops.EMAIL_RE))
+            + F.regexp_count(clean, F.lit(textops.URL_RE))
+            + F.regexp_count(clean, F.lit(textops.DIGIT_RUN_RE))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).collect()[0]["total"]
+    assert leftover == 0
+
+
+def test_redaction_spans_match_python_ground_truth(spark):
+    # every emitted (kind, occ, span_start, span_len) must equal
+    # re.finditer on the same injected raw text — and substring(raw)
+    # at the span must BE a pattern match (offsets are real, not
+    # plausible)
+    import re
+
+    from etl_showcase_spark.operators import textops
+    from etl_showcase_spark.plans.llm_text import (
+        _pii_raw_col,
+        pii_redaction_spans,
+    )
+
+    pdf = pii_redaction_spans(spark, SF_SMOKE).toPandas()
+    raws = dict(
+        spark.read.parquet(SF_SMOKE + "/documents.parquet")
+        .select("doc_id", _pii_raw_col().alias("raw"))
+        .collect()
+    )
+    res = {"email": textops.EMAIL_RE, "url": textops.URL_RE,
+           "num": textops.DIGIT_RUN_RE}
+    truth = {
+        (d, k): [(m.start() + 1, len(m.group())) for m in re.finditer(rx, raw)]
+        for d, raw in raws.items()
+        for k, rx in res.items()
+    }
+    got = {}
+    for _, r in pdf.iterrows():
+        got.setdefault((r["doc_id"], r["kind"]), {})[r["occ"]] = (
+            int(r["span_start"]),
+            int(r["span_len"]),
+        )
+    n_spans = 0
+    for key, spans in truth.items():
+        emitted = got.get(key, {})
+        assert len(emitted) == len(spans), key
+        for occ, t in enumerate(spans, start=1):
+            assert emitted[occ] == t, (key, occ, emitted[occ], t)
+        n_spans += len(spans)
+    assert n_spans > 100  # the injection must actually exercise this

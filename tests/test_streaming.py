@@ -616,6 +616,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_vacuum_janitor_state,  # round 10: O(versions) metadata state
         jobs.stream_lineage_diff_state,  # round 10: per-doc_id key space
         jobs.stream_quality_drift_state,  # round 10: per-source band table
+        jobs.stream_epoch_packing_state,  # round 10: O(1) shuffle-order fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -827,3 +828,32 @@ def test_stateful_quality_drift_matches_batch(spark):
     batch = quality_drift_dashboard(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
+
+
+def test_stateful_epoch_packing_matches_batch(spark):
+    # the single-cell fold over md5-shuffle-ordered replay == the batch
+    # seeded_epoch_shuffle manifest for epoch 1 restricted to FULL
+    # batches (only closed batches are emitted; the trailing partial
+    # batch stays in state) — every column bit-identical
+    from etl_showcase_spark.plans.mlprep import (
+        _EPOCH_SHUFFLE_BATCH,
+        seeded_epoch_shuffle,
+    )
+
+    streamed = jobs.stream_epoch_packing_state(spark, SF_SMOKE).toPandas()
+    batch = seeded_epoch_shuffle(spark, SF_SMOKE).toPandas()
+    full = (
+        batch[(batch["epoch"] == 1) & (batch["n_docs"] == _EPOCH_SHUFFLE_BATCH)]
+        .sort_values("batch_id")
+        .reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    # the corpus must exercise the operator: several closed batches AND
+    # a trailing partial the stream must NOT have emitted
+    assert len(full) >= 2
+    assert len(streamed) == len(full)
+    assert (batch[batch["epoch"] == 1]["n_docs"] != _EPOCH_SHUFFLE_BATCH).any()
+    expected = full[
+        ["epoch", "batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc"]
+    ].astype(dict(streamed.dtypes))
+    assert not compare_frames(streamed, expected.reset_index(drop=True))
