@@ -811,3 +811,68 @@ def gemm_contrastive_topk(
         k,
         rank_col="rnk",
     )
+
+
+def ivf_contrastive_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Hard-negative mining, the IVF way: gemm_contrastive_topk's 'neg'
+    side with the corpus stream replaced by a cell-probe join — each
+    anchor scans only its n_probe nearest Voronoi cells instead of the
+    whole corpus (cost ≈ n_probe/n_centroids of the exact miner; the
+    trade ann_ivf_topk makes vs ann_cosine_topk, applied to mining).
+    Index build is the shared deterministic build_ivf_centroids, and
+    the different-label filter sits INSIDE the probe join, so no
+    same-label pair is ever scored or shuffled. Recall vs the exact
+    miner is invariant-gated (tests/test_oracle_parity.py)."""
+    cv = corpus.select(
+        F.col(corpus_id).alias("c_id"),
+        quantize(F.col(vec_col)).alias("c_vec"),
+        F.col(label_col).alias("c_lab"),
+    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
+    cents = build_ivf_centroids(cv, n_centroids)
+    if not cents:
+        return queries.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rnk int"
+        )
+    n_probe = min(n_probe, len(cents))
+    assign_final = _nearest_centroids_udf(cents, 1)
+    probe = _nearest_centroids_udf(cents, n_probe)
+    indexed = cv.withColumn("cell", assign_final(F.col("c_vec")).getItem(0))
+    qv = (
+        queries.select(
+            F.col(query_id).alias("q_id"),
+            quantize(F.col(vec_col)).alias("q_vec"),
+            F.col(label_col).alias("q_lab"),
+        )
+        .withColumn(
+            "q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double"))
+        )
+        .withColumn("cell", F.explode(probe(F.col("q_vec"))))
+    )
+    scored = (
+        indexed.join(F.broadcast(qv), "cell")
+        .filter(
+            (F.col("q_id") != F.col("c_id"))
+            & ~F.col("c_lab").eqNullSafe(F.col("q_lab"))
+        )
+        .select(
+            "q_id",
+            "c_id",
+            (
+                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
+    )

@@ -1163,3 +1163,34 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "q_id", "side", "c_id", "cosine", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 scale path for negative mining ([EXT] — SURVEY §7.5): the exact
+# contrastive_hard_negatives streams the whole corpus per Arrow batch;
+# when anchors are many, the IVF index routes each anchor to its
+# n_probe nearest cells instead (same deterministic index as
+# ann_ivf_topk, different-label filter inside the probe join).
+# Engine-specific clustering → rows-only; recall@k vs the exact
+# miner's 'neg' side is invariant-gated in tests/test_oracle_parity.py.
+# ---------------------------------------------------------------------------
+
+
+@register("contrastive_ivf_negatives", oracle=None, tags=("L3",))
+def contrastive_ivf_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_contrastive_negatives
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_contrastive_negatives(
+        _strided_queries(e),
+        e,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        "label",
+        k=_CONTRASTIVE_K,
+        n_centroids=16,
+        # same wide probe rationale as ann_ivf_topk: near-uniform
+        # synthetic embeddings need 8/16 cells for recall >= 0.7
+        n_probe=8,
+    )

@@ -214,8 +214,26 @@ def test_embedding_clusters_match_pair_union_find(spark):
     assert (pdf.groupby("cluster_id")["is_canonical"].sum() == 1).all()
 
 
+def _inv_contrastive_ivf_negatives(spark, pdf):
+    # recall@5 vs the exact GEMM miner's 'neg' side on the same
+    # strided anchor panel, plus the side contract itself: no emitted
+    # candidate may share its anchor's label
+    emb = spark.read.parquet(SF_ORACLE + "/embeddings.parquet").toPandas()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    assert all(labels[q] != labels[c] for q, c in zip(pdf["q_id"], pdf["c_id"]))
+    exact = SPECS["contrastive_hard_negatives"].build(spark, SF_ORACLE).toPandas()
+    truth = exact[exact["side"] == "neg"].groupby("q_id")["c_id"].apply(set)
+    approx = pdf.groupby("q_id")["c_id"].apply(set)
+    recalls = [
+        len(truth[q] & approx.get(q, set())) / len(truth[q]) for q in truth.index
+    ]
+    r = sum(recalls) / len(recalls)
+    assert r >= 0.7, f"IVF negative-mining recall@5 {r:.2f} < 0.7"
+
+
 INVARIANTS = {
     "ann_ivf_topk": _inv_ann_ivf_topk,
+    "contrastive_ivf_negatives": _inv_contrastive_ivf_negatives,
     "minhash_lsh_neardup": _inv_minhash_lsh_neardup,
     "simhash_neardup": _inv_simhash_neardup,
     "audit_timestamp_injection": _inv_audit_timestamp_injection,
