@@ -1194,3 +1194,93 @@ def contrastive_ivf_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         # synthetic embeddings need 8/16 cells for recall >= 0.7
         n_probe=8,
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L6 embedding-grain decontamination ([EXT] — decontaminate_
+# train_test catches n-gram overlap; paraphrased eval leakage shares
+# no n-grams but sits close in embedding space). Split = the same md5
+# draw as leakage_safe_split (first hex < '4' → eval); contamination =
+# an eval vector within cosine >= 0.35 of ANY train vector, candidates
+# from the deterministic LSH posting join the embedding_neardup_pairs
+# oracle already replays bit-for-bit — so this cross-split composition
+# stays fully hash-checked (no all-pairs stage; the oracle nests the
+# whole posting pipeline). Output is change-sized: one row per
+# CONTAMINATED eval vector with the count, max cosine, and the
+# tie-safe worst offender — the rows an eval-set owner must quarantine.
+# ---------------------------------------------------------------------------
+
+
+def _decontam_oracle() -> str:
+    return f"""
+WITH p AS ({_neardup_lsh_oracle()}),
+s AS (
+  SELECT id_a, id_b, cosine,
+         substr(md5(CAST(id_a AS VARCHAR)), 1, 1) < '4' AS a_eval,
+         substr(md5(CAST(id_b AS VARCHAR)), 1, 1) < '4' AS b_eval
+  FROM p
+),
+x AS (
+  SELECT CASE WHEN a_eval THEN id_a ELSE id_b END AS eval_id,
+         CASE WHEN a_eval THEN id_b ELSE id_a END AS train_id,
+         cosine
+  FROM s WHERE a_eval <> b_eval
+),
+r AS (
+  SELECT eval_id, train_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY eval_id ORDER BY cosine DESC, train_id ASC) AS rn
+  FROM x
+)
+SELECT eval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_contaminating,
+       MAX(cosine) AS max_cosine,
+       MAX(CASE WHEN rn = 1 THEN train_id END) AS worst_train_id
+FROM r GROUP BY eval_id
+"""
+
+
+@register("embedding_decontamination", oracle=_decontam_oracle(), tags=("L2", "L6"))
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = lsh_neardup_pairs(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=_ND_THRESH,
+        n_planes=_ND_PLANES,
+        dim=_ND_DIM,
+        n_tables=_ND_TABLES,
+    )
+    a_eval = F.substring(F.md5(F.col("id_a").cast("string")), 1, 1) < "4"
+    b_eval = F.substring(F.md5(F.col("id_b").cast("string")), 1, 1) < "4"
+    x = (
+        pairs.withColumn("a_eval", a_eval)
+        .withColumn("b_eval", b_eval)
+        .filter(F.col("a_eval") != F.col("b_eval"))
+        .select(
+            F.when(F.col("a_eval"), F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "eval_id"
+            ),
+            F.when(F.col("a_eval"), F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "train_id"
+            ),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("cosine").desc(), F.col("train_id").asc()
+    )
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_contaminating"),
+            F.max("cosine").alias("max_cosine"),
+            F.max(F.when(F.col("rn") == 1, F.col("train_id"))).alias(
+                "worst_train_id"
+            ),
+        )
+    )

@@ -2602,3 +2602,183 @@ def stream_epoch_packing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct() makes the at-least-once log replay-idempotent
     emitted = _drain_replay_union(out, "stream_epoch_packing", mode="append").distinct()
     return emitted.orderBy("batch_id")
+
+
+def stream_contrastive_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch ``contrastive_hard_negatives``
+    miner (plans/llm_vector.py): the anchor panel is fixed (the same
+    strided sample, with labels), the CORPUS is the stream — the
+    ingest-time shape of continuous hard-negative refresh, where every
+    newly embedded document must be scored against the training
+    anchors. Per micro-batch, arriving vectors cross the broadcast
+    panel once (stream-static join on a constant key), the cosine is
+    the IDENTICAL int-dot/sqrt/divide op sequence as the batch GEMM
+    (bit-equal doubles), and a per-(anchor, side) GroupState folds a
+    running top-k — associative under the (cosine desc, c_id asc)
+    total order, so the latest emission per key over the drained log
+    equals the batch miner bit-for-bit (tests/test_streaming.py).
+    State per key is O(k) ids+doubles; 2×|panel| keys."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..caching import tracked_persist
+    from ..operators.similarity import int_dot, quantize
+    from ..plans.llm_vector import _CONTRASTIVE_K, _strided_queries
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = tracked_persist(
+        _strided_queries(e)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            quantize(F.col("embedding")).alias("q_vec"),
+            F.col("label").alias("q_lab"),
+        )
+        .withColumn(
+            "q_nrm", F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double"))
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    arriving = (
+        embeddings_replay_stream_with_label(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("c_id"),
+            quantize(F.col("embedding")).alias("c_vec"),
+            F.col("label").alias("c_lab"),
+        )
+        .withColumn(
+            "c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    cand = (
+        arriving.join(F.broadcast(qv), "__one")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            F.when(F.col("c_lab").eqNullSafe(F.col("q_lab")), F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("side"),
+            "c_id",
+            (
+                int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+    )
+
+    k_top = _CONTRASTIVE_K  # captured by value: the fold must track K
+
+    def topk_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        k = k_top
+        if state.exists:
+            cids, coss, seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+        else:
+            cids, coss, seen = [], [], 0
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+            cids.extend(int(x) for x in pdf["c_id"])
+            coss.extend(float(x) for x in pdf["cosine"])
+        if not n_new:
+            return
+        merged = sorted(zip(coss, cids), key=lambda t: (-t[0], t[1]))[:k]
+        seen += n_new
+        state.update(([c for _, c in merged], [s for s, _ in merged], seen))
+        yield pd.DataFrame(
+            {
+                "q_id": [int(key[0])] * len(merged),
+                "side": [str(key[1])] * len(merged),
+                "c_id": [c for _, c in merged],
+                "cosine": [s for s, _ in merged],
+                "rnk": list(range(1, len(merged) + 1)),
+                "ver": [seen] * len(merged),
+            }
+        )
+
+    out = cand.groupBy("q_id", "side").applyInPandasWithState(
+        topk_fold,
+        outputStructType=(
+            "q_id long, side string, c_id long, cosine double, rnk int, ver long"
+        ),
+        stateStructType="c_ids array<bigint>, cosines array<double>, n_seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_contrastive", mode="update").distinct()
+    latest = log.groupBy("q_id", "side").agg(F.max("ver").alias("ver"))
+    return log.join(latest, ["q_id", "side", "ver"]).select(
+        "q_id", "side", "c_id", "cosine", "rnk"
+    )
+
+
+def embeddings_replay_stream_with_label(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 200
+) -> DataFrame:
+    """embeddings_replay_stream plus the label column (the contrastive
+    twin needs the side split) — same ordering, offsets, and pickling
+    constraints as the two-column reader."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/embeddings.parquet"
+
+    class _EmbLabReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "200"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path, columns=["vec_id", "embedding", "label"])
+                self._tbl = t.take(
+                    pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter(
+                [
+                    (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+                    for r in sl
+                ]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _EmbLabReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "embeddings_label_replay"
+
+        def schema(self) -> str:
+            return "vec_id long, embedding array<double>, label int"
+
+        def simpleStreamReader(self, schema):
+            return _EmbLabReplayReader(self.options)
+
+    spark.dataSource.register(_EmbLabReplaySource)
+    return (
+        spark.readStream.format("embeddings_label_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )

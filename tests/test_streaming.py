@@ -617,6 +617,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_lineage_diff_state,  # round 10: per-doc_id key space
         jobs.stream_quality_drift_state,  # round 10: per-source band table
         jobs.stream_epoch_packing_state,  # round 10: O(1) shuffle-order fold
+        jobs.stream_contrastive_state,  # round 10: per-(anchor,side) top-k
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -857,3 +858,18 @@ def test_stateful_epoch_packing_matches_batch(spark):
         ["epoch", "batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc"]
     ].astype(dict(streamed.dtypes))
     assert not compare_frames(streamed, expected.reset_index(drop=True))
+
+
+def test_stateful_contrastive_matches_batch(spark):
+    # per-(anchor, side) running top-k over the corpus replay == the
+    # batch GEMM miner bit-for-bit (the int-dot/sqrt/divide sequence is
+    # identical on both paths, and top-k merge is associative under the
+    # (cosine desc, c_id asc) total order)
+    from etl_showcase_spark.plans.llm_vector import contrastive_hard_negatives
+
+    streamed = jobs.stream_contrastive_state(spark, SF_SMOKE).toPandas()
+    batch = contrastive_hard_negatives(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    # both sides must actually occur (the labels partition the corpus)
+    assert set(streamed["side"]) == {"pos", "neg"}
+    assert not compare_frames(streamed, batch)
