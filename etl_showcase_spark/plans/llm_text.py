@@ -2732,3 +2732,55 @@ def pii_redaction_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# L2/L6 cluster-weighted sampling ([EXT] — the SOFT-dedup alternative
+# to dropping near-duplicates: keep every document with probability
+# 1/cluster_size, so each near-dup cluster contributes ~1 expected
+# copy while singletons pass untouched — the standard counter to
+# "hard dedup deletes rare-but-replicated gems"). Membership is the
+# canonical star-edge clustering (shared _star_edge_cluster_membership
+# frame); the draw is the pps_weighted_sample integer idiom: keep iff
+# u32(md5(doc_id|'cw')) * cluster_size < 2^32 — a pure-integer test
+# both engines replay exactly (the oracle nests the full cluster
+# replay). weight_ppm records the acceptance probability in exact
+# integer ppm for downstream loss reweighting.
+# ---------------------------------------------------------------------------
+
+_CW_SAMPLE_ORACLE = f"""
+WITH m AS ({{clusters}})
+SELECT doc_id, cluster_id, cluster_size, is_canonical,
+       CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+FROM m
+WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cw'), 1, 8) AS BIGINT)
+        * cluster_size
+      < 4294967296
+""".format(clusters="{clusters}")
+
+
+@register(
+    "cluster_weighted_sampling",
+    oracle=_CW_SAMPLE_ORACLE.format(clusters=_scalable_clusters_oracle()),
+    tags=("L2", "L6"),
+)
+def cluster_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hash_key
+
+    m = _star_edge_cluster_membership(spark, sf_dir)
+    u = (
+        F.conv(F.substring(hash_key(F.col("doc_id"), "cw"), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    return (
+        m.filter(u * F.col("cluster_size") < F.lit(4294967296))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "is_canonical",
+            F.call_function("div", F.lit(1000000).cast("bigint"), F.col("cluster_size"))
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+    )
