@@ -4007,3 +4007,112 @@ def seeded_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", "pos").alias("tail_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L4/L6/O1 composed deliverable: the curated training manifest —
+# the full curation chain in ONE hash-checked relation (the llm-side
+# sibling of packed_clean_corpus): soft-dedup sample
+# (cluster_weighted_sampling's 1/cluster_size integer draw over the
+# star-edge clusters) ∩ Gopher quality gate (keep=1), then the
+# epoch-1 md5 shuffle order and the 64-doc batch-manifest grain of
+# seeded_epoch_shuffle. The oracle NESTS every stage — cluster
+# replay, draw, quality flags, partition-less ROW_NUMBER, batch agg —
+# so one hash equality proves the composition end-to-end, not just
+# each stage in isolation. Scale shape: each stage is its own proven
+# sub-linear plan; the composition adds two keyed semi-joins.
+# ---------------------------------------------------------------------------
+
+
+def _curated_manifest_oracle() -> str:
+    from .llm_text import _scalable_clusters_oracle
+    from ..operators import textops as _t
+
+    return f"""
+WITH m AS ({_scalable_clusters_oracle()}),
+cw AS (
+  SELECT doc_id FROM m
+  WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cw'), 1, 8) AS BIGINT)
+          * cluster_size
+        < 4294967296
+),
+t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+),
+g AS (
+  SELECT doc_id FROM q
+  WHERE n_tokens >= {_t.GOPHER_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+    AND mean_word_len IS NOT NULL
+    AND mean_word_len >= {_t.GOPHER_MIN_MEAN_LEN}
+    AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+    AND symbol_ratio IS NOT NULL
+    AND symbol_ratio < {_t.GOPHER_MAX_SYMBOL_RATIO}
+),
+kept AS (
+  SELECT t.doc_id, t.n_chars FROM t
+  JOIN cw ON t.doc_id = cw.doc_id
+  JOIN g ON t.doc_id = g.doc_id
+),
+r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM kept
+)
+SELECT CAST((pos - 1) // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       arg_min(doc_id, pos) AS head_doc,
+       arg_max(doc_id, pos) AS tail_doc
+FROM r GROUP BY (pos - 1) // {_EPOCH_SHUFFLE_BATCH}
+"""
+
+
+@register(
+    "curated_training_manifest",
+    oracle=_curated_manifest_oracle(),
+    tags=("L2", "L4", "L6", "O1"),
+)
+def curated_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+    from .llm_text import cluster_weighted_sampling
+
+    d = table(spark, sf_dir, "documents")
+    cw = cluster_weighted_sampling(spark, sf_dir).select("doc_id")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    g = d.select("doc_id", flags["keep"].alias("keep")).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    kept = (
+        d.select("doc_id", "n_chars")
+        .join(cw, "doc_id")
+        .join(g, "doc_id")
+    )
+    key = F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string")))
+    ranked = with_global_row_number(
+        kept.withColumn("__k", key), [F.col("__k").asc(), F.col("doc_id").asc()], "pos"
+    )
+    return (
+        ranked.withColumn(
+            "batch_id",
+            F.floor((F.col("pos") - 1) / _EPOCH_SHUFFLE_BATCH).cast("bigint"),
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min_by("doc_id", "pos").alias("head_doc"),
+            F.max_by("doc_id", "pos").alias("tail_doc"),
+        )
+    )

@@ -536,3 +536,25 @@ def test_redaction_spans_match_python_ground_truth(spark):
             assert emitted[occ] == t, (key, occ, emitted[occ], t)
         n_spans += len(spans)
     assert n_spans > 100  # the injection must actually exercise this
+
+
+def test_curated_manifest_composes_its_gates(spark):
+    # the manifest's doc population must be EXACTLY soft-dedup kept ∩
+    # gopher keep=1, and batches must tile it in the epoch-1 order
+    from etl_showcase_spark.plans.llm_text import cluster_weighted_sampling
+    from etl_showcase_spark.plans.mlprep import (
+        _EPOCH_SHUFFLE_BATCH,
+        curated_training_manifest,
+    )
+    from etl_showcase_spark.registry import all_specs
+
+    man = curated_training_manifest(spark, SF_SMOKE).toPandas()
+    cw = set(cluster_weighted_sampling(spark, SF_SMOKE).toPandas()["doc_id"])
+    gq = all_specs()["gopher_quality_gate"].build(spark, SF_SMOKE).toPandas()
+    keep = set(gq[gq["keep"] == 1]["doc_id"])
+    expected_n = len(cw & keep)
+    assert man["n_docs"].sum() == expected_n
+    assert 0 < expected_n < len(gq)  # both gates actually bite
+    full = man[man["batch_id"] < man["batch_id"].max()]
+    assert (full["n_docs"] == _EPOCH_SHUFFLE_BATCH).all()
+    assert sorted(man["batch_id"]) == list(range(len(man)))
