@@ -1384,3 +1384,117 @@ def snapshot_lineage_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needs_recompute"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/S4/G7 incremental bucket recompute ([EXT] — SURVEY §7.5: the
+# executor for snapshot_lineage_files' work list, closing the loop the
+# file-grain lineage opened). The per-bucket rollup (n_docs,
+# sum_chars) is maintained across versions WITHOUT rescanning v2:
+# compute the rollup once over v1, diff the versions at the bucket
+# grain, then re-aggregate ONLY the needs_recompute partition
+# directories of v2 (a static bucket IN (...) filter — the changed-
+# bucket list is bounded by the 16-bucket layout, metadata not data,
+# so the collect is O(1) and the scan shows PartitionFilters) and
+# merge with the untouched buckets' v1 rows. Hash equality with the
+# oracle's FULL v2 recompute is the maintenance-correctness proof —
+# incremental_mv_maintenance's argument at the partition grain. Cost
+# at scale: |changed buckets| scan + O(buckets) merge vs a full v2
+# rescan.
+# ---------------------------------------------------------------------------
+
+_RECOMPUTE_ORACLE = """
+WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+     b AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+     j AS (
+       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'deleted'
+                   WHEN COALESCE(a.doc_id, b.doc_id) % 7 = 0 THEN 'updated'
+                   ELSE 'unchanged' END AS status
+       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+     ),
+chg AS (
+  SELECT doc_id % 16 AS bucket FROM j WHERE status <> 'unchanged' GROUP BY 1
+),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '[rev2] ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT v2.doc_id % 16 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+       v2.doc_id % 16 IN (SELECT bucket FROM chg) AS recomputed
+FROM v2 GROUP BY v2.doc_id % 16
+"""
+
+
+@register(
+    "incremental_bucket_recompute",
+    oracle=_RECOMPUTE_ORACLE,
+    tags=("S11", "S4", "G7"),
+)
+def incremental_bucket_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
+    from ..sources.io import read_snapshot, write_snapshot_partitioned
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.pmod("doc_id", F.lit(16)).alias("bucket")
+    )
+    root = tempfile.mkdtemp(prefix="bucket_recompute_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/docs"
+    incremental_bucket_recompute.last_base = base
+    v_a = write_snapshot_partitioned(
+        d.filter(F.col("doc_id") % 3 != 0), base, ["bucket"]
+    )
+    v_b = write_snapshot_partitioned(
+        d.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.lit("[rev2] "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "bucket",
+        ),
+        base,
+        ["bucket"],
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("bucket").cast("bigint").alias("bucket")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+
+    v1 = read_snapshot(spark, base, v_a)
+    v2 = read_snapshot(spark, base, v_b)
+    v1_roll = rollup(v1)
+    # the work list: buckets whose content differs (same diff as
+    # snapshot_lineage_files, reduced to the changed set)
+    a = v1.select(F.col("doc_id").alias("a_id"), F.md5("text").alias("a_md5"))
+    b = v2.select(F.col("doc_id").alias("b_id"), F.md5("text").alias("b_md5"))
+    diff = a.join(b, a["a_id"] == b["b_id"], "full_outer").filter(
+        F.col("a_id").isNull()
+        | F.col("b_id").isNull()
+        | (F.col("a_md5") != F.col("b_md5"))
+    )
+    changed = sorted(
+        r["bucket"]
+        for r in diff.select(
+            F.pmod(F.coalesce("a_id", "b_id"), F.lit(16)).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    )  # bounded by the 16-bucket layout: metadata, not data
+    # re-aggregate ONLY the changed partition dirs (static pruning)
+    recomputed = rollup(v2.filter(F.col("bucket").isin(changed)))
+    carried = v1_roll.filter(~F.col("bucket").isin(changed))
+    incremental_bucket_recompute.last_changed = changed
+    return carried.withColumn("recomputed", F.lit(False)).unionByName(
+        recomputed.withColumn("recomputed", F.lit(True))
+    )

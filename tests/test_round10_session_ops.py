@@ -558,3 +558,38 @@ def test_curated_manifest_composes_its_gates(spark):
     full = man[man["batch_id"] < man["batch_id"].max()]
     assert (full["n_docs"] == _EPOCH_SHUFFLE_BATCH).all()
     assert sorted(man["batch_id"]) == list(range(len(man)))
+
+
+def test_bucket_recompute_prunes_partitions_and_equals_full(spark):
+    # the incremental path must (a) touch only the changed partition
+    # dirs — PartitionFilters on the v2 scan — and (b) land on exactly
+    # the full-recompute rollup
+    from etl_showcase_spark.plans.ingest import incremental_bucket_recompute
+    from etl_showcase_spark.sources.io import read_snapshot
+
+    df = incremental_bucket_recompute(spark, SF_SMOKE)
+    pdf = df.toPandas().sort_values("bucket").reset_index(drop=True)
+    changed = incremental_bucket_recompute.last_changed
+    assert 0 < len(changed) <= 16
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the changed-side scan must carry a non-empty bucket partition filter
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in f and f.strip() for f in pf), pf
+    # equality with the independent full recompute of v2
+    base = incremental_bucket_recompute.last_base
+    v2 = read_snapshot(spark, base, 2)
+    full = (
+        v2.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        )
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    got = pdf[["bucket", "n_docs", "sum_chars"]]
+    assert got.equals(full[["bucket", "n_docs", "sum_chars"]])
+    assert set(pdf[pdf["recomputed"]]["bucket"]) == set(changed)
