@@ -1284,3 +1284,59 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L3/O1 triplet batch builder ([EXT] — SURVEY §7.5: the last mile
+# between mining and the data loader). Rank-aligned (anchor, positive,
+# hard-negative) triplets from the exact miner — rank-i positive pairs
+# with rank-i negative, so early batches carry each anchor's HARDEST
+# contrast — assigned to fixed 16-triplet training batches in the
+# deterministic (q_id, rank) order via the distributed row-number
+# primitive. The oracle nests the full miner replay and the
+# partition-less ROW_NUMBER: one hash proves mining → pairing →
+# batching end-to-end.
+# ---------------------------------------------------------------------------
+
+_TRIPLET_BATCH = 16
+
+_TRIPLET_ORACLE = f"""
+WITH mined AS ({_CONTRASTIVE_ORACLE}),
+tri AS (
+  SELECT p.q_id, p.c_id AS pos_id, n.c_id AS neg_id, p.rnk AS rank
+  FROM mined p JOIN mined n ON p.q_id = n.q_id AND p.rnk = n.rnk
+  WHERE p.side = 'pos' AND n.side = 'neg'
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY q_id, rank) AS rn FROM tri
+)
+SELECT q_id, pos_id, neg_id, CAST(rank AS INT) AS rank,
+       CAST((rn - 1) // {_TRIPLET_BATCH} AS BIGINT) AS batch_id
+FROM r
+"""
+
+
+@register("contrastive_triplet_batches", oracle=_TRIPLET_ORACLE, tags=("L3", "O1"))
+def contrastive_triplet_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    # persisted: both triplet sides read the mined frame — one GEMM
+    # pass, InMemoryRelation reused on the second side
+    mined = tracked_persist(contrastive_hard_negatives(spark, sf_dir))
+    p = mined.filter(F.col("side") == "pos").select(
+        "q_id", F.col("c_id").alias("pos_id"), F.col("rnk").alias("rank")
+    )
+    n = mined.filter(F.col("side") == "neg").select(
+        "q_id", F.col("c_id").alias("neg_id"), F.col("rnk").alias("rank")
+    )
+    tri = p.join(n, ["q_id", "rank"])
+    ranked = with_global_row_number(
+        tri, [F.col("q_id").asc(), F.col("rank").asc()], "rn"
+    )
+    return ranked.select(
+        "q_id",
+        "pos_id",
+        "neg_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.floor((F.col("rn") - 1) / _TRIPLET_BATCH).cast("bigint").alias("batch_id"),
+    )
