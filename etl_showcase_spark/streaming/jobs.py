@@ -2782,3 +2782,115 @@ def embeddings_replay_stream_with_label(
         .option("batch_rows", str(batch_rows))
         .load()
     )
+
+
+def stream_decontamination_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``embedding_decontamination``
+    (plans/llm_vector.py), oriented the way production ingests: the
+    EVAL panel is frozen (eval sets are small and fixed), the TRAIN
+    corpus arrives as a stream, and per-eval GroupState accumulates
+    which eval vectors become contaminated as ingestion proceeds —
+    count, running max cosine, and the tie-safe worst offender, all
+    updating incrementally. Candidates come from the same literal
+    hyperplane postings as the batch path (lsh_bucket_keys_gemm), the
+    cosine is the identical int-dot/sqrt/divide sequence, and each
+    train vector arrives in exactly ONE micro-batch, so a pair's
+    multi-table duplicates are always within one chunk — the fold
+    dedups them locally, no cross-batch dedup state needed. The
+    latest emission per eval over the drained log equals the batch
+    relation bit-for-bit (tests/test_streaming.py). State per eval is
+    three scalars."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..caching import tracked_persist
+    from ..operators.similarity import int_dot, lsh_bucket_keys_gemm, quantize
+    from ..plans.llm_vector import _ND_DIM, _ND_PLANES, _ND_TABLES, _ND_THRESH
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
+    eval_post = tracked_persist(
+        e.filter(is_eval)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            quantize(F.col("embedding")).alias("e_vec"),
+            lsh_bucket_keys_gemm("embedding", _ND_PLANES, _ND_DIM, _ND_TABLES).alias(
+                "keys"
+            ),
+        )
+        .withColumn(
+            "e_nrm", F.sqrt(int_dot(F.col("e_vec"), F.col("e_vec")).cast("double"))
+        )
+        .select("eval_id", "e_vec", "e_nrm", F.posexplode("keys").alias("tbl", "key"))
+    )
+    arriving = (
+        embeddings_replay_stream(spark, sf_dir)
+        .filter(~(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            quantize(F.col("embedding")).alias("c_vec"),
+            lsh_bucket_keys_gemm("embedding", _ND_PLANES, _ND_DIM, _ND_TABLES).alias(
+                "keys"
+            ),
+        )
+        .withColumn(
+            "c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+        )
+        .select("c_id", "c_vec", "c_nrm", F.posexplode("keys").alias("tbl", "key"))
+    )
+    cand = (
+        arriving.join(F.broadcast(eval_post), ["tbl", "key"])
+        .select(
+            "eval_id",
+            "c_id",
+            (
+                int_dot(F.col("e_vec"), F.col("c_vec")).cast("double")
+                / (F.col("e_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(_ND_THRESH))
+    )
+
+    def contamination_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, mx, best = int(state.get[0]), float(state.get[1]), int(state.get[2])
+        else:
+            n, mx, best = 0, float("-inf"), -1
+        rows = {}
+        for pdf in pdfs:
+            for c, cos in zip(pdf["c_id"], pdf["cosine"]):
+                rows[int(c)] = float(cos)  # multi-table dups collapse here
+        if not rows:
+            return
+        n += len(rows)
+        for c, cos in rows.items():
+            if (-cos, c) < (-mx, best):
+                mx, best = cos, c
+        state.update((n, mx, best))
+        yield pd.DataFrame(
+            {
+                "eval_id": [int(key[0])],
+                "n_contaminating": [n],
+                "max_cosine": [mx],
+                "worst_train_id": [best],
+                "ver": [n],
+            }
+        )
+
+    out = cand.groupBy("eval_id").applyInPandasWithState(
+        contamination_fold,
+        outputStructType=(
+            "eval_id long, n_contaminating long, max_cosine double, "
+            "worst_train_id long, ver long"
+        ),
+        stateStructType="n bigint, mx double, best bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_decontam", mode="update").distinct()
+    latest = log.groupBy("eval_id").agg(F.max("ver").alias("ver"))
+    return log.join(latest, ["eval_id", "ver"]).select(
+        "eval_id", "n_contaminating", "max_cosine", "worst_train_id"
+    )

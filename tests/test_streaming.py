@@ -618,6 +618,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_quality_drift_state,  # round 10: per-source band table
         jobs.stream_epoch_packing_state,  # round 10: O(1) shuffle-order fold
         jobs.stream_contrastive_state,  # round 10: per-(anchor,side) top-k
+        jobs.stream_decontamination_state,  # round 10: per-eval 3-scalar fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -872,4 +873,16 @@ def test_stateful_contrastive_matches_batch(spark):
     assert len(streamed) > 0
     # both sides must actually occur (the labels partition the corpus)
     assert set(streamed["side"]) == {"pos", "neg"}
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_decontamination_matches_batch(spark):
+    # the per-eval fold over train-side arrivals == the batch
+    # cross-split relation bit-for-bit: counts, max cosine, and the
+    # (cosine desc, id asc) tie-safe worst offender alike
+    from etl_showcase_spark.plans.llm_vector import embedding_decontamination
+
+    streamed = jobs.stream_decontamination_state(spark, SF_SMOKE).toPandas()
+    batch = embedding_decontamination(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
