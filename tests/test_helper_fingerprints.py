@@ -52,6 +52,11 @@ HELPERS = [
     "etl_showcase_spark.operators.similarity:int_dot",
     "etl_showcase_spark.operators.similarity:lsh_bucket_keys_gemm",
     "etl_showcase_spark.operators.similarity:build_ivf_centroids",
+    # round-10 session helpers with multiple query/twin consumers
+    "etl_showcase_spark.sources.io:write_snapshot_partitioned",
+    "etl_showcase_spark.plans.llm_text:_pii_raw_col",
+    "etl_showcase_spark.plans.llm_text:_pii_raw_sql",
+    "etl_showcase_spark.operators.similarity:gemm_contrastive_topk",
 ]
 
 
