@@ -1483,18 +1483,35 @@ def incremental_bucket_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("b_id").isNull()
         | (F.col("a_md5") != F.col("b_md5"))
     )
-    changed = sorted(
-        r["bucket"]
-        for r in diff.select(
-            F.pmod(F.coalesce("a_id", "b_id"), F.lit(16)).alias("bucket")
+    # the work list is MATERIALIZED, the production shape: the lineage
+    # stage emits (bucket, needs_recompute) to disk — 16 rows, the
+    # snapshot_lineage_files relation reduced to the planner's input —
+    # and the recompute job consumes it from disk. No driver collect
+    # (the repo-wide plans-stay-lazy rule), and crucially no
+    # self-reference: a work list derived inline from the v2 scan
+    # cannot prune that same scan (probed — the DPP rule refuses the
+    # cycle), while the disk roundtrip makes the semi join on the
+    # PARTITION column a clean dynamicpruning site (pytest-asserted).
+    per_bucket = (
+        diff.groupBy(
+            F.pmod(F.coalesce("a_id", "b_id"), F.lit(16)).cast("int").alias("bucket")
         )
-        .distinct()
-        .collect()
-    )  # bounded by the 16-bucket layout: metadata, not data
-    # re-aggregate ONLY the changed partition dirs (static pruning)
-    recomputed = rollup(v2.filter(F.col("bucket").isin(changed)))
-    carried = v1_roll.filter(~F.col("bucket").isin(changed))
-    incremental_bucket_recompute.last_changed = changed
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
+    )
+    per_bucket.write.parquet(root + "/worklist")
+    # n_changed > 0 is the planner's filter (a comparison, so the DPP
+    # rule treats the side as selective — a bare boolean is ignored)
+    worklist = (
+        spark.read.parquet(root + "/worklist")
+        .filter(F.col("n_changed") > 0)
+        .select("bucket")
+    )
+    recomputed = rollup(v2.join(F.broadcast(worklist), "bucket", "left_semi"))
+    carried = v1_roll.join(
+        F.broadcast(worklist.select(F.col("bucket").cast("bigint").alias("bucket"))),
+        "bucket",
+        "left_anti",
+    )
     return carried.withColumn("recomputed", F.lit(False)).unionByName(
         recomputed.withColumn("recomputed", F.lit(True))
     )

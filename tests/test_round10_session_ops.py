@@ -569,14 +569,18 @@ def test_bucket_recompute_prunes_partitions_and_equals_full(spark):
 
     df = incremental_bucket_recompute(spark, SF_SMOKE)
     pdf = df.toPandas().sort_values("bucket").reset_index(drop=True)
-    changed = incremental_bucket_recompute.last_changed
+    # the %3/%5/%7 version model decides which buckets changed: every
+    # doc added (%3-excluded, %5-kept), deleted (%5-excluded, %3-kept)
+    # or updated (%7, kept in both) marks its bucket
+    docs = spark.read.parquet(SF_SMOKE + "/documents.parquet").toPandas()
+    ids = docs["doc_id"]
+    in_a, in_b = ids % 3 != 0, ids % 5 != 0
+    touched = (in_a != in_b) | (in_a & in_b & (ids % 7 == 0))
+    changed = set(ids[touched] % 16)
     assert 0 < len(changed) <= 16
+    # the v2 scan must be dynamically pruned to the work-list buckets
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the changed-side scan must carry a non-empty bucket partition filter
-    import re
-
-    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert any("bucket" in f and f.strip() for f in pf), pf
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
     # equality with the independent full recompute of v2
     base = incremental_bucket_recompute.last_base
     v2 = read_snapshot(spark, base, 2)
