@@ -325,3 +325,133 @@ def test_global_running_sum_matches_single_reducer(spark, rows):
     )
     expected = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == expected
+
+
+_VEC = st.lists(st.integers(-50, 50), min_size=4, max_size=4)
+_LABELED = st.lists(
+    st.tuples(_VEC, st.integers(0, 2)), min_size=4, max_size=18, unique_by=str
+)
+
+
+@given(data=_LABELED, k=st.integers(1, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gemm_contrastive_topk_matches_python(spark, data, k):
+    # the label-aware GEMM miner == a pure-Python ranking per
+    # (query, side) under the (cosine desc, id asc) total order, for
+    # arbitrary small labeled vector sets (queries = whole set)
+    import math
+
+    from etl_showcase_spark.operators.similarity import gemm_contrastive_topk
+
+    rows = [(i, [float(x) / 10 for x in v], lab) for i, (v, lab) in enumerate(data)]
+    # drop zero vectors: cosine undefined (NaN) — out of contract
+    rows = [r for r in rows if any(abs(x) > 1e-9 for x in r[1])]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = gemm_contrastive_topk(
+        df, df, "vec_id", "vec_id", "embedding", "label", k=k
+    ).toPandas()
+
+    def quant(v):
+        return [math.floor(float(x) * 1000 + 0.5) for x in v]
+
+    qd = {i: (quant(v), lab) for i, v, lab in rows}
+    for q_id, (qv, ql) in qd.items():
+        qn = math.sqrt(sum(x * x for x in qv))
+        for side in ("pos", "neg"):
+            cand = []
+            for c_id, (cv, cl) in qd.items():
+                if c_id == q_id or (cl == ql) != (side == "pos"):
+                    continue
+                cn = math.sqrt(sum(x * x for x in cv))
+                cos = float(sum(a * b for a, b in zip(qv, cv))) / (cn * qn)
+                cand.append((-cos, c_id))
+            expect = [c for _, c in sorted(cand)[:k]]
+            g = got[(got["q_id"] == q_id) & (got["side"] == side)].sort_values("rnk")
+            assert list(g["c_id"]) == expect, (q_id, side)
+
+
+@given(data=_LABELED)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ivf_negatives_full_probe_equals_exact_miner(spark, data):
+    # with n_probe == n_centroids the IVF router scans every cell, so
+    # the approximate miner must EQUAL the exact miner's 'neg' side —
+    # the property that separates "fast path" from "different answer"
+    from etl_showcase_spark.operators.similarity import (
+        gemm_contrastive_topk,
+        ivf_contrastive_negatives,
+    )
+
+    rows = [(i, [float(x) / 10 for x in v], lab) for i, (v, lab) in enumerate(data)]
+    rows = [r for r in rows if any(abs(x) > 1e-9 for x in r[1])]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    n_cent = min(4, len(rows))
+    approx = (
+        ivf_contrastive_negatives(
+            df, df, "vec_id", "vec_id", "embedding", "label",
+            k=3, n_centroids=n_cent, n_probe=n_cent,
+        )
+        .toPandas()
+        .sort_values(["q_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    exact = gemm_contrastive_topk(
+        df, df, "vec_id", "vec_id", "embedding", "label", k=3
+    ).toPandas()
+    neg = (
+        exact[exact["side"] == "neg"][["q_id", "c_id", "rnk"]]
+        .sort_values(["q_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert approx[["q_id", "c_id", "rnk"]].equals(neg)
+
+
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("ab 0123456789"), min_size=0, max_size=40
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_offset_reconstruction_matches_re(spark, text):
+    # the split-segment prefix-sum offset math behind
+    # pii_redaction_spans == re.finditer, for arbitrary strings
+    # including adjacent runs and boundary matches
+    import re
+
+    rx = r"[0-9]{3,}"
+    df = spark.createDataFrame([(text,)], "raw string")
+    sl = F.transform(F.split(F.col("raw"), rx), lambda s: F.length(s))
+    ml = F.transform(
+        F.regexp_extract_all(F.col("raw"), F.lit(rx), 0), lambda s: F.length(s)
+    )
+    ex = df.select(sl.alias("sl"), ml.alias("ml")).select(
+        "sl", "ml", F.posexplode("ml").alias("occ0", "mlen")
+    )
+    start = (
+        F.aggregate(
+            F.slice("sl", F.lit(1), F.col("occ0") + 1),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        + F.aggregate(
+            F.slice("ml", F.lit(1), F.col("occ0")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        + 1
+    )
+    got = [
+        (int(r["occ0"]) + 1, int(r["start"]), int(r["mlen"]))
+        for r in ex.select("occ0", start.alias("start"), "mlen").collect()
+    ]
+    expect = [
+        (i + 1, m.start() + 1, len(m.group()))
+        for i, m in enumerate(re.finditer(rx, text))
+    ]
+    assert sorted(got) == expect
