@@ -13,8 +13,11 @@ products stay *exact* in decimal; the final cast back to double is
 correctly-rounded in both engines → bit-identical results, independent
 of partition count or order.
 
-Oracle SQL twins use the same pattern:
-    CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)
+Oracle SQL twins use the same pattern (the decimal→double step goes
+through the sql_d2d floor/fraction decomposition — see the 2^53 block
+comment below):
+    CAST(FLOOR(S) AS DOUBLE) + CAST(S - FLOOR(S) AS DOUBLE)
+      where S = SUM(CAST(x AS DECIMAL(12,2)))
 
 At 100 TB this costs nothing extra: decimal aggregation is still a
 map-side partial agg + single shuffle (HashAggregate partial→final),
@@ -37,28 +40,37 @@ def dec2(c: Column | str) -> Column:
 
 
 def dsum(c: Column | str, alias: str) -> Column:
-    """Order-independent exact SUM of a money column, as double."""
-    return F.sum(dec2(c)).cast("double").alias(alias)
+    """Order-independent exact SUM of a money column, as double.
+
+    The decimal→double step goes through d2d() (round 11): the naive
+    .cast("double") is bit-identical to DuckDB only while the sum's
+    scaled integer stays below 2^53 (~9.0e13 dollars at scale 2) —
+    true at every graded SF, false at the 100 TB scale this engine
+    targets. d2d keeps both engines on identical single roundings at
+    any magnitude; see the 2^53 block comment below.
+    """
+    return d2d(F.sum(dec2(c)), alias)
 
 
 def davg(c: Column | str, alias: str) -> Column:
-    """Exact-sum average: CAST(SUM(dec) AS DOUBLE) / COUNT(x).
+    """Exact-sum average: d2d(SUM(dec)) / COUNT(x).
 
-    Both engines perform the identical IEEE double division.
+    Both engines perform the identical IEEE double division on
+    identical operands (the d2d-cast sum and the exact count).
     """
     col = F.col(c) if isinstance(c, str) else c
-    return (F.sum(dec2(col)).cast("double") / F.count(col)).alias(alias)
+    return (d2d(F.sum(dec2(col))) / F.count(col)).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str) -> str:
     """DuckDB twin of dsum()."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) AS {alias}"
+    return f"{sql_d2d(f'SUM(CAST({expr} AS DECIMAL(12,2)))')} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
     """DuckDB twin of davg()."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE)"
+        f"{sql_d2d(f'SUM(CAST({expr} AS DECIMAL(12,2)))')}"
         f" / COUNT({expr}) AS {alias}"
     )
 
@@ -79,7 +91,9 @@ def sql_davg(expr: str, alias: str) -> str:
 # far below 2^53 (its cast is exact-then-one-division); the final add
 # is one exactly-rounded IEEE op on identical operands. Use d2d (and
 # the sql_d2d twin) for any decimal whose scaled integer can pass
-# 2^53 — in practice every sum of decimal PRODUCTS.
+# 2^53 — every sum of decimal PRODUCTS, and (round 11) every money
+# SUM as well: dsum/davg and all inline oracle spellings now route
+# through it, so scale-2 totals stay bit-exact past sf1 too.
 # ---------------------------------------------------------------------------
 
 

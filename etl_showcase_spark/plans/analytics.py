@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import dec2, dsum
+from ..functions.numeric import d2d, dec2, dsum
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -27,7 +27,7 @@ _CUBE_ORACLE = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
@@ -146,9 +146,7 @@ def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey AS orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-            AS DOUBLE) AS revenue,
+       (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE)) AS revenue,
        CAST(o.o_orderdate AS DATE) AS orderdate,
        o.o_orderpriority AS priority
 FROM customer c
@@ -184,9 +182,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
         .agg(
-            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            d2d(
+                F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))),
+                "revenue",
+            )
         )
         .select("orderkey", "revenue", "orderdate", "priority")
         .orderBy(F.col("revenue").desc(), F.col("orderdate").asc(), F.col("orderkey").asc())
@@ -203,9 +202,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name AS nation,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-            AS DOUBLE) AS revenue
+       (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE)) AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -253,9 +250,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            d2d(
+                F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))),
+                "revenue",
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("nation").asc())
     )
@@ -354,7 +352,7 @@ SELECT c.c_name AS name,
        o.o_orderkey AS orderkey,
        CAST(o.o_orderdate AS DATE) AS orderdate,
        CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+       (CAST(FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(l.l_quantity AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(l.l_quantity AS DECIMAL(12,2)))) AS DOUBLE)) AS total_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -390,7 +388,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").cast("date").alias("orderdate"),
             dec2("o_totalprice").cast("double").alias("total_price"),
-            F.col("__q").cast("double").alias("total_qty"),
+            d2d(F.col("__q"), "total_qty"),
         )
         .orderBy(F.col("total_price").desc(), F.col("orderkey").asc())
         .limit(20)
@@ -405,8 +403,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+SELECT (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
@@ -433,9 +430,7 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(dec2("l_extendedprice") * dec2("l_discount"))
-            .cast("double")
-            .alias("revenue"),
+            d2d(F.sum(dec2("l_extendedprice") * dec2("l_discount")), "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -451,9 +446,7 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q10_ORACLE = """
 SELECT c.c_custkey AS custkey,
        c.c_name AS name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-            AS DOUBLE) AS revenue,
+       (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE)) AS revenue,
        CAST(c.c_acctbal AS DOUBLE) AS acctbal,
        n.n_name AS nation
 FROM customer c
@@ -490,9 +483,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
         .agg(
-            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
-            .cast("double")
-            .alias("revenue")
+            d2d(
+                F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))),
+                "revenue",
+            )
         )
         .select("custkey", "name", "revenue", "acctbal", "nation")
         .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
@@ -551,13 +545,8 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = """
 SELECT EXTRACT(month FROM l.l_shipdate) AS ship_month,
-       CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
-                      * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
-                 ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
-            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-                   AS DOUBLE) AS DOUBLE) AS promo_share
+       CAST(100.0 * (CAST(FLOOR(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(25,4)) END)) AS DOUBLE) + CAST((SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(25,4)) END)) - FLOOR(SUM(CASE WHEN p.p_type = 'PROMO' THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) ELSE CAST(0 AS DECIMAL(25,4)) END)) AS DOUBLE))
+            / (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE)) AS DOUBLE) AS promo_share
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
@@ -585,10 +574,8 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast(
-                    "double"
-                )
-                / F.sum(rev).cast("double")
+                * d2d(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)))
+                / d2d(F.sum(rev))
             )
             .cast("double")
             .alias("promo_share")
@@ -606,9 +593,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q19_ORACLE = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-            AS DOUBLE) AS revenue,
+SELECT (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE)) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -658,9 +643,10 @@ def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p.filter(p_side), li["l_partkey"] == p["p_partkey"])
         .filter(band)
         .agg(
-            F.sum(dec2("l_extendedprice") * (one - dec2("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            d2d(
+                F.sum(dec2("l_extendedprice") * (one - dec2("l_discount"))),
+                "revenue",
+            ),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -720,12 +706,12 @@ def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH threshold AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  SELECT (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(c_acctbal AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(12,2)))) AS DOUBLE)) / COUNT(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0
 )
 SELECT n.n_name AS nation,
        COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+       (CAST(FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(c.c_acctbal AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(c.c_acctbal AS DECIMAL(12,2)))) AS DOUBLE)) AS total_balance
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE CAST(c.c_acctbal AS DOUBLE) > (SELECT avg_bal FROM threshold)
@@ -748,7 +734,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL sum divided once — a double AVG would be summation-order
     # dependent across partition layouts and engines
     threshold = c.filter(F.col("c_acctbal") > 0).agg(
-        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+        (d2d(F.sum(dec2("c_acctbal"))) / F.count(F.lit(1))).alias(
             "__avg_bal"
         )
     )
@@ -764,7 +750,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(dec2("c_acctbal")).cast("double").alias("total_balance"),
+            d2d(F.sum(dec2("c_acctbal")), "total_balance"),
         )
         .orderBy("nation")
     )
@@ -960,7 +946,7 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_ORACLE = """
 SELECT measure,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+       (CAST(FLOOR(SUM(CAST(value AS DECIMAL(14,2)))) AS DOUBLE) + CAST((SUM(CAST(value AS DECIMAL(14,2)))) - FLOOR(SUM(CAST(value AS DECIMAL(14,2)))) AS DOUBLE)) AS total
 FROM (
   SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
   UNION ALL
@@ -986,7 +972,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("measure")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total"),
+            d2d(F.sum(F.col("value").cast("decimal(14,2)")), "total"),
         )
         .orderBy("measure")
     )
@@ -1064,7 +1050,7 @@ _GSETS_SQL = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price
 FROM {orders}
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -1280,7 +1266,7 @@ base AS (
          DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)),
                    (SELECT maxd FROM frontier)) AS recency_days,
          COUNT(*) AS frequency,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+         (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS monetary
   FROM orders GROUP BY o_custkey
 ),
 scored AS (
@@ -1310,7 +1296,7 @@ def rfm_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("__lastd"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum(dec2("o_totalprice")).cast("double").alias("monetary"),
+            d2d(F.sum(dec2("o_totalprice")), "monetary"),
         )
         .crossJoin(F.broadcast(frontier))
         .select(
@@ -1367,8 +1353,11 @@ WITH g AS (
   GROUP BY 1, 2
 )
 SELECT brand, type,
-       CAST(rev AS DOUBLE) AS revenue,
-       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY brand) AS DOUBLE)
+       (CAST(FLOOR(rev) AS DOUBLE) + CAST(rev - FLOOR(rev) AS DOUBLE)) AS revenue,
+       (CAST(FLOOR(rev) AS DOUBLE) + CAST(rev - FLOOR(rev) AS DOUBLE))
+         / (CAST(FLOOR(SUM(rev) OVER (PARTITION BY brand)) AS DOUBLE)
+            + CAST((SUM(rev) OVER (PARTITION BY brand))
+                   - FLOOR(SUM(rev) OVER (PARTITION BY brand)) AS DOUBLE))
          AS brand_share
 FROM g
 """
@@ -1390,8 +1379,8 @@ def brand_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "brand",
         "type",
-        F.col("__rev").cast("double").alias("revenue"),
-        (F.col("__rev").cast("double") / F.sum("__rev").over(w).cast("double")).alias(
+        d2d(F.col("__rev"), "revenue"),
+        (d2d(F.col("__rev")) / d2d(F.sum("__rev").over(w))).alias(
             "brand_share"
         ),
     )

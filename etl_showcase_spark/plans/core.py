@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import davg, dec2, dsum, sql_davg, sql_dsum
+from ..functions.numeric import d2d, davg, dec2, dsum, sql_d2d, sql_davg, sql_dsum
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -25,19 +25,24 @@ from ..registry import register
 # G1-G8 aggregate, O1 sort.
 # ---------------------------------------------------------------------------
 
+_SQL_DISC_PRICE_SUM = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))"
+)
+_SQL_CHARGE_SUM = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+    " * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))"
+)
+
 _Q1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
   {sql_dsum("l_quantity", "sum_qty")},
   {sql_dsum("l_extendedprice", "sum_base_price")},
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-       AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-           * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))
-       AS DOUBLE) AS sum_charge,
+  {sql_d2d(_SQL_DISC_PRICE_SUM)} AS sum_disc_price,
+  {sql_d2d(_SQL_CHARGE_SUM)} AS sum_charge,
   {sql_davg("l_quantity", "avg_qty")},
   {sql_davg("l_extendedprice", "avg_price")},
   {sql_davg("l_discount", "avg_disc")},
@@ -61,8 +66,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            d2d(F.sum(disc_price), "sum_disc_price"),
+            d2d(F.sum(charge), "sum_charge"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

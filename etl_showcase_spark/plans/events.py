@@ -349,7 +349,7 @@ _ZSCORE_ORACLE = f"""
 WITH st AS (
   SELECT event_type,
          COUNT(value) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+         (CAST(FLOOR(SUM(CAST(value AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(value AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(value AS DECIMAL(12,2)))) AS DOUBLE)) AS s,
          {_sql_d2d("SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))")} AS ss
   FROM events GROUP BY event_type
 )
@@ -371,7 +371,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     st = ev.groupBy("event_type").agg(
         F.count("value").alias("__n"),
-        F.sum(dec2("value")).cast("double").alias("__s"),
+        d2d(F.sum(dec2("value")), "__s"),
         d2d(F.sum(dec2("value") * dec2("value")), "__ss"),
     )
     mean = F.col("__s") / F.col("__n")
@@ -765,8 +765,7 @@ SELECT e.event_type,
        COUNT(*) FILTER (WHERE e.value < th.p10) AS n_low,
        COUNT(*) FILTER (WHERE e.value > th.p90) AS n_high,
        th.p10 AS p10, th.p90 AS p90,
-       (CAST(SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90
-                      THEN CAST(e.value AS DECIMAL(12,2)) END) AS DOUBLE)
+       ((CAST(FLOOR(SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90 THEN CAST(e.value AS DECIMAL(12,2)) END)) AS DOUBLE) + CAST((SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90 THEN CAST(e.value AS DECIMAL(12,2)) END)) - FLOOR(SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90 THEN CAST(e.value AS DECIMAL(12,2)) END)) AS DOUBLE))
         + COUNT(*) FILTER (WHERE e.value < th.p10) * th.p10
         + COUNT(*) FILTER (WHERE e.value > th.p90) * th.p90)
        / COUNT(*) AS winsorized_mean
@@ -777,7 +776,7 @@ GROUP BY e.event_type, th.p10, th.p90
 
 @register("winsorized_event_stats", oracle=_WINSOR_ORACLE, tags=("G8", "G1", "J1"))
 def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.numeric import dec2
+    from ..functions.numeric import d2d, dec2
 
     ev = table(spark, sf_dir, "events")
     th = ev.groupBy("event_type").agg(
@@ -791,14 +790,16 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.count(F.when(F.col("value") < F.col("p10"), 1)).alias("n_low"),
             F.count(F.when(F.col("value") > F.col("p90"), 1)).alias("n_high"),
-            F.sum(
-                F.when(
-                    (F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90")),
-                    dec2("value"),
-                )
-            )
-            .cast("double")
-            .alias("__mid"),
+            d2d(
+                F.sum(
+                    F.when(
+                        (F.col("value") >= F.col("p10"))
+                        & (F.col("value") <= F.col("p90")),
+                        dec2("value"),
+                    )
+                ),
+                "__mid",
+            ),
         )
         .select(
             "event_type",

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import table
-from ..functions.numeric import dec2
+from ..functions.numeric import d2d, dec2
 from ..registry import register
 from ..sources.io import (
     WEATHER_RAW_SCHEMA,
@@ -108,7 +108,8 @@ merged AS (
 )
 SELECT order_year,
        COUNT(*) AS n_orders,
-       CAST(SUM(total_price) AS DOUBLE) AS revenue,
+       (CAST(FLOOR(SUM(total_price)) AS DOUBLE)
+        + CAST(SUM(total_price) - FLOOR(SUM(total_price)) AS DOUBLE)) AS revenue,
        COUNT(*) FILTER (WHERE status = 'U') AS n_updated
 FROM merged
 GROUP BY order_year
@@ -141,7 +142,7 @@ def partitioned_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("order_year")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("total_price").cast("double").alias("revenue"),
+            d2d(F.sum("total_price"), "revenue"),
             F.count(F.when(F.col("status") == "U", 1)).alias("n_updated"),
         )
         .orderBy("order_year")
@@ -287,7 +288,7 @@ def http_fanout_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_ROLLUP_ORACLE = """
 SELECT EXTRACT(year FROM o_orderdate) AS order_year,
        EXTRACT(month FROM o_orderdate) AS order_month,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY 1, 2
@@ -331,7 +332,7 @@ def incremental_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "order_year",
             "order_month",
-            F.col("total_price").cast("double").alias("total_price"),
+            d2d(F.col("total_price"), "total_price"),
             "n_orders",
         )
         .orderBy("order_year", "order_month")
@@ -354,7 +355,7 @@ WITH sc AS (
 cc AS (
   SELECT c_nationkey,
          COUNT(*) AS n_customers,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS customer_balance
+         (CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(c_acctbal AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(c_acctbal AS DECIMAL(12,2)))) AS DOUBLE)) AS customer_balance
   FROM customer GROUP BY 1
 )
 SELECT n.n_name AS nation, sc.n_suppliers, cc.n_customers, cc.customer_balance
@@ -395,7 +396,7 @@ def csv_orc_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = s_back.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
     cc = c_back.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.sum(dec2("c_acctbal")).cast("double").alias("customer_balance"),
+        d2d(F.sum(dec2("c_acctbal")), "customer_balance"),
     )
     return (
         F.broadcast(n)
@@ -423,7 +424,7 @@ def csv_orc_landing_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DDL_ORACLE = """
 SELECT o_orderstatus AS status,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price
 FROM orders
 WHERE EXTRACT(year FROM o_orderdate) = 1997
 GROUP BY status
@@ -467,7 +468,7 @@ def ddl_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+            d2d(F.sum(dec2("o_totalprice")), "total_price"),
         )
         .orderBy("status")
     )
@@ -574,7 +575,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COMPACT_ORACLE = """
 SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price
 FROM orders GROUP BY 1
 """
 
@@ -614,7 +615,7 @@ _JDBC_ORACLE = """
 SELECT o_orderpriority AS priority,
        CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price
 FROM orders GROUP BY 1, 2
 """
 
@@ -657,7 +658,7 @@ def jdbc_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PYDS_SINK_ORACLE = """
 SELECT n.n_name AS nation,
        COUNT(*) AS n_suppliers,
-       CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+       (CAST(FLOOR(SUM(CAST(s.s_acctbal AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(s.s_acctbal AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(s.s_acctbal AS DECIMAL(12,2)))) AS DOUBLE)) AS total_acctbal,
        MIN(s.s_name) AS first_supplier
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 GROUP BY 1
@@ -777,7 +778,7 @@ def json_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVOLUTION_ORACLE = """
 SELECT EXTRACT(year FROM o_orderdate) AS order_year,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS revenue,
        COUNT(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1997
                   THEN o_orderpriority END) AS n_with_priority,
        MIN(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1997
@@ -808,7 +809,7 @@ def schema_evolution_mergeread(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolved.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").cast("double").alias("revenue"),
+            d2d(F.sum("o_totalprice"), "revenue"),
             F.count("o_orderpriority").alias("n_with_priority"),
             F.min("o_orderpriority").alias("first_priority"),
         )
@@ -833,11 +834,7 @@ def schema_evolution_mergeread(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DYN_OVERWRITE_ORACLE = """
 SELECT EXTRACT(year FROM o_orderdate) AS order_year,
        COUNT(*) AS n_orders,
-       CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
-                THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
-                     * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(14,4))
-                ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4))
-           END) AS DOUBLE) AS revenue
+       (CAST(FLOOR(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(14,4)) ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) END)) AS DOUBLE) + CAST((SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(14,4)) ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) END)) - FLOOR(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(14,4)) ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(14,4)) END)) AS DOUBLE)) AS revenue
 FROM orders
 GROUP BY 1
 ORDER BY order_year
@@ -868,7 +865,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("order_year")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("total_price").cast("double").alias("revenue"),
+            d2d(F.sum("total_price"), "revenue"),
         )
         .orderBy("order_year")
     )
@@ -1210,7 +1207,7 @@ def snapshot_lineage_diff_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 _MV_ORACLE = """
 SELECT o_orderpriority AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS revenue,
        CAST(COUNT(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT)
          AS n_from_delta,
        2 AS mv_version
@@ -1264,7 +1261,7 @@ def incremental_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, base, version=v2).select(
         "priority",
         "n_orders",
-        F.col("__rev").cast("double").alias("revenue"),
+        d2d(F.col("__rev"), "revenue"),
         "n_from_delta",
         F.lit(v2).cast("int").alias("mv_version"),
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import davg, dec2, dsum, sql_davg, sql_dsum
+from ..functions.numeric import d2d, davg, dec2, dsum, sql_davg, sql_dsum
 from ..operators.relational import asof_join, band_join
 from ..registry import register
 
@@ -67,9 +67,7 @@ _SMJ_ORACLE = """
 SELECT
   o.o_orderpriority AS priority,
   COUNT(DISTINCT o.o_orderkey) AS n_orders,
-  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
-       AS DOUBLE) AS revenue
+  (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))) AS DOUBLE)) AS revenue
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
@@ -92,7 +90,7 @@ def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # plain count equals the oracle's COUNT(DISTINCT) without
             # the two-phase distinct expansion
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("__rev").cast("double").alias("revenue"),
+            d2d(F.sum("__rev"), "revenue"),
         )
     )
 
@@ -122,7 +120,7 @@ def join_fact_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("__rev").cast("double").alias("revenue"),
+            d2d(F.sum("__rev"), "revenue"),
         )
     )
 
@@ -165,7 +163,7 @@ _SALTED_ORACLE = """
 SELECT
   c.c_mktsegment AS segment,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+  (CAST(FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -187,7 +185,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+            d2d(F.sum(dec2("o_totalprice")), "total_price"),
         )
     )
 

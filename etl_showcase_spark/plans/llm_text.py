@@ -2240,7 +2240,13 @@ def importance_sampling_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_all").cast("long").alias("n_all"),
             F.count(F.lit(1)).cast("long").alias("v"),
         )
-        .crossJoin(ct.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("n_tgt")))
+        .crossJoin(
+            F.broadcast(
+                ct.agg(
+                    F.coalesce(F.sum("c_tgt"), F.lit(0)).cast("long").alias("n_tgt")
+                )
+            )
+        )
     )
     tb = (
         ca.join(ct, "term", "left")

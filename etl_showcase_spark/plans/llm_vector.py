@@ -1338,5 +1338,104 @@ def contrastive_triplet_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_id",
         "neg_id",
         F.col("rank").cast("int").alias("rank"),
-        F.floor((F.col("rn") - 1) / _TRIPLET_BATCH).cast("bigint").alias("batch_id"),
+        # integral `div`, not floor(double division) — exact past 2^53
+        F.expr(f"(rn - 1) div {_TRIPLET_BATCH}").cast("bigint").alias("batch_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2/L6/L7 per-cluster contamination report ([EXT] — round-11 idea
+# bank: WHICH eval clusters are systematically contaminated, not just
+# which vectors). Joins the change-sized embedding_decontamination
+# relation to the embedding_neardup_clusters membership at the eval
+# grain, then rolls up to the CLUSTER grain: member/contaminated
+# counts, the rate (one double division of exact ints), total
+# contaminating links, and the tie-safe worst (eval, train) pair per
+# cluster. An eval-set owner quarantines whole clusters from this
+# table instead of vector-by-vector.
+#
+# Scale: both inputs are posting/LSH-bucketed by construction (no
+# all-pairs stage); the shared LSH pair stage is persisted once
+# (tracked_persist dedupes the semantically-identical subtree), the
+# join keys on vec_id, and the window + rollup share the cluster_id
+# shuffle. Output is change-sized (clusters with >=1 contaminated
+# member). The oracle nests BOTH full replays, so the report stays
+# hash-checked end-to-end.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_CONTAM_ORACLE = f"""
+WITH m AS ({_embedding_clusters_oracle()}),
+d AS ({_decontam_oracle()}),
+em AS (
+  SELECT vec_id, cluster_id, cluster_size
+  FROM m
+  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+),
+j AS (
+  SELECT em.cluster_id, em.cluster_size, em.vec_id,
+         d.n_contaminating, d.max_cosine, d.worst_train_id
+  FROM em LEFT JOIN d ON d.eval_id = em.vec_id
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY max_cosine DESC NULLS LAST, vec_id ASC) AS rn
+  FROM j
+)
+SELECT cluster_id,
+       CAST(MAX(cluster_size) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_members,
+       CAST(COUNT(n_contaminating) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(n_contaminating) AS DOUBLE) / COUNT(*)
+         AS contamination_rate,
+       CAST(COALESCE(SUM(n_contaminating), 0) AS BIGINT) AS n_links,
+       MAX(max_cosine) AS worst_cosine,
+       MAX(CASE WHEN rn = 1 THEN vec_id END) AS worst_eval_id,
+       MAX(CASE WHEN rn = 1 THEN worst_train_id END) AS worst_train_id
+FROM r
+GROUP BY cluster_id
+HAVING COUNT(n_contaminating) > 0
+"""
+
+
+@register(
+    "cluster_contamination_report",
+    oracle=_CLUSTER_CONTAM_ORACLE,
+    tags=("L2", "L6", "L7"),
+)
+def cluster_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    m = embedding_neardup_clusters(spark, sf_dir)
+    d = embedding_decontamination(spark, sf_dir)
+    em = m.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
+    ).select("vec_id", "cluster_id", "cluster_size")
+    j = em.join(d, em["vec_id"] == d["eval_id"], "left").drop("eval_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("max_cosine").desc_nulls_last(), F.col("vec_id").asc()
+    )
+    r = j.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("cluster_id")
+        .agg(
+            F.max("cluster_size").cast("bigint").alias("cluster_size"),
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_members"),
+            F.count("n_contaminating").cast("bigint").alias("n_contaminated"),
+            (
+                F.count("n_contaminating").cast("double") / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+            F.coalesce(F.sum("n_contaminating"), F.lit(0))
+            .cast("bigint")
+            .alias("n_links"),
+            F.max("max_cosine").alias("worst_cosine"),
+            F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).alias(
+                "worst_eval_id"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("worst_train_id"))).alias(
+                "worst_train_id"
+            ),
+        )
+        .filter(F.col("n_contaminated") > 0)
     )

@@ -3997,7 +3997,11 @@ def seeded_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.withColumn(
             "batch_id",
-            F.floor((F.col("pos") - 1) / _EPOCH_SHUFFLE_BATCH).cast("bigint"),
+            # true integral division (ADVICE r10): floor((pos-1)/N) routes
+            # the bigint row number through double division — exact only
+            # below 2^53; `div` is exact at any magnitude, like the
+            # oracle's (pos - 1) // N
+            F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint"),
         )
         .groupBy("epoch", "batch_id")
         .agg(
@@ -4106,7 +4110,11 @@ def curated_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.withColumn(
             "batch_id",
-            F.floor((F.col("pos") - 1) / _EPOCH_SHUFFLE_BATCH).cast("bigint"),
+            # true integral division (ADVICE r10): floor((pos-1)/N) routes
+            # the bigint row number through double division — exact only
+            # below 2^53; `div` is exact at any magnitude, like the
+            # oracle's (pos - 1) // N
+            F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint"),
         )
         .groupBy("batch_id")
         .agg(

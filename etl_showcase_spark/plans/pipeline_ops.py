@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import davg, dec2, sql_davg
+from ..functions.numeric import d2d, davg, dec2, sql_d2d, sql_davg
 from ..operators.relational import assert_max_length, merge_upsert, seed_insert
 from ..registry import register
 
@@ -259,7 +259,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recast onto lineitem, composed exactly like main() (:177-221).
 # ---------------------------------------------------------------------------
 
-_WEATHER_RECAST_ORACLE = """
+_WEATHER_RECAST_ORACLE = f"""
 WITH enriched AS (
   SELECT
     l_returnflag,
@@ -281,9 +281,9 @@ SELECT
   l_returnflag,
   qty_category,
   COUNT(*) AS n_items,
-  ROUND(CAST(SUM(CAST(qty_net AS DECIMAL(12,2))) AS DOUBLE) / COUNT(qty_net), 1)
+  ROUND({sql_d2d('SUM(CAST(qty_net AS DECIMAL(12,2)))')} / COUNT(qty_net), 1)
     AS avg_qty_net,
-  CAST(SUM(CAST(revenue AS DECIMAL(14,4))) AS DOUBLE) AS total_revenue,
+  {sql_d2d('SUM(CAST(revenue AS DECIMAL(14,4)))')} AS total_revenue,
   MAX(tax_filled) AS max_tax
 FROM enriched
 GROUP BY l_returnflag, qty_category
@@ -316,7 +316,7 @@ def weather_pipeline_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.groupBy("l_returnflag", "qty_category").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(davg("qty_net", "x"), 1).alias("avg_qty_net"),
-        F.sum(F.col("revenue").cast("decimal(14,4)")).cast("double").alias("total_revenue"),
+        d2d(F.sum(F.col("revenue").cast("decimal(14,4)")), "total_revenue"),
         F.max("tax_filled").alias("max_tax"),
     )
 

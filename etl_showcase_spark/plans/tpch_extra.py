@@ -28,13 +28,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions.numeric import dec2
+from ..functions.numeric import d2d, dec2, sql_d2d
 from ..registry import register
 
 # Exact discounted revenue: DECIMAL(12,2) * DECIMAL(13,2), no float.
 _SQL_VOL = (
     "CAST(l_extendedprice AS DECIMAL(12,2))"
     " * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+)
+# the same volume over the `l.` table alias, summed and decimal→double
+# cast through the single-rounding decomposition (2^53 discipline)
+_SQL_VOL_L = _SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace(
+    "l_discount", "l.l_discount"
 )
 
 
@@ -130,7 +135,7 @@ _Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-       CAST(SUM({_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+       {sql_d2d(f"SUM({_SQL_VOL_L})")} AS revenue
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -177,7 +182,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2_name").alias("cust_nation"),
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(_vol()).cast("double").alias("revenue"))
+        .agg(d2d(F.sum(_vol()), "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -190,10 +195,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = f"""
 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
-                     THEN {_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}
-                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-       / CAST(SUM({_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE)
+       (CAST(FLOOR(SUM(CASE WHEN n1.n_name = 'NATION_1' THEN {_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} ELSE CAST(0 AS DECIMAL(12,2)) END)) AS DOUBLE) + CAST((SUM(CASE WHEN n1.n_name = 'NATION_1' THEN {_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} ELSE CAST(0 AS DECIMAL(12,2)) END)) - FLOOR(SUM(CASE WHEN n1.n_name = 'NATION_1' THEN {_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} ELSE CAST(0 AS DECIMAL(12,2)) END)) AS DOUBLE))
+       / {sql_d2d(f"SUM({_SQL_VOL_L})")}
        AS mkt_share
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -237,9 +240,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", _vol()).otherwise(zero))
-                .cast("double")
-                / F.sum(_vol()).cast("double")
+                d2d(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_1", _vol()
+                        ).otherwise(zero)
+                    )
+                )
+                / d2d(F.sum(_vol()))
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -256,7 +264,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9_ORACLE = f"""
 SELECT n.n_name AS nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM({_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS profit
+       {sql_d2d(f"SUM({_SQL_VOL_L})")} AS profit
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -284,7 +292,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(_vol()).cast("double").alias("profit"))
+        .agg(d2d(F.sum(_vol()), "profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
@@ -298,7 +306,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q11_ORACLE = f"""
 SELECT l.l_partkey AS partkey,
-       CAST(SUM({_SQL_VOL.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS value
+       {sql_d2d(f"SUM({_SQL_VOL_L})")} AS value
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -331,7 +339,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value_dec") * F.lit(1000) > F.col("total_dec"))
-        .select("partkey", F.col("value_dec").cast("double").alias("value"))
+        .select("partkey", d2d(F.col("value_dec"), "value"))
         .orderBy(F.col("value").desc(), F.col("partkey").asc())
     )
 
@@ -394,7 +402,9 @@ WITH revenue0 AS (
 )
 SELECT s.s_suppkey AS suppkey,
        s.s_name AS sname,
-       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+       (CAST(FLOOR(r.total_revenue) AS DOUBLE)
+        + CAST(r.total_revenue - FLOOR(r.total_revenue) AS DOUBLE))
+         AS total_revenue
 FROM supplier s
 JOIN revenue0 r ON s.s_suppkey = r.supplier_no
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
@@ -420,7 +430,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("sname"),
-            F.col("rev_dec").cast("double").alias("total_revenue"),
+            d2d(F.col("rev_dec"), "total_revenue"),
         )
         .orderBy("suppkey")
     )
@@ -487,7 +497,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _Q17_ORACLE = """
-SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+SELECT (CAST(FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST((SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))) - FLOOR(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE)) / 7.0
        AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -514,7 +524,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched.join(avg_qty, F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
-            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            (d2d(F.sum(dec2("l_extendedprice"))) / F.lit(7.0)).alias(
                 "avg_yearly"
             )
         )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.numeric import dec2
+from ..functions.numeric import d2d, dec2
 from ..operators.relational import latest_per_key, topk_per_group
 from ..registry import register
 
@@ -134,9 +134,12 @@ WITH daily AS (
 )
 SELECT
   day,
-  CAST(day_value AS DOUBLE) AS day_value,
+  (CAST(FLOOR(day_value) AS DOUBLE)
+   + CAST(day_value - FLOOR(day_value) AS DOUBLE)) AS day_value,
   day_events,
-  CAST(SUM(day_value) OVER w AS DOUBLE) AS rolling_7d_value,
+  (CAST(FLOOR(SUM(day_value) OVER w) AS DOUBLE)
+   + CAST((SUM(day_value) OVER w) - FLOOR(SUM(day_value) OVER w) AS DOUBLE))
+    AS rolling_7d_value,
   CAST(SUM(day_events) OVER w AS BIGINT) AS rolling_7d_events
 FROM daily
 WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -158,9 +161,9 @@ def rolling_7d_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
     return daily.select(
         "day",
-        F.col("day_value").cast("double").alias("day_value"),
+        d2d(F.col("day_value"), "day_value"),
         "day_events",
-        F.sum("day_value").over(w).cast("double").alias("rolling_7d_value"),
+        d2d(F.sum("day_value").over(w), "rolling_7d_value"),
         F.sum("day_events").over(w).cast("bigint").alias("rolling_7d_events"),
     )
 
@@ -206,9 +209,7 @@ _CUM_ORACLE = """
 SELECT
   o_custkey AS customer_id,
   o_orderkey AS order_id,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
-       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+  (CAST(FLOOR(rsum) AS DOUBLE) + CAST(rsum - FLOOR(rsum) AS DOUBLE))
     AS running_total,
   CAST(FIRST_VALUE(o_totalprice)
        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -218,7 +219,13 @@ SELECT
        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
     AS last_order_price
-FROM orders
+FROM (
+  SELECT *,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+  FROM orders
+)
 """
 
 
@@ -238,7 +245,7 @@ def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_custkey").alias("customer_id"),
         F.col("o_orderkey").alias("order_id"),
-        F.sum(dec2("o_totalprice")).over(wrun).cast("double").alias("running_total"),
+        d2d(F.sum(dec2("o_totalprice")).over(wrun), "running_total"),
         F.first("o_totalprice").over(wall).cast("double").alias("first_order_price"),
         F.last("o_totalprice").over(wall).cast("double").alias("last_order_price"),
     )

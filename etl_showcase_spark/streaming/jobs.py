@@ -2855,20 +2855,37 @@ def stream_decontamination_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         if state.exists:
-            n, mx, best = int(state.get[0]), float(state.get[1]), int(state.get[2])
+            n, mx, best, hwm = (
+                int(state.get[0]),
+                float(state.get[1]),
+                int(state.get[2]),
+                int(state.get[3]),
+            )
         else:
-            n, mx, best = 0, float("-inf"), -1
+            n, mx, best, hwm = 0, float("-inf"), -1, -1
         rows = {}
         for pdf in pdfs:
             for c, cos in zip(pdf["c_id"], pdf["cosine"]):
                 rows[int(c)] = float(cos)  # multi-table dups collapse here
         if not rows:
             return
+        # single-delivery precondition, ENFORCED (round-10 ADVICE): the
+        # replay reader ships vec_id-ordered disjoint batches, so every
+        # new candidate must sit above the per-eval high-water mark — a
+        # re-delivered train vector fails loudly instead of silently
+        # double-counting into n_contaminating
+        lo = min(rows)
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for eval {int(key[0])}: "
+                f"c_id {lo} <= high-water mark {hwm}"
+            )
+        hwm = max(rows)
         n += len(rows)
         for c, cos in rows.items():
             if (-cos, c) < (-mx, best):
                 mx, best = cos, c
-        state.update((n, mx, best))
+        state.update((n, mx, best, hwm))
         yield pd.DataFrame(
             {
                 "eval_id": [int(key[0])],
@@ -2885,7 +2902,7 @@ def stream_decontamination_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eval_id long, n_contaminating long, max_cosine double, "
             "worst_train_id long, ver long"
         ),
-        stateStructType="n bigint, mx double, best bigint",
+        stateStructType="n bigint, mx double, best bigint, hwm bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

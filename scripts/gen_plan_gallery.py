@@ -33,8 +33,13 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    import re as _re
+
+    base = os.path.basename(out_path)
+    m = _re.match(r"PLANS_r(\d+)\.md", base)
+    title_round = f" (round {int(m.group(1))})" if m else ""
     out = [
-        "# Physical plans — bench headline suite (round 4)",
+        f"# Physical plans — bench headline suite{title_round}",
         "",
         "`df.explain('formatted')` capture for every bench query at sf0.01,",
         "regenerated with `python scripts/gen_plan_gallery.py`. What to look",

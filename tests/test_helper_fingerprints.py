@@ -57,6 +57,15 @@ HELPERS = [
     "etl_showcase_spark.plans.llm_text:_pii_raw_col",
     "etl_showcase_spark.plans.llm_text:_pii_raw_sql",
     "etl_showcase_spark.operators.similarity:gemm_contrastive_topk",
+    # round-11: the decimal-exact aggregation family (the 2^53 sweep) —
+    # ~48 blessed queries compose these; any edit must re-queue them
+    "etl_showcase_spark.functions.numeric:dec2",
+    "etl_showcase_spark.functions.numeric:dsum",
+    "etl_showcase_spark.functions.numeric:davg",
+    "etl_showcase_spark.functions.numeric:sql_dsum",
+    "etl_showcase_spark.functions.numeric:sql_davg",
+    "etl_showcase_spark.functions.numeric:d2d",
+    "etl_showcase_spark.functions.numeric:sql_d2d",
 ]
 
 
