@@ -4124,3 +4124,172 @@ def curated_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", "pos").alias("tail_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L7 × S11 incremental pack REPACKING ([EXT] — round-11 idea bank: the
+# last mile after an ExactSubstr pass at 100 TB is not re-packing the
+# whole corpus; it is re-packing ONLY the shards the removal deltas
+# touched). Packing here is SHARDED (shard = doc_id div 32): global
+# greedy packing makes every delta invalidate every later pack, while
+# per-shard packing bounds the blast radius to the shard — the same
+# reasoning that shards every production packing job.
+#
+# Flow (mirrors incremental_bucket_recompute's S11 discipline,
+# plans/ingest.py): the v1 manifest (raw token lengths) lands
+# partitioned by shard; the removal deltas reduce to a MATERIALIZED
+# (shard, n_changed) work list on disk (no driver collect, no
+# self-reference — the two DPP gotchas probed in round 10); unchanged
+# shards' manifest rows are CARRIED from the v1 scan via a broadcast
+# anti join, changed shards are re-packed from the post-removal kept
+# lengths via a broadcast semi join. The oracle re-derives the entire
+# v2 manifest from scratch (nesting the full tokenize → coverage →
+# islands → removal chain) plus the recomputed flag — one hash proves
+# the carried rows, the re-packed rows, AND the flag.
+#
+# Scale: the per-shard running sum is a shard-partitioned window (no
+# global sort); recompute cost is O(changed shards); carried rows are
+# manifest metadata, not data. State of the art would DPP-prune the
+# carried scan too — here the anti join keeps all-but-changed
+# partitions, which IS the cheap side (manifest rows are tiny).
+# ---------------------------------------------------------------------------
+
+_REPACK_SHARD = 32
+
+_REPACK_ORACLE = _EXSUB_CHAIN + f""",
+v2 AS (
+  SELECT doc_id, CAST(n_kept AS BIGINT) AS n,
+         CAST(doc_id // {_REPACK_SHARD} AS BIGINT) AS shard
+  FROM per_doc WHERE n_kept > 0
+),
+chg AS (
+  SELECT DISTINCT CAST(doc_id // {_REPACK_SHARD} AS BIGINT) AS shard
+  FROM per_doc WHERE n_removed > 0
+),
+cum AS (
+  SELECT shard, doc_id, n,
+         CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT)
+           AS prev
+  FROM v2
+),
+pieces AS (
+  SELECT shard, doc_id, n, prev, t.k AS pack_id,
+         LEAST((t.k + 1) * {_PACK_LEN}, prev + n)
+           - GREATEST(t.k * {_PACK_LEN}, prev) AS toks
+  FROM cum,
+       UNNEST(range(prev // {_PACK_LEN}, (prev + n - 1) // {_PACK_LEN} + 1)) t(k)
+),
+packs AS (
+  SELECT shard,
+         CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+         MIN(doc_id) AS first_doc,
+         MAX(doc_id) AS last_doc,
+         CAST(SUM(CASE WHEN prev < pack_id * {_PACK_LEN} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_carryover_docs
+  FROM pieces GROUP BY shard, pack_id
+)
+SELECT p.shard, p.pack_id, p.n_docs, p.n_tokens, p.first_doc, p.last_doc,
+       p.n_carryover_docs, (c.shard IS NOT NULL) AS recomputed
+FROM packs p LEFT JOIN chg c USING (shard)
+"""
+
+
+def _sharded_pack_manifest(lens: DataFrame) -> DataFrame:
+    """Per-shard fixed-L pack manifest over a (shard, doc_id, n) frame:
+    a shard-partitioned running sum (bounded window, never a global
+    sort), local integer pack-span arithmetic, one (shard, pack)
+    agg — the _pack_manifest shape with the shard key threaded
+    through."""
+    from pyspark.sql.window import Window
+
+    L = F.lit(_PACK_LEN).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lens.withColumn("prev", (F.sum("n").over(w) - F.col("n")).cast("bigint"))
+    pieces = cum.select(
+        "shard",
+        "doc_id",
+        "n",
+        "prev",
+        F.explode(
+            F.sequence(
+                F.expr(f"prev div {_PACK_LEN}"),
+                F.expr(f"(prev + n - 1) div {_PACK_LEN}"),
+            )
+        ).alias("pack_id"),
+    ).withColumn(
+        "toks",
+        F.least((F.col("pack_id") + 1) * L, F.col("prev") + F.col("n"))
+        - F.greatest(F.col("pack_id") * L, F.col("prev")),
+    )
+    return pieces.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum((F.col("prev") < F.col("pack_id") * L).cast("int"))
+        .cast("bigint")
+        .alias("n_carryover_docs"),
+    )
+
+
+@register(
+    "incremental_pack_repacking",
+    oracle=_REPACK_ORACLE,
+    tags=("L7", "S11", "L1"),
+)
+def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    per_doc = tracked_persist(exact_substr_span_removal(spark, sf_dir))
+    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
+    root = tempfile.mkdtemp(prefix="pack_repack_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    # v1: the pre-removal manifest, landed partitioned by shard
+    m1 = _sharded_pack_manifest(
+        per_doc.select(shard.alias("shard"), "doc_id", F.col("n_tokens").alias("n"))
+    )
+    m1.write.partitionBy("shard").parquet(root + "/manifest_v1")
+
+    # the removal deltas reduce to a materialized work list (the
+    # lineage stage's output shape; comparison filter, disk roundtrip)
+    per_shard = (
+        per_doc.filter(F.col("n_removed") > 0)
+        .groupBy(shard.alias("shard"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
+    )
+    per_shard.write.parquet(root + "/worklist")
+    worklist = (
+        spark.read.parquet(root + "/worklist")
+        .filter(F.col("n_changed") > 0)
+        .select(F.col("shard").cast("bigint").alias("shard"))
+    )
+
+    carried = (
+        spark.read.parquet(root + "/manifest_v1")
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "pack_id",
+            "n_docs",
+            "n_tokens",
+            "first_doc",
+            "last_doc",
+            "n_carryover_docs",
+        )
+        .join(F.broadcast(worklist), "shard", "left_anti")
+        .withColumn("recomputed", F.lit(False))
+    )
+    recomputed = _sharded_pack_manifest(
+        per_doc.filter(F.col("n_kept") > 0)
+        .select(shard.alias("shard"), "doc_id", F.col("n_kept").alias("n"))
+        .join(F.broadcast(worklist), "shard", "left_semi")
+    ).withColumn("recomputed", F.lit(True))
+    return carried.unionByName(recomputed)

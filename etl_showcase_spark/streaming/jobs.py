@@ -2911,3 +2911,187 @@ def stream_decontamination_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.join(latest, ["eval_id", "ver"]).select(
         "eval_id", "n_contaminating", "max_cosine", "worst_train_id"
     )
+
+
+def orders_replay_stream(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 2000
+) -> DataFrame:
+    """o_orderkey-ordered micro-batch replay of the orders table via
+    the Spark 4 Python Data Source streaming API — the fact-table
+    sibling of embeddings_replay_stream (same row-position offsets,
+    same pickling constraints). o_totalprice arrives as the SAME
+    parquet double the batch scan reads, so dec2()/cents derivations
+    downstream are bit-identical to batch."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    path = f"{sf_dir}/orders.parquet"
+
+    class _OrdReplayReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "2000"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._path,
+                    columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+                )
+                self._tbl = t.take(
+                    pc.sort_indices(t, sort_keys=[("o_orderkey", "ascending")])
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter(
+                [
+                    (r["o_orderkey"], r["o_orderpriority"], float(r["o_totalprice"]))
+                    for r in sl
+                ]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _OrdReplaySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "orders_replay"
+
+        def schema(self) -> str:
+            return "o_orderkey long, o_orderpriority string, o_totalprice double"
+
+        def simpleStreamReader(self, schema):
+            return _OrdReplayReader(self.options)
+
+    spark.dataSource.register(_OrdReplaySource)
+    return (
+        spark.readStream.format("orders_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_mv_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MV maintenance twin: the batch
+    ``incremental_mv_maintenance`` (plans/ingest.py) with the nightly
+    delta replaced by a CHANGELOG STREAM — the per-priority revenue
+    rollup maintained incrementally as delta orders arrive.
+
+    The v1 base (o_orderkey % 4 != 0) is the SHARED batch step — a
+    production MV is bootstrapped from a snapshot exactly this way;
+    the STREAM is the delta (o_orderkey % 4 == 0) arriving through the
+    o_orderkey-ordered replay reader. Per priority, a GroupState cell
+    folds (n_orders, revenue CENTS as bigint — the decimal is carried
+    as its exact scaled integer, so the fold is pure int addition and
+    the state struct needs no decimal support), emitting the running
+    totals with a monotone version = rows folded. The final merge —
+    base FULL OUTER latest-fold, cents rescaled to DECIMAL by exact
+    multiplication, d2d cast — must equal the batch query's v2
+    snapshot output bit-for-bit (tests/test_streaming.py), including
+    n_from_delta and the mv_version literal.
+
+    State per priority is 3 integers; the key space is the priority
+    domain (5 values), so state is O(1) at any corpus size and every
+    delta row shuffles exactly once."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.numeric import d2d, dec2
+
+    delta = (
+        orders_replay_stream(spark, sf_dir)
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def mv_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, cents = int(state.get[0]), int(state.get[1])
+        else:
+            n, cents = 0, 0
+        got = 0
+        for pdf in pdfs:
+            got += len(pdf)
+            for c in pdf["cents"]:
+                cents += int(c)
+        if not got:
+            return
+        n += got
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "priority": [key[0]],
+                "d_orders": [n],
+                "d_cents": [cents],
+                "ver": [n],
+            }
+        )
+
+    out = delta.groupBy("priority").applyInPandasWithState(
+        mv_fold,
+        outputStructType="priority string, d_orders long, d_cents long, ver long",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_mv_maint", mode="update").distinct()
+    latest = log.groupBy("priority").agg(F.max("ver").alias("ver"))
+    fold = log.join(latest, ["priority", "ver"]).select(
+        "priority", "d_orders", "d_cents"
+    )
+
+    # shared batch step: the v1 base rollup (same decimal sums as the
+    # batch query's snapshot write — parquet-roundtrip exact)
+    from ..catalog import table as _table
+
+    base = (
+        _table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 != 0)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec2("o_totalprice")).alias("__rev"),
+        )
+    )
+    merged = base.join(fold, "priority", "full_outer").select(
+        "priority",
+        (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_orders", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("__rev"), F.lit(0).cast("decimal(12,2)"))
+            + F.coalesce(
+                F.col("d_cents").cast("decimal(20,0)")
+                * F.lit("0.01").cast("decimal(3,2)"),
+                F.lit(0).cast("decimal(12,2)"),
+            )
+        ).alias("__rev"),
+        F.coalesce("d_orders", F.lit(0)).cast("bigint").alias("n_from_delta"),
+    )
+    return merged.select(
+        "priority",
+        "n_orders",
+        d2d(F.col("__rev"), "revenue"),
+        "n_from_delta",
+        F.lit(2).cast("int").alias("mv_version"),
+    )

@@ -619,6 +619,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_epoch_packing_state,  # round 10: O(1) shuffle-order fold
         jobs.stream_contrastive_state,  # round 10: per-(anchor,side) top-k
         jobs.stream_decontamination_state,  # round 10: per-eval 3-scalar fold
+        jobs.stream_mv_maintenance_state,  # round 11: per-priority int fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -884,5 +885,17 @@ def test_stateful_decontamination_matches_batch(spark):
 
     streamed = jobs.stream_decontamination_state(spark, SF_SMOKE).toPandas()
     batch = embedding_decontamination(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_mv_maintenance_matches_batch(spark):
+    # the per-priority (n, cents) GroupState fold over the streamed
+    # delta == the batch snapshot merge bit-for-bit: counts, the
+    # d2d-cast decimal revenue, n_from_delta, and the version literal
+    from etl_showcase_spark.plans.ingest import incremental_mv_maintenance
+
+    streamed = jobs.stream_mv_maintenance_state(spark, SF_SMOKE).toPandas()
+    batch = incremental_mv_maintenance(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
