@@ -743,34 +743,61 @@ def daily_view_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 # G8 robust stats, part 3 ([EXT] — winsorization, completing the
 # z-score / MAD trio): clamp each event type's values at its exact
-# p10/p90 and report the winsorized mean. Exactness discipline: the
-# percentile thresholds are engine-identical (type-7 interpolation on
-# the same sorted doubles — quantiles_quantity precedent); the middle
-# mass is summed in DECIMAL (2-decimal-clean values, order-proof);
-# the clamped tails contribute count×threshold — so the mean is a
-# fixed arithmetic expression over exact aggregates, never an
-# order-dependent double sum. Scale: two reduced passes over a
-# per-type broadcast, facts shuffle once.
+# p10/p90 and report the winsorized mean. Exactness discipline
+# (hardened in round 11 — the money-boundary lake caught the old
+# interpolated spelling): type-7 quantiles at q = k/10 are EXACT
+# RATIONALS over integer cents — pos = (n-1)·k/10, so
+# p = lo + (hi-lo)·((k·(n-1)) mod 10)/10 has an exact MILLI-CENT
+# integer representation. Thresholds are therefore pure bigint
+# arithmetic, every tail comparison is an exact integer compare
+# (cents·10 vs milli-cents), and the reported double is ONE identical
+# int→double cast + division in both engines — engine-identical by
+# construction, not by interpolation luck (Spark's (1-g)·lo + g·hi
+# and DuckDB's lo + (hi-lo)·g round differently off clean values).
+# The middle mass is summed in DECIMAL (order-proof, d2d cast); the
+# clamped tails contribute count×threshold — fixed arithmetic over
+# exact aggregates. Scale: the rank selection is a per-type window
+# (partition-bounded), facts shuffle once, thresholds broadcast.
 # ---------------------------------------------------------------------------
 
 _WINSOR_ORACLE = """
-WITH th AS (
+WITH c AS (
   SELECT event_type,
-         QUANTILE_CONT(value, 0.1) AS p10,
-         QUANTILE_CONT(value, 0.9) AS p90
-  FROM events GROUP BY event_type
+         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+th AS (
+  SELECT event_type, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n-1)//10 + 1 THEN cents END) AS lo10,
+         MAX(CASE WHEN rn = LEAST((n-1)//10 + 2, n) THEN cents END) AS hi10,
+         MAX(CASE WHEN rn = (9*(n-1))//10 + 1 THEN cents END) AS lo90,
+         MAX(CASE WHEN rn = LEAST((9*(n-1))//10 + 2, n) THEN cents END) AS hi90
+  FROM ranked GROUP BY event_type
+),
+q AS (
+  SELECT event_type,
+         lo10*10 + (hi10-lo10) * ((n-1) % 10) AS p10_mc,
+         lo90*10 + (hi90-lo90) * ((9*(n-1)) % 10) AS p90_mc
+  FROM th
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       COUNT(*) FILTER (WHERE e.value < th.p10) AS n_low,
-       COUNT(*) FILTER (WHERE e.value > th.p90) AS n_high,
-       th.p10 AS p10, th.p90 AS p90,
-       ((CAST(FLOOR(SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90 THEN CAST(e.value AS DECIMAL(12,2)) END)) AS DOUBLE) + CAST((SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90 THEN CAST(e.value AS DECIMAL(12,2)) END)) - FLOOR(SUM(CASE WHEN e.value >= th.p10 AND e.value <= th.p90 THEN CAST(e.value AS DECIMAL(12,2)) END)) AS DOUBLE))
-        + COUNT(*) FILTER (WHERE e.value < th.p10) * th.p10
-        + COUNT(*) FILTER (WHERE e.value > th.p90) * th.p90)
+       COUNT(*) FILTER (WHERE e.cents*10 < q.p10_mc) AS n_low,
+       COUNT(*) FILTER (WHERE e.cents*10 > q.p90_mc) AS n_high,
+       CAST(q.p10_mc AS DOUBLE) / 1000.0 AS p10,
+       CAST(q.p90_mc AS DOUBLE) / 1000.0 AS p90,
+       ((CAST(FLOOR(SUM(CASE WHEN e.cents*10 >= q.p10_mc AND e.cents*10 <= q.p90_mc THEN CAST(e.cents AS DECIMAL(20,0)) * CAST('0.01' AS DECIMAL(3,2)) END)) AS DOUBLE) + CAST((SUM(CASE WHEN e.cents*10 >= q.p10_mc AND e.cents*10 <= q.p90_mc THEN CAST(e.cents AS DECIMAL(20,0)) * CAST('0.01' AS DECIMAL(3,2)) END)) - FLOOR(SUM(CASE WHEN e.cents*10 >= q.p10_mc AND e.cents*10 <= q.p90_mc THEN CAST(e.cents AS DECIMAL(20,0)) * CAST('0.01' AS DECIMAL(3,2)) END)) AS DOUBLE))
+        + COUNT(*) FILTER (WHERE e.cents*10 < q.p10_mc) * (CAST(q.p10_mc AS DOUBLE) / 1000.0)
+        + COUNT(*) FILTER (WHERE e.cents*10 > q.p90_mc) * (CAST(q.p90_mc AS DOUBLE) / 1000.0))
        / COUNT(*) AS winsorized_mean
-FROM events e JOIN th USING (event_type)
-GROUP BY e.event_type, th.p10, th.p90
+FROM c e JOIN q USING (event_type)
+GROUP BY e.event_type, q.p10_mc, q.p90_mc
 """
 
 
@@ -778,24 +805,60 @@ GROUP BY e.event_type, th.p10, th.p90
 def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numeric import d2d, dec2
 
+    from pyspark.sql.window import Window
+
     ev = table(spark, sf_dir, "events")
-    th = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.1)").alias("p10"),
-        F.expr("percentile(value, 0.9)").alias("p90"),
+    c = ev.select(
+        "event_type", (dec2("value") * 100).cast("bigint").alias("cents")
     )
-    j = ev.join(F.broadcast(th), "event_type")
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wn = Window.partitionBy("event_type")
+    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    th = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.expr("rn = (n-1) div 10 + 1"), F.col("cents"))).alias("lo10"),
+        F.max(
+            F.when(F.expr("rn = least((n-1) div 10 + 2, n)"), F.col("cents"))
+        ).alias("hi10"),
+        F.max(
+            F.when(F.expr("rn = (9*(n-1)) div 10 + 1"), F.col("cents"))
+        ).alias("lo90"),
+        F.max(
+            F.when(F.expr("rn = least((9*(n-1)) div 10 + 2, n)"), F.col("cents"))
+        ).alias("hi90"),
+    )
+    q = th.select(
+        "event_type",
+        (
+            F.col("lo10") * 10
+            + (F.col("hi10") - F.col("lo10")) * F.pmod(F.col("n") - 1, F.lit(10))
+        ).alias("p10_mc"),
+        (
+            F.col("lo90") * 10
+            + (F.col("hi90") - F.col("lo90"))
+            * F.pmod(9 * (F.col("n") - 1), F.lit(10))
+        ).alias("p90_mc"),
+    )
+    j = c.join(F.broadcast(q), "event_type")
+    dec_cents = F.col("cents").cast("decimal(20,0)") * F.lit("0.01").cast(
+        "decimal(3,2)"
+    )
     return (
-        j.groupBy("event_type", "p10", "p90")
+        j.groupBy("event_type", "p10_mc", "p90_mc")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.count(F.when(F.col("value") < F.col("p10"), 1)).alias("n_low"),
-            F.count(F.when(F.col("value") > F.col("p90"), 1)).alias("n_high"),
+            F.count(F.when(F.col("cents") * 10 < F.col("p10_mc"), 1)).alias("n_low"),
+            F.count(F.when(F.col("cents") * 10 > F.col("p90_mc"), 1)).alias(
+                "n_high"
+            ),
             d2d(
                 F.sum(
                     F.when(
-                        (F.col("value") >= F.col("p10"))
-                        & (F.col("value") <= F.col("p90")),
-                        dec2("value"),
+                        (F.col("cents") * 10 >= F.col("p10_mc"))
+                        & (F.col("cents") * 10 <= F.col("p90_mc")),
+                        dec_cents,
                     )
                 ),
                 "__mid",
@@ -806,13 +869,13 @@ def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_low",
             "n_high",
-            "p10",
-            "p90",
+            (F.col("p10_mc").cast("double") / 1000.0).alias("p10"),
+            (F.col("p90_mc").cast("double") / 1000.0).alias("p90"),
             (
                 (
                     F.col("__mid")
-                    + F.col("n_low") * F.col("p10")
-                    + F.col("n_high") * F.col("p90")
+                    + F.col("n_low") * (F.col("p10_mc").cast("double") / 1000.0)
+                    + F.col("n_high") * (F.col("p90_mc").cast("double") / 1000.0)
                 )
                 / F.col("n_events")
             ).alias("winsorized_mean"),
