@@ -83,8 +83,15 @@ def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Exact percentiles (type-7 linear interpolation in both engines).
-# l_quantity is integer-valued, so every interpolated quantile is exact
-# in binary — no cross-engine float divergence is possible.
+# Why THIS query is safe while winsorized_event_stats needed the
+# round-11 exact-integer rewrite (plans/events.py): exactness needs
+# BOTH (a) binary-exact interpolation fractions and (b) exactly
+# representable products. Here q ∈ {0.25, 0.5, 0.75} → frac ∈
+# {0, .25, .5, .75} (exact powers of two) and l_quantity is a small
+# integer, so Spark's (1-g)·lo + g·hi and DuckDB's lo + (hi-lo)·g are
+# both computed without rounding and agree identically. q = k/10
+# fractions (0.1 is not binary-exact) void (a) — those go through the
+# milli-cent integer construction instead.
 # ---------------------------------------------------------------------------
 
 _QUANTILE_ORACLE = """
