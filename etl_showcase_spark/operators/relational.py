@@ -449,3 +449,56 @@ def with_global_running_sum(
         .withColumn(out_col, F.col("__off") + local)
         .drop("__pid", "__off")
     )
+
+
+def exact_deciles_du(df: DataFrame, part_col: str, val_col: str) -> DataFrame:
+    """Per-group type-7 deciles (q = k/10, k = 1..9) over an INTEGER
+    column, as exact DECI-UNIT integers (round 11 — the winsorized
+    construction generalized).
+
+    Type-7 at q = k/10 sits at pos = k·(n-1)/10, an exact rational, so
+      p_k = lo + (hi - lo) · ((k·(n-1)) mod 10) / 10
+    has the exact integer representation
+      p_k·10 = lo·10 + (hi - lo) · ((k·(n-1)) mod 10).
+    Everything is bigint arithmetic — no interpolation floats, so
+    downstream threshold comparisons and the final one-cast double are
+    engine-identical by construction (cf. plans/events.py winsorized:
+    Spark's (1-g)·lo + g·hi and DuckDB's lo + (hi-lo)·g round
+    differently off clean values).
+
+    One value-ordered window pass (partition-bounded — never a global
+    sort) and one group-agg selecting the 18 rank stats. Returns one
+    row per group: (part_col, n, thr1_du .. thr9_du)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(part_col).orderBy("__v")
+    wn = Window.partitionBy(part_col)
+    ranked = df.select(part_col, F.col(val_col).cast("bigint").alias("__v")).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(wn))
+    aggs = [F.max("__n").alias("n")]
+    for k in range(1, 10):
+        aggs.append(
+            F.max(
+                F.when(F.expr(f"__rn = ({k}*(__n-1)) div 10 + 1"), F.col("__v"))
+            ).alias(f"__lo{k}")
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    F.expr(f"__rn = least(({k}*(__n-1)) div 10 + 2, __n)"),
+                    F.col("__v"),
+                )
+            ).alias(f"__hi{k}")
+        )
+    th = ranked.groupBy(part_col).agg(*aggs)
+    out_cols = [F.col(part_col), F.col("n")]
+    for k in range(1, 10):
+        out_cols.append(
+            (
+                F.col(f"__lo{k}") * 10
+                + (F.col(f"__hi{k}") - F.col(f"__lo{k}"))
+                * F.pmod(k * (F.col("n") - 1), F.lit(10))
+            ).alias(f"thr{k}_du")
+        )
+    return th.select(*out_cols)

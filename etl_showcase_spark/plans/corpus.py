@@ -1117,3 +1117,83 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_docs").cast("double") / F.col("raw_docs")).alias("doc_share"),
         (F.col("n_tokens").cast("double") / F.col("raw_tokens")).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6/G8/W3 per-source length deciles ([EXT] — round-11 exactness theme
+# made a first-class operator: the length cut points a curation pass
+# filters against, per source). Uses exact_deciles_du
+# (operators/relational.py): type-7 deciles at q = k/10 computed as
+# exact DECI-UNIT integers — bigint rank selection + integer
+# interpolation, so the thresholds are hash-exact at any magnitude
+# (the winsorized_event_stats construction generalized; the
+# interpolated QUANTILE_CONT spelling is engine-identical only by
+# luck — proven by the round-11 boundary lake). Scale: one
+# value-ordered window per source (partition-bounded), one group agg,
+# output = 9 rows per source.
+# ---------------------------------------------------------------------------
+
+_LEN_DECILES_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars AS v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+th AS (
+  SELECT source, MAX(n) AS n,
+         MAX(CASE WHEN rn = (1*(n-1))//10 + 1 THEN v END) AS lo1,
+         MAX(CASE WHEN rn = LEAST((1*(n-1))//10 + 2, n) THEN v END) AS hi1,
+         MAX(CASE WHEN rn = (2*(n-1))//10 + 1 THEN v END) AS lo2,
+         MAX(CASE WHEN rn = LEAST((2*(n-1))//10 + 2, n) THEN v END) AS hi2,
+         MAX(CASE WHEN rn = (3*(n-1))//10 + 1 THEN v END) AS lo3,
+         MAX(CASE WHEN rn = LEAST((3*(n-1))//10 + 2, n) THEN v END) AS hi3,
+         MAX(CASE WHEN rn = (4*(n-1))//10 + 1 THEN v END) AS lo4,
+         MAX(CASE WHEN rn = LEAST((4*(n-1))//10 + 2, n) THEN v END) AS hi4,
+         MAX(CASE WHEN rn = (5*(n-1))//10 + 1 THEN v END) AS lo5,
+         MAX(CASE WHEN rn = LEAST((5*(n-1))//10 + 2, n) THEN v END) AS hi5,
+         MAX(CASE WHEN rn = (6*(n-1))//10 + 1 THEN v END) AS lo6,
+         MAX(CASE WHEN rn = LEAST((6*(n-1))//10 + 2, n) THEN v END) AS hi6,
+         MAX(CASE WHEN rn = (7*(n-1))//10 + 1 THEN v END) AS lo7,
+         MAX(CASE WHEN rn = LEAST((7*(n-1))//10 + 2, n) THEN v END) AS hi7,
+         MAX(CASE WHEN rn = (8*(n-1))//10 + 1 THEN v END) AS lo8,
+         MAX(CASE WHEN rn = LEAST((8*(n-1))//10 + 2, n) THEN v END) AS hi8,
+         MAX(CASE WHEN rn = (9*(n-1))//10 + 1 THEN v END) AS lo9,
+         MAX(CASE WHEN rn = LEAST((9*(n-1))//10 + 2, n) THEN v END) AS hi9
+  FROM ranked GROUP BY source
+)
+SELECT source,
+       CAST(t.k AS INT) AS decile,
+       CAST(t.du AS BIGINT) AS threshold_du,
+       CAST(t.du AS DOUBLE) / 10.0 AS threshold,
+       CAST(n AS BIGINT) AS n_docs
+FROM th, LATERAL (VALUES
+    (1, lo1*10 + (hi1-lo1) * ((1*(n-1)) % 10)),
+    (2, lo2*10 + (hi2-lo2) * ((2*(n-1)) % 10)),
+    (3, lo3*10 + (hi3-lo3) * ((3*(n-1)) % 10)),
+    (4, lo4*10 + (hi4-lo4) * ((4*(n-1)) % 10)),
+    (5, lo5*10 + (hi5-lo5) * ((5*(n-1)) % 10)),
+    (6, lo6*10 + (hi6-lo6) * ((6*(n-1)) % 10)),
+    (7, lo7*10 + (hi7-lo7) * ((7*(n-1)) % 10)),
+    (8, lo8*10 + (hi8-lo8) * ((8*(n-1)) % 10)),
+    (9, lo9*10 + (hi9-lo9) * ((9*(n-1)) % 10))
+) t(k, du)
+"""
+
+
+@register("source_length_deciles", oracle=_LEN_DECILES_ORACLE, tags=("L6", "G8", "W3"))
+def source_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import exact_deciles_du
+
+    d = table(spark, sf_dir, "documents")
+    th = exact_deciles_du(d, "source", "n_chars")
+    arr = F.array(*[F.col(f"thr{k}_du") for k in range(1, 10)])
+    return th.select(
+        "source", F.col("n").alias("__n"), F.posexplode(arr).alias("__k0", "__du")
+    ).select(
+        "source",
+        (F.col("__k0") + 1).cast("int").alias("decile"),
+        F.col("__du").cast("bigint").alias("threshold_du"),
+        (F.col("__du").cast("double") / 10.0).alias("threshold"),
+        F.col("__n").cast("bigint").alias("n_docs"),
+    )

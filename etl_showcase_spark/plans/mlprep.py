@@ -4293,3 +4293,141 @@ def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(worklist), "shard", "left_semi")
     ).withColumn("recomputed", F.lit(True))
     return carried.unionByName(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# L2/L4/L6/O1 DECONTAMINATED training manifest ([EXT] — round-11 idea
+# bank: the manifest a data owner actually ships). Extends
+# curated_training_manifest with the two gates a benchmark-safe
+# training set needs: (1) only TRAIN-side documents (the held-out ~25%
+# md5 split is excluded wholesale — eval docs never train), and
+# (2) the decontaminate_train_test exclusion (any train doc sharing a
+# word 8-gram with ANY eval doc is dropped). Composition: soft-dedup
+# sample ∩ Gopher gate ∩ train split ∖ contaminated, then the same
+# md5 epoch shuffle + fixed-size batch manifest. The oracle nests
+# EVERY stage (cluster replay → draw → quality flags → split → n-gram
+# contamination join → partition-less ROW_NUMBER → batch agg), so one
+# hash proves the full composition.
+#
+# Scale: every stage is the already-proven shape (banded clusters,
+# posting-join decontamination, doc-keyed gates, distributed
+# row-number); the new joins are all doc_id-keyed (the anti join
+# shares the key), so no new shuffle class appears.
+# ---------------------------------------------------------------------------
+
+
+def _decon_manifest_oracle() -> str:
+    from ..operators import textops as _t
+    from .llm_text import _DECON_N, _SQL_TOKS, _scalable_clusters_oracle
+
+    return f"""
+WITH m AS ({_scalable_clusters_oracle()}),
+cw AS (
+  SELECT doc_id FROM m
+  WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cw'), 1, 8) AS BIGINT)
+          * cluster_size
+        < 4294967296
+),
+t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+),
+g AS (
+  SELECT doc_id FROM q
+  WHERE n_tokens >= {_t.GOPHER_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+    AND mean_word_len IS NOT NULL
+    AND mean_word_len >= {_t.GOPHER_MIN_MEAN_LEN}
+    AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+    AND symbol_ratio IS NOT NULL
+    AND symbol_ratio < {_t.GOPHER_MAX_SYMBOL_RATIO}
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_DECON_N - 2}),
+             i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS gram
+  FROM t WHERE LEN(toks) >= {_DECON_N}
+),
+split AS (
+  SELECT doc_id, gram,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
+  FROM grams
+),
+test_g AS (SELECT DISTINCT gram FROM split WHERE is_test),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM split s JOIN test_g x ON s.gram = x.gram
+  WHERE NOT s.is_test
+),
+kept AS (
+  SELECT t.doc_id, t.n_chars FROM t
+  JOIN cw ON t.doc_id = cw.doc_id
+  JOIN g ON t.doc_id = g.doc_id
+  WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) >= '4'
+    AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+r AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM kept
+)
+SELECT CAST((pos - 1) // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       arg_min(doc_id, pos) AS head_doc,
+       arg_max(doc_id, pos) AS tail_doc
+FROM r GROUP BY (pos - 1) // {_EPOCH_SHUFFLE_BATCH}
+"""
+
+
+@register(
+    "decontaminated_training_manifest",
+    oracle=_decon_manifest_oracle(),
+    tags=("L2", "L4", "L6", "O1"),
+)
+def decontaminated_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+    from .llm_text import cluster_weighted_sampling, decontaminate_train_test
+
+    d = table(spark, sf_dir, "documents")
+    cw = cluster_weighted_sampling(spark, sf_dir).select("doc_id")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    g = d.select("doc_id", flags["keep"].alias("keep")).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    contaminated = decontaminate_train_test(spark, sf_dir).select("doc_id")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "4"
+    kept = (
+        d.select("doc_id", "n_chars")
+        .filter(is_train)
+        .join(cw, "doc_id")
+        .join(g, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    key = F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string")))
+    ranked = with_global_row_number(
+        kept.withColumn("__k", key), [F.col("__k").asc(), F.col("doc_id").asc()], "pos"
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min_by("doc_id", "pos").alias("head_doc"),
+            F.max_by("doc_id", "pos").alias("tail_doc"),
+        )
+    )
