@@ -3095,3 +3095,178 @@ def stream_mv_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_from_delta",
         F.lit(2).cast("int").alias("mv_version"),
     )
+
+
+def stream_cluster_contamination_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cluster_contamination_report``
+    (plans/llm_vector.py) — the round-11 cluster-grain rollup answered
+    incrementally: the EVAL panel and the near-dup CLUSTER MEMBERSHIP
+    are frozen (both are index-build artifacts), the TRAIN corpus
+    arrives as a stream, and per-CLUSTER GroupState maintains the
+    quarantine report as contamination links land.
+
+    Candidates are the same literal hyperplane postings + int-dot
+    cosine as the batch path; each link routes to its eval's cluster
+    through a stream-static join on the persisted membership. State
+    per cluster is the per-eval (max cosine, tie-safe worst train,
+    link count) table — bounded by the cluster's eval-member count —
+    plus a c_id high-water mark that enforces the replay reader's
+    single-delivery guarantee loudly (the round-10 ADVICE discipline).
+    The emitted report derives the batch columns exactly: counts and
+    links are integers, worst-pair selection replays the batch's
+    (max_cosine DESC, eval_id ASC) then per-eval (cosine DESC,
+    train ASC) order statistics, and the final static join adds the
+    cluster's fixed eval-member/size totals so contamination_rate is
+    the identical double division. Latest emission per cluster over
+    the drained log equals the batch relation bit-for-bit
+    (tests/test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..caching import tracked_persist
+    from ..operators.similarity import int_dot, lsh_bucket_keys_gemm, quantize
+    from ..plans.llm_vector import (
+        _ND_DIM,
+        _ND_PLANES,
+        _ND_TABLES,
+        _ND_THRESH,
+        embedding_neardup_clusters,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"
+    eval_post = tracked_persist(
+        e.filter(is_eval)
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            quantize(F.col("embedding")).alias("e_vec"),
+            lsh_bucket_keys_gemm("embedding", _ND_PLANES, _ND_DIM, _ND_TABLES).alias(
+                "keys"
+            ),
+        )
+        .withColumn(
+            "e_nrm", F.sqrt(int_dot(F.col("e_vec"), F.col("e_vec")).cast("double"))
+        )
+        .select("eval_id", "e_vec", "e_nrm", F.posexplode("keys").alias("tbl", "key"))
+    )
+    # frozen membership at the EVAL grain (index-build artifact, like
+    # the IVF centroids): persisted so micro-batches don't rebuild it
+    membership = tracked_persist(
+        embedding_neardup_clusters(spark, sf_dir)
+        .filter(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4")
+        .select(
+            F.col("vec_id").alias("eval_id"), "cluster_id", "cluster_size"
+        )
+    )
+    arriving = (
+        embeddings_replay_stream(spark, sf_dir)
+        .filter(~(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) < "4"))
+        .select(
+            F.col("vec_id").alias("c_id"),
+            quantize(F.col("embedding")).alias("c_vec"),
+            lsh_bucket_keys_gemm("embedding", _ND_PLANES, _ND_DIM, _ND_TABLES).alias(
+                "keys"
+            ),
+        )
+        .withColumn(
+            "c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double"))
+        )
+        .select("c_id", "c_vec", "c_nrm", F.posexplode("keys").alias("tbl", "key"))
+    )
+    linked = (
+        arriving.join(F.broadcast(eval_post), ["tbl", "key"])
+        .select(
+            "eval_id",
+            "c_id",
+            (
+                int_dot(F.col("e_vec"), F.col("c_vec")).cast("double")
+                / (F.col("e_nrm") * F.col("c_nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(_ND_THRESH))
+        .join(membership.select("eval_id", "cluster_id"), "eval_id")
+    )
+
+    def cluster_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            evals = list(state.get[0])
+            maxcos = list(state.get[1])
+            btrain = list(state.get[2])
+            n_links, hwm = int(state.get[3]), int(state.get[4])
+        else:
+            evals, maxcos, btrain, n_links, hwm = [], [], [], 0, -1
+        pairs = {}
+        for pdf in pdfs:
+            for ev, c, cos in zip(pdf["eval_id"], pdf["c_id"], pdf["cosine"]):
+                pairs[(int(ev), int(c))] = float(cos)  # table dups collapse
+        if not pairs:
+            return
+        lo = min(c for (_, c) in pairs)
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for cluster {int(key[0])}: "
+                f"c_id {lo} <= high-water mark {hwm}"
+            )
+        hwm = max(c for (_, c) in pairs)
+        n_links += len(pairs)
+        idx = {ev: i for i, ev in enumerate(evals)}
+        for (ev, c), cos in pairs.items():
+            i = idx.get(ev)
+            if i is None:
+                idx[ev] = len(evals)
+                evals.append(ev)
+                maxcos.append(cos)
+                btrain.append(c)
+            elif (-cos, c) < (-maxcos[i], btrain[i]):
+                maxcos[i], btrain[i] = cos, c
+        state.update((evals, maxcos, btrain, n_links, hwm))
+        # batch order statistics: worst eval = (max_cosine DESC, eval ASC)
+        wi = min(range(len(evals)), key=lambda i: (-maxcos[i], evals[i]))
+        yield pd.DataFrame(
+            {
+                "cluster_id": [int(key[0])],
+                "n_contaminated": [len(evals)],
+                "n_links": [n_links],
+                "worst_cosine": [max(maxcos)],
+                "worst_eval_id": [evals[wi]],
+                "worst_train_id": [btrain[wi]],
+                "ver": [n_links],
+            }
+        )
+
+    out = linked.groupBy("cluster_id").applyInPandasWithState(
+        cluster_fold,
+        outputStructType=(
+            "cluster_id long, n_contaminated long, n_links long, "
+            "worst_cosine double, worst_eval_id long, worst_train_id long, "
+            "ver long"
+        ),
+        stateStructType=(
+            "evals array<bigint>, maxcos array<double>, btrain array<bigint>, "
+            "n_links bigint, hwm bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_cluster_contam", mode="update").distinct()
+    latest = log.groupBy("cluster_id").agg(F.max("ver").alias("ver"))
+    rep = log.join(latest, ["cluster_id", "ver"]).drop("ver")
+    totals = membership.groupBy("cluster_id").agg(
+        F.max("cluster_size").cast("bigint").alias("cluster_size"),
+        F.count(F.lit(1)).cast("bigint").alias("n_eval_members"),
+    )
+    return rep.join(totals, "cluster_id").select(
+        "cluster_id",
+        "cluster_size",
+        "n_eval_members",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        (
+            F.col("n_contaminated").cast("double") / F.col("n_eval_members")
+        ).alias("contamination_rate"),
+        F.col("n_links").cast("bigint").alias("n_links"),
+        "worst_cosine",
+        "worst_eval_id",
+        "worst_train_id",
+    )

@@ -620,6 +620,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_contrastive_state,  # round 10: per-(anchor,side) top-k
         jobs.stream_decontamination_state,  # round 10: per-eval 3-scalar fold
         jobs.stream_mv_maintenance_state,  # round 11: per-priority int fold
+        jobs.stream_cluster_contamination_state,  # round 11: per-cluster map
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -897,5 +898,18 @@ def test_stateful_mv_maintenance_matches_batch(spark):
 
     streamed = jobs.stream_mv_maintenance_state(spark, SF_SMOKE).toPandas()
     batch = incremental_mv_maintenance(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_cluster_contamination_matches_batch(spark):
+    # per-CLUSTER GroupState over arriving contamination links == the
+    # batch cluster rollup bit-for-bit: counts, rate, total links, and
+    # the (max_cosine DESC, eval ASC) x (cosine DESC, train ASC)
+    # worst-pair order statistics alike
+    from etl_showcase_spark.plans.llm_vector import cluster_contamination_report
+
+    streamed = jobs.stream_cluster_contamination_state(spark, SF_SMOKE).toPandas()
+    batch = cluster_contamination_report(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert not compare_frames(streamed, batch)
