@@ -4149,9 +4149,11 @@ def curated_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale: the per-shard running sum is a shard-partitioned window (no
 # global sort); recompute cost is O(changed shards); carried rows are
-# manifest metadata, not data. State of the art would DPP-prune the
-# carried scan too — here the anti join keeps all-but-changed
-# partitions, which IS the cheap side (manifest rows are tiny).
+# manifest metadata, not data. The carried scan IS dynamically pruned
+# (pytest-asserted): DPP never fires for an anti join, so the NOT-IN
+# shape is materialized as its COMPLEMENT list (unchanged shards,
+# derived from the shard universe — not from the scan it prunes) and
+# consumed as a broadcast semi join behind a comparison filter.
 # ---------------------------------------------------------------------------
 
 _REPACK_SHARD = 32
@@ -4273,8 +4275,32 @@ def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("shard").cast("bigint").alias("shard"))
     )
 
+    # The carried side consumes the COMPLEMENT list (unchanged shards)
+    # as a broadcast SEMI join so Catalyst injects a dynamicpruning
+    # filter into the partitioned manifest scan — DPP never fires for
+    # an anti join, so the NOT-IN shape is materialized as its
+    # complement instead (the §7.5 anti-join pruning probe, answered).
+    # The complement derives from per_doc's shard universe, NOT from
+    # the manifest scan it prunes (the round-10 self-reference
+    # gotcha), lands on disk like the work list, and carries a count
+    # column so the consuming filter is a comparison (gotcha (b)).
+    all_shards = per_doc.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    all_shards.join(F.broadcast(worklist), "shard", "left_anti").write.parquet(
+        root + "/carrylist"
+    )
+    # partition-directory values read back as int — match the scan's
+    # inferred type on the broadcast side so no cast lands on the scan
+    # column (a cast there defeats DPP)
+    carry_list = (
+        spark.read.parquet(root + "/carrylist")
+        .filter(F.col("n_docs") > 0)
+        .select(F.col("shard").cast("int").alias("shard"))
+    )
     carried = (
         spark.read.parquet(root + "/manifest_v1")
+        .join(F.broadcast(carry_list), "shard", "left_semi")
         .select(
             F.col("shard").cast("bigint").alias("shard"),
             "pack_id",
@@ -4284,7 +4310,6 @@ def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_doc",
             "n_carryover_docs",
         )
-        .join(F.broadcast(worklist), "shard", "left_anti")
         .withColumn("recomputed", F.lit(False))
     )
     recomputed = _sharded_pack_manifest(

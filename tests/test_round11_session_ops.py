@@ -142,3 +142,24 @@ def test_sweep_left_no_naive_decimal_sum_casts():
             if "DECIMAL" in inner and "FLOOR" not in inner:
                 offenders.append(f"{f.name}: CAST(SUM({inner[:60]}...) AS DOUBLE)")
     assert not offenders, offenders
+
+
+def test_repack_carried_scan_is_dynamically_pruned(spark):
+    """The carried side of incremental_pack_repacking consumes the
+    materialized COMPLEMENT list as a broadcast semi join, so the
+    partitioned v1-manifest scan must carry a dynamicpruning filter
+    (DPP never fires for the anti-join spelling — the §7.5 probe)."""
+    import os
+
+    from etl_showcase_spark.plans.mlprep import incremental_pack_repacking
+
+    sf = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+    df = incremental_pack_repacking(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    pdf = df.toPandas()
+    # both paths present and disjoint on shard
+    flags = pdf.groupby("recomputed")["shard"].apply(set)
+    assert True in flags.index and len(flags[True]) > 0
+    if False in flags.index:
+        assert not (flags[True] & flags[False])
