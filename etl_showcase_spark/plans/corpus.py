@@ -1135,7 +1135,11 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEN_DECILES_ORACLE = """
 WITH ranked AS (
-  SELECT source, n_chars AS v,
+  -- CAST to BIGINT up front: the deci-unit arithmetic below multiplies
+  -- v by 10, which would overflow (error, in DuckDB) in 32-bit for
+  -- documents past ~2.1e8 chars; the Spark side (exact_deciles_du)
+  -- already works in bigint, so both engines must (round-11 ADVICE)
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
          COUNT(*) OVER (PARTITION BY source) AS n
   FROM documents

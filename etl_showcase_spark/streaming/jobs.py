@@ -3017,6 +3017,7 @@ def stream_mv_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 4 == 0)
         .select(
             F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("okey"),
             (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
         )
     )
@@ -3026,18 +3027,31 @@ def stream_mv_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         if state.exists:
-            n, cents = int(state.get[0]), int(state.get[1])
+            n, cents, hwm = int(state.get[0]), int(state.get[1]), int(state.get[2])
         else:
-            n, cents = 0, 0
-        got = 0
+            n, cents, hwm = 0, 0, -1
+        got, lo, hi = 0, None, hwm
         for pdf in pdfs:
             got += len(pdf)
-            for c in pdf["cents"]:
+            for k, c in zip(pdf["okey"], pdf["cents"]):
                 cents += int(c)
+                lo = int(k) if lo is None else min(lo, int(k))
+                hi = max(hi, int(k))
         if not got:
             return
+        # single-delivery precondition, ENFORCED (round-11 ADVICE, same
+        # discipline as the contamination folds): the replay reader
+        # ships o_orderkey-ordered disjoint batches, so every new delta
+        # order must sit above the per-priority high-water mark — a
+        # re-delivered replay micro-batch fails loudly instead of
+        # silently double-counting n_orders and cents
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for priority {key[0]!r}: "
+                f"o_orderkey {lo} <= high-water mark {hwm}"
+            )
         n += got
-        state.update((n, cents))
+        state.update((n, cents, hi))
         yield pd.DataFrame(
             {
                 "priority": [key[0]],
@@ -3050,7 +3064,7 @@ def stream_mv_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = delta.groupBy("priority").applyInPandasWithState(
         mv_fold,
         outputStructType="priority string, d_orders long, d_cents long, ver long",
-        stateStructType="n bigint, cents bigint",
+        stateStructType="n bigint, cents bigint, hwm bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

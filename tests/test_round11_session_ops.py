@@ -123,6 +123,69 @@ def test_d2d_window_sum_bit_exact_past_2pow53(spark):
     assert [r["r"] for r in got[-100:]] == [r[0] for r in duck[-100:]]
 
 
+def _naive_decimal_sum_casts(text: str) -> list[str]:
+    """Find CAST(SUM(<decimal expr>) AS DOUBLE) spellings with a real
+    paren-depth walk (a regex caps nesting depth, and every DECIMAL(p,s)
+    spelling adds a level — the round-11 regex provably never matched).
+
+    From each ``CAST(`` we walk balanced parens to the matching close,
+    then check the balanced body for ``SUM(...)`` whose own balanced
+    body mentions DECIMAL without FLOOR, followed by ``AS DOUBLE``."""
+    import re
+
+    hits: list[str] = []
+    for m in re.finditer(r"CAST\s*\(", text, re.IGNORECASE):
+        start = m.end()  # just past the opening paren
+        depth = 1
+        i = start
+        while i < len(text) and depth:
+            if text[i] == "(":
+                depth += 1
+            elif text[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:  # unbalanced tail (e.g. mid-f-string) — not a spelling
+            continue
+        body = text[start : i - 1]
+        sm = re.match(r"\s*SUM\s*\(", body, re.IGNORECASE)
+        if not sm:
+            continue
+        # walk SUM's own balanced body
+        j = sm.end()
+        depth = 1
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            continue
+        inner = body[sm.end() : j - 1]
+        tail = body[j:]
+        if not re.match(r"\s*AS\s+DOUBLE\s*$", tail, re.IGNORECASE):
+            continue
+        if "DECIMAL" in inner.upper() and "FLOOR" not in inner.upper():
+            hits.append(f"CAST(SUM({inner[:60]}...) AS DOUBLE)")
+    return hits
+
+
+def test_naive_decimal_sum_scanner_flags_known_bad():
+    """Self-test: the canonical pre-sweep hazard spelling — which the
+    round-11 regex silently missed — IS flagged, and the swept/integer
+    spellings are not."""
+    bad = "CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE)"
+    assert _naive_decimal_sum_casts(bad), "scanner must flag the 2^53 hazard"
+    bad_deep = "CAST(SUM(CAST(a AS DECIMAL(12,2)) * CAST(b AS DECIMAL(12,2))) AS DOUBLE)"
+    assert _naive_decimal_sum_casts(bad_deep)
+    ok_floor = "CAST(SUM(FLOOR(CAST(x AS DECIMAL(12,2)))) AS DOUBLE)"
+    assert not _naive_decimal_sum_casts(ok_floor)
+    ok_int = "CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE)"
+    assert not _naive_decimal_sum_casts(ok_int)
+    ok_not_sum = "CAST(AVG(CAST(x AS DECIMAL(12,2))) AS DOUBLE)"
+    assert not _naive_decimal_sum_casts(ok_not_sum)
+
+
 def test_sweep_left_no_naive_decimal_sum_casts():
     """Source-level guard: no plan file may reintroduce the naive
     CAST(SUM(...decimal...) AS DOUBLE) oracle spelling (sums of
@@ -130,17 +193,13 @@ def test_sweep_left_no_naive_decimal_sum_casts():
     decomposition). Integer sums (BIGINT/HUGEINT casts) are exempt —
     int64→double is a single rounding in both engines below 2^63,
     where Spark's own sum overflows loudly first."""
-    import re
     from pathlib import Path
 
     plans = Path(__file__).parents[1] / "etl_showcase_spark" / "plans"
     offenders = []
-    pat = re.compile(r"CAST\(\s*SUM\((?P<inner>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*AS\s+DOUBLE\s*\)")
     for f in sorted(plans.glob("*.py")):
-        for m in pat.finditer(f.read_text()):
-            inner = m.group("inner")
-            if "DECIMAL" in inner and "FLOOR" not in inner:
-                offenders.append(f"{f.name}: CAST(SUM({inner[:60]}...) AS DOUBLE)")
+        for hit in _naive_decimal_sum_casts(f.read_text()):
+            offenders.append(f"{f.name}: {hit}")
     assert not offenders, offenders
 
 
