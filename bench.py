@@ -59,13 +59,17 @@ def main() -> None:
     # variance.
     from bench_canary import canary_query
 
+    def canary_sample(reps: int = 4) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            canary_query(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     for _ in range(2):
         canary_query(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    canary_best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        canary_query(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        canary_best = min(canary_best, time.perf_counter() - t0)
+    canary_best = canary_sample()
 
     # 2 untimed warm-ups + best-of-4 timed: the expression-heavy
     # queries (MinHash's 32 array_min(transform) chains) generate huge
@@ -74,17 +78,34 @@ def main() -> None:
     # jitter, not query cost. Warm-ups run the identical plan, so the
     # timed min() is the steady-state number a long-running cluster
     # would see.
+    from etl_showcase_spark import observability
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in suite.items():
+    shuffle: dict[str, dict[str, int]] = {}
+    canary_mid = None
+    mid_at = len(suite) // 2
+    for qi, (name, fn) in enumerate(suite.items()):
+        # MID-suite canary (round 12): a third interleaved sample so the
+        # median below reflects the box DURING the measurement window,
+        # not just its edges
+        if qi == mid_at:
+            canary_mid = canary_sample()
         best = float("inf")
         try:
             for _ in range(2):
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            for _ in range(4):
+            for rep in range(4):
+                # shuffle observability (round 12): meter the LAST timed
+                # rep — per-query shuffle bytes/rows/spills become
+                # regression numbers next to the wall time they explain
+                pre = observability.snapshot(spark) if rep == 3 else None
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 best = min(best, time.perf_counter() - t0)
+                if pre is not None:
+                    stats = observability.delta(pre, observability.snapshot(spark))
+                    shuffle[name] = stats.as_dict()
         except Exception as e:  # one broken query must not lose the suite
             errors[name] = f"{type(e).__name__}: {str(e)[:120]}"
         # keep any completed repetition's timing so a late failure can
@@ -99,11 +120,17 @@ def main() -> None:
     # after the suite bounds the box's drift across the measurement
     # window — when canary_s and canary_s_post disagree badly, the
     # normalized numbers of THAT run carry that uncertainty.
-    canary_post = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        canary_query(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        canary_post = min(canary_post, time.perf_counter() - t0)
+    canary_post = canary_sample()
+
+    # Median-of-three normalization (round 12, VERDICT item 3): round
+    # 11's bursty box showed a single pre-suite canary can misstate the
+    # box by 2.5× mid-run. The pre / mid / post samples bracket the
+    # whole window; their MEDIAN is the normalizer, and their spread
+    # (max-min)/median is published — a spread > 20% flags the round's
+    # normalized numbers as noise-dominated before anyone compares them.
+    samples = sorted(s for s in (canary_best, canary_mid, canary_post) if s is not None)
+    canary_median = samples[len(samples) // 2]
+    canary_spread = (samples[-1] - samples[0]) / canary_median
 
     total = sum(timings.values())
     out = {
@@ -112,15 +139,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # frozen-code calibration: canary_s moves only with the box;
-        # *_normalized = raw / canary_s is the box-independent number to
-        # compare across rounds (see bench_canary.py)
+        # frozen-code calibration: the canary moves only with the box;
+        # *_normalized = raw / median(pre, mid, post canary) is the
+        # box-independent number to compare across rounds
         "canary_s": round(canary_best, 3),
+        "canary_s_mid": round(canary_mid, 3) if canary_mid is not None else None,
         "canary_s_post": round(canary_post, 3),
-        "value_normalized": round(total / canary_best, 2),
+        "canary_s_median": round(canary_median, 3),
+        "canary_spread": round(canary_spread, 3),
+        "canary_noisy": canary_spread > 0.20,
+        "value_normalized": round(total / canary_median, 2),
         "queries_normalized": {
-            name: round(t / canary_best, 2) for name, t in timings.items()
+            name: round(t / canary_median, 2) for name, t in timings.items()
         },
+        # per-query shuffle read/write bytes+records, spills, and scan
+        # input bytes for one steady-state execution (AppStatusStore
+        # deltas, etl_showcase_spark/observability.py) — the plan
+        # audits' claims as numbers; budget-pinned in
+        # tests/test_pipeline_integrity.py
+        "shuffle": shuffle,
     }
     if errors:
         out["errors"] = errors

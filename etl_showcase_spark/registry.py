@@ -112,6 +112,30 @@ def _driver_verified() -> dict[str, bool]:
     return verified
 
 
+def _driver_last_checked() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS file recorded a counting
+    row (hash-matched, or rows-only for an oracle-less query). This is
+    the staleness signal the check-rotation ledger orders by."""
+    import re
+
+    last: dict[str, int] = {}
+    for path in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def register(
     name: str,
     oracle: str | None = None,
@@ -136,13 +160,18 @@ _SPECS_CACHE: dict[str, QuerySpec] | None = None
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """All registered specs, not-yet-driver-verified queries first.
+    """All registered specs in driver-check priority order: not-yet-
+    driver-verified queries first, then verified ones STALEST first.
 
     The grading driver checks the first 50 queries in dict order, so
     queries with no green CORRECTNESS row from any prior round sort
-    ahead of proven ones and fill the check budget. Registration order
-    is preserved within each group (sorted() is stable), keeping the
-    priority modules of _PLAN_MODULES first among the unproven. The
+    ahead of proven ones and fill the check budget; any leftover budget
+    then soaks up the verified queries whose last independent driver
+    check is oldest (the round-11 judge's rotation ledger — with 286
+    queries and a 50/round budget, a plain verified-last ordering let a
+    query checked in round 1 go stale forever). Registration order is
+    preserved within each staleness tier (sorted() is stable), keeping
+    the priority modules of _PLAN_MODULES first among ties. The
     ordering is computed once per process (the inputs — round files,
     fingerprint file, registry — are fixed for a process lifetime), so
     repeated calls can't reshuffle the driver's check order mid-run.
@@ -153,6 +182,7 @@ def all_specs() -> dict[str, QuerySpec]:
     _ensure_loaded()
     seen = _driver_verified()
     pinned = _stored_fingerprints()
+    last = _driver_last_checked()
 
     def _is_verified(name: str) -> bool:
         if name not in seen:
@@ -167,9 +197,36 @@ def all_specs() -> dict[str, QuerySpec]:
         # no oracle; gaining one re-queues it for a hash check
         return _REGISTRY[name].oracle is None
 
-    ordered = sorted(_REGISTRY, key=_is_verified)
+    ordered = sorted(
+        _REGISTRY,
+        key=lambda n: (1, last.get(n, 0)) if _is_verified(n) else (0, 0),
+    )
     _SPECS_CACHE = {n: _REGISTRY[n] for n in ordered}
     return _SPECS_CACHE
+
+
+def check_ledger() -> list[dict]:
+    """The check-rotation ledger: every query in driver-check order with
+    its verified status and last driver-checked round (0 = never).
+    ``in_budget`` marks the 50 the next driver run will oracle-check."""
+    specs = all_specs()
+    seen = _driver_verified()
+    pinned = _stored_fingerprints()
+    last = _driver_last_checked()
+    rows = []
+    for i, (name, spec) in enumerate(specs.items()):
+        fresh = pinned.get(name) == query_fingerprint(spec)
+        rows.append(
+            {
+                "name": name,
+                "pos": i,
+                "in_budget": i < 50,
+                "verified": name in seen and fresh and (seen[name] or spec.oracle is None),
+                "last_checked_round": last.get(name, 0),
+                "oracle": spec.oracle is not None,
+            }
+        )
+    return rows
 
 
 def queries() -> dict[str, QueryFn]:

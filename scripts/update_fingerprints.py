@@ -40,11 +40,30 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bootstrap", action="store_true")
     ap.add_argument("--exclude", nargs="*", default=[])
+    ap.add_argument(
+        "--unbless",
+        nargs="+",
+        metavar="NAME",
+        help="remove the named fingerprints (run after EDITING a blessed "
+        "query mid-round: its green row attests the OLD code, so the "
+        "query must re-queue for a fresh driver check)",
+    )
     args = ap.parse_args()
 
     specs = dict(registry.all_specs())
     stored = registry._stored_fingerprints()
     verified = registry._driver_verified()  # union of all rounds
+
+    if args.unbless:
+        missing = [n for n in args.unbless if n not in stored]
+        if missing:
+            sys.exit(f"not blessed: {missing}")
+        out = {n: fp for n, fp in stored.items() if n not in set(args.unbless)}
+        registry._FINGERPRINT_PATH.write_text(
+            json.dumps(dict(sorted(out.items())), indent=1) + "\n"
+        )
+        print(f"un-blessed {len(args.unbless)}: {sorted(args.unbless)}")
+        return
 
     if args.bootstrap:
         bless = set(verified) - set(args.exclude)
