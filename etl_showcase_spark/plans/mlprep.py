@@ -4456,3 +4456,238 @@ def decontaminated_training_manifest(spark: SparkSession, sf_dir: str) -> DataFr
             F.max_by("doc_id", "pos").alias("tail_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S11+L2/L4/L6 INCREMENTAL decontaminated-manifest maintenance ([EXT] —
+# round-12 idea bank: delta-apply `decontaminated_training_manifest`
+# over new train arrivals through the real snapshot protocol). The
+# production shape: the shipped manifest v1 sits on disk; a batch of
+# new TRAIN documents lands; v2 must ship WITHOUT recomputing v1's
+# global shuffle — shipped batches are immutable (a trainer may already
+# have consumed them), so maintenance is APPEND-ONLY: new arrivals pass
+# the same gates (cluster-weighted sampling keep, Gopher quality,
+# 8-gram decontamination — all frozen index-build artifacts, exactly as
+# `stream_cluster_contamination_state` freezes cluster membership),
+# get their own md5 epoch shuffle, and pack into fresh batches numbered
+# after v1's tail. The arrival split is deterministic
+# (md5(doc_id || '|arr') first hex digit >= 'd' ≈ 19% delta), so the
+# oracle replays the ENTIRE composition — both the v1 build and the
+# delta append — and one hash proves delta-apply ≡ recompute under the
+# append contract.
+#
+# Scale: v1 is carried VERBATIM from the committed snapshot (a disk
+# scan of O(batches) rows — no shuffle, no recompute); delta work is
+# the gate probes (doc-keyed joins against the frozen artifacts) plus
+# one global row_number over DELTA-kept docs only. The gates are
+# computed once and split by arrival flag — in production the base
+# half already ran at v1 build time, and here the v1 build IS that
+# step, so no stage runs twice. Reference parity: composes the
+# reference's versioned-snapshot discipline (S11) with the curation
+# gates; cites transform_weather.py's overwrite-partition idiom as the
+# v1/v2 lineage model.
+# ---------------------------------------------------------------------------
+
+
+def _incr_manifest_oracle() -> str:
+    from ..operators import textops as _t
+    from .llm_text import _DECON_N, _SQL_TOKS, _scalable_clusters_oracle
+
+    return f"""
+WITH m AS ({_scalable_clusters_oracle()}),
+cw AS (
+  SELECT doc_id FROM m
+  WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cw'), 1, 8) AS BIGINT)
+          * cluster_size
+        < 4294967296
+),
+t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+),
+g AS (
+  SELECT doc_id FROM q
+  WHERE n_tokens >= {_t.GOPHER_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+    AND mean_word_len IS NOT NULL
+    AND mean_word_len >= {_t.GOPHER_MIN_MEAN_LEN}
+    AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+    AND symbol_ratio IS NOT NULL
+    AND symbol_ratio < {_t.GOPHER_MAX_SYMBOL_RATIO}
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_DECON_N - 2}),
+             i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS gram
+  FROM t WHERE LEN(toks) >= {_DECON_N}
+),
+split AS (
+  SELECT doc_id, gram,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
+  FROM grams
+),
+test_g AS (SELECT DISTINCT gram FROM split WHERE is_test),
+contam AS (
+  SELECT DISTINCT s.doc_id
+  FROM split s JOIN test_g x ON s.gram = x.gram
+  WHERE NOT s.is_test
+),
+kept AS (
+  SELECT t.doc_id, t.n_chars,
+         substr(md5(CAST(t.doc_id AS VARCHAR) || '|arr'), 1, 1) >= 'd' AS is_new
+  FROM t
+  JOIN cw ON t.doc_id = cw.doc_id
+  JOIN g ON t.doc_id = g.doc_id
+  WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) >= '4'
+    AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+r1 AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM kept WHERE NOT is_new
+),
+b1 AS (
+  SELECT CAST((pos - 1) // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         arg_min(doc_id, pos) AS head_doc,
+         arg_max(doc_id, pos) AS tail_doc
+  FROM r1 GROUP BY (pos - 1) // {_EPOCH_SHUFFLE_BATCH}
+),
+n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b1),
+r2 AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM kept WHERE is_new
+),
+b2 AS (
+  SELECT CAST(n1.n + (pos - 1) // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         arg_min(doc_id, pos) AS head_doc,
+         arg_max(doc_id, pos) AS tail_doc
+  FROM r2 CROSS JOIN n1 GROUP BY n1.n + (pos - 1) // {_EPOCH_SHUFFLE_BATCH}
+)
+SELECT batch_id, n_docs, sum_chars, head_doc, tail_doc, FALSE AS from_delta FROM b1
+UNION ALL
+SELECT batch_id, n_docs, sum_chars, head_doc, tail_doc, TRUE AS from_delta FROM b2
+"""
+
+
+@register(
+    "incremental_manifest_maintenance",
+    oracle=_incr_manifest_oracle(),
+    tags=("S11", "L2", "L4", "L6", "O1"),
+)
+def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.relational import with_global_row_number
+    from ..sources.io import read_snapshot, write_snapshot
+    from .llm_text import cluster_weighted_sampling, decontaminate_train_test
+
+    d = table(spark, sf_dir, "documents")
+    cw = cluster_weighted_sampling(spark, sf_dir).select("doc_id")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    g = (
+        d.select("doc_id", flags["keep"].alias("keep"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    contaminated = decontaminate_train_test(spark, sf_dir).select("doc_id")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "4"
+    is_new = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|arr"))), 1, 1
+        )
+        >= "d"
+    )
+    # the gate chain runs ONCE; the arrival flag splits base (v1 build —
+    # in production, already on disk) from delta (the only new work)
+    kept = tracked_persist(
+        d.select("doc_id", "n_chars", is_new.alias("is_new"))
+        .filter(is_train)
+        .join(cw, "doc_id")
+        .join(g, "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    key = F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string")))
+
+    def batches(docs: DataFrame) -> DataFrame:
+        ranked = with_global_row_number(
+            docs.withColumn("__k", key), [F.col("__k").asc(), F.col("doc_id").asc()], "pos"
+        )
+        return (
+            ranked.withColumn(
+                "rel_batch",
+                F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint"),
+            )
+            .groupBy("rel_batch")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.min_by("doc_id", "pos").alias("head_doc"),
+                F.max_by("doc_id", "pos").alias("tail_doc"),
+            )
+        )
+
+    root = tempfile.mkdtemp(prefix="manifest_maint_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/train_manifest"
+
+    # v1: the shipped manifest, committed through the snapshot protocol
+    write_snapshot(
+        batches(kept.filter(~F.col("is_new"))).select(
+            F.col("rel_batch").alias("batch_id"),
+            "n_docs",
+            "sum_chars",
+            "head_doc",
+            "tail_doc",
+        ),
+        base,
+    )
+    v1 = read_snapshot(spark, base, version=1)
+
+    # append offset = v1's batch COUNT, carried as a broadcast 1-row
+    # aggregate (never a driver collect) — batches are contiguous from
+    # 0, so count == max+1 == next free id; coalesce covers an empty v1
+    offset = v1.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("__n1")
+    )
+    delta_b = (
+        batches(kept.filter(F.col("is_new")))
+        .crossJoin(F.broadcast(offset))
+        .select(
+            (F.col("__n1") + F.col("rel_batch")).cast("bigint").alias("batch_id"),
+            "n_docs",
+            "sum_chars",
+            "head_doc",
+            "tail_doc",
+        )
+    )
+
+    # v2 = carried v1 (verbatim from disk) ++ appended delta batches,
+    # committed and SERVED from the snapshot — the maintenance product
+    v2 = write_snapshot(
+        v1.withColumn("from_delta", F.lit(False)).unionByName(
+            delta_b.withColumn("from_delta", F.lit(True))
+        ),
+        base,
+    )
+    return read_snapshot(spark, base, version=v2).select(
+        "batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc", "from_delta"
+    )
