@@ -1416,15 +1416,23 @@ def _corr_oracle() -> str:
 
     q = "CAST(l_quantity AS DECIMAL(12,2))"
     p = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    # first factor widened to DECIMAL(19,2): DuckDB multiplies two
+    # precision-12 decimals in their int64 reprs and OVERFLOWS once a
+    # money value passes ~3e9 (int repr past sqrt(2^63)) — caught by the
+    # round-12 boundary-lake sweep; precision 19 forces int128 ops.
+    # Values are unchanged (same scale arithmetic), so Spark needs no
+    # edit — its DECIMAL(12,2)^2 is DECIMAL(25,4) already.
+    qw = f"CAST(l_quantity AS DECIMAL(19,2))"
+    pw = f"CAST(l_extendedprice AS DECIMAL(19,2))"
     return f"""
 WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
          {m(q)} AS sx,
          {m(p)} AS sy,
-         {m(f"{q} * {p}")} AS sxy,
-         {m(f"{q} * {q}")} AS sxx,
-         {m(f"{p} * {p}")} AS syy
+         {m(f"{qw} * {p}")} AS sxy,
+         {m(f"{qw} * {q}")} AS sxx,
+         {m(f"{pw} * {p}")} AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -1733,9 +1741,9 @@ w AS (
 SELECT suppkey,
        CAST(rev_c4 AS DOUBLE) / 10000 AS revenue,
        CAST(rev_c4 AS DOUBLE) / CAST(total_c4 AS DOUBLE) AS revenue_share,
-       CASE WHEN CAST(cum_c4 AS BIGINT) * 100 <= 80 * CAST(total_c4 AS BIGINT)
+       CASE WHEN CAST(cum_c4 AS HUGEINT) * 100 <= 80 * CAST(total_c4 AS HUGEINT)
               THEN 'A'
-            WHEN CAST(cum_c4 AS BIGINT) * 100 <= 95 * CAST(total_c4 AS BIGINT)
+            WHEN CAST(cum_c4 AS HUGEINT) * 100 <= 95 * CAST(total_c4 AS HUGEINT)
               THEN 'B'
             ELSE 'C' END AS abc_class
 FROM w
@@ -1755,11 +1763,16 @@ def abc_supplier_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = with_global_running_sum(
         r, [F.desc("rev_c4"), F.asc("suppkey")], "rev_c4", "cum_c4"
     ).crossJoin(F.broadcast(total))
-    cum, tot = F.col("cum_c4"), F.col("total_c4")
+    # the banding cross-multiplication in DECIMAL(20,0): cum*100 passes
+    # int64 once the grand total exceeds ~9.2e16 quarter-cents (ANSI
+    # long overflow — caught by the round-12 boundary-lake sweep); the
+    # decimal compare is exact at any magnitude (oracle: HUGEINT)
+    cum = F.col("cum_c4").cast("decimal(20,0)")
+    tot = F.col("total_c4").cast("decimal(20,0)")
     return w.select(
         "suppkey",
         (F.col("rev_c4").cast("double") / 10000).alias("revenue"),
-        (F.col("rev_c4").cast("double") / tot.cast("double")).alias(
+        (F.col("rev_c4").cast("double") / F.col("total_c4").cast("double")).alias(
             "revenue_share"
         ),
         F.when(cum * 100 <= 80 * tot, "A")

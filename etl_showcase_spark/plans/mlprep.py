@@ -4251,9 +4251,21 @@ def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     per_doc = tracked_persist(exact_substr_span_removal(spark, sf_dir))
-    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
     root = tempfile.mkdtemp(prefix="pack_repack_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return _repack_v2_from_per_doc(spark, per_doc, root)
+
+
+def _repack_v2_from_per_doc(
+    spark: SparkSession, per_doc: DataFrame, root: str
+) -> DataFrame:
+    """The repack core over an arbitrary (doc_id, n_tokens, n_kept,
+    n_removed) frame — factored out so the delta-sized scale stress
+    (scripts/repack_delta_stress.py) can drive it with a FIXED change
+    set over a growing base, the op's actual production shape (the x10
+    replica lake multiplies the ExactSubstr chain's duplicates BY
+    CONSTRUCTION, which is what dominated the round-11 α=0.74)."""
+    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
 
     # v1: the pre-removal manifest, landed partitioned by shard
     m1 = _sharded_pack_manifest(
@@ -4586,18 +4598,12 @@ SELECT batch_id, n_docs, sum_chars, head_doc, tail_doc, TRUE AS from_delta FROM 
 """
 
 
-@register(
-    "incremental_manifest_maintenance",
-    oracle=_incr_manifest_oracle(),
-    tags=("S11", "L2", "L4", "L6", "O1"),
-)
-def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
-    from ..operators.relational import with_global_row_number
-    from ..sources.io import read_snapshot, write_snapshot
+def _decon_kept_with_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated-manifest gate chain (train split ∩ cluster-
+    weighted keep ∩ Gopher ∖ 8-gram-contaminated) with the deterministic
+    arrival flag. Shared by the batch op and its streaming twin; the
+    gates run ONCE — the flag splits base (v1 build; in production,
+    already on disk) from delta (the only new work)."""
     from .llm_text import cluster_weighted_sampling, decontaminate_train_test
 
     d = table(spark, sf_dir, "documents")
@@ -4616,34 +4622,61 @@ def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         )
         >= "d"
     )
-    # the gate chain runs ONCE; the arrival flag splits base (v1 build —
-    # in production, already on disk) from delta (the only new work)
-    kept = tracked_persist(
+    return tracked_persist(
         d.select("doc_id", "n_chars", is_new.alias("is_new"))
         .filter(is_train)
         .join(cw, "doc_id")
         .join(g, "doc_id")
         .join(contaminated, "doc_id", "left_anti")
     )
-    key = F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string")))
 
-    def batches(docs: DataFrame) -> DataFrame:
-        ranked = with_global_row_number(
-            docs.withColumn("__k", key), [F.col("__k").asc(), F.col("doc_id").asc()], "pos"
+
+def _manifest_shuffle_key() -> Column:
+    # built lazily: F.lit needs an active SparkContext, and plan
+    # modules must import cleanly before any session exists (the
+    # registry is walked by session-less tools like boundary_sweep)
+    return F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string")))
+
+
+def _manifest_batches(docs: DataFrame) -> DataFrame:
+    """md5 epoch shuffle + fixed-size batch rollup at the RELATIVE batch
+    grain (rel_batch from 0); callers add the version offset."""
+    from ..operators.relational import with_global_row_number
+
+    ranked = with_global_row_number(
+        docs.withColumn("__k", _manifest_shuffle_key()),
+        [F.col("__k").asc(), F.col("doc_id").asc()],
+        "pos",
+    )
+    return (
+        ranked.withColumn(
+            "rel_batch",
+            F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint"),
         )
-        return (
-            ranked.withColumn(
-                "rel_batch",
-                F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint"),
-            )
-            .groupBy("rel_batch")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-                F.sum("n_chars").cast("bigint").alias("sum_chars"),
-                F.min_by("doc_id", "pos").alias("head_doc"),
-                F.max_by("doc_id", "pos").alias("tail_doc"),
-            )
+        .groupBy("rel_batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min_by("doc_id", "pos").alias("head_doc"),
+            F.max_by("doc_id", "pos").alias("tail_doc"),
         )
+    )
+
+
+@register(
+    "incremental_manifest_maintenance",
+    oracle=_incr_manifest_oracle(),
+    tags=("S11", "L2", "L4", "L6", "O1"),
+)
+def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_snapshot, write_snapshot
+
+    kept = _decon_kept_with_arrival(spark, sf_dir)
+    batches = _manifest_batches
 
     root = tempfile.mkdtemp(prefix="manifest_maint_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)

@@ -3284,3 +3284,216 @@ def stream_cluster_contamination_state(spark: SparkSession, sf_dir: str) -> Data
         "worst_eval_id",
         "worst_train_id",
     )
+
+
+def staged_delta_docs_stream(
+    spark: SparkSession, sf_dir: str, batch_rows: int = 40
+) -> DataFrame:
+    """Replay the STAGED delta-kept doc list of the incremental
+    manifest (plans/mlprep.py:_decon_kept_with_arrival, is_new side)
+    in md5-shuffle order — the order the manifest ranks by. The gate
+    chain is an index-build artifact (exactly as the contamination
+    twins freeze cluster membership), so the twin stages its output to
+    a parquet and the reader ships (key, doc_id, n_chars) rows in
+    (key, doc_id) order in disjoint micro-batches."""
+    import tempfile
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    from ..plans.mlprep import _decon_kept_with_arrival, _manifest_shuffle_key
+
+    staged = tempfile.mkdtemp(prefix="manifest_delta_stage_") + "/delta"
+    (
+        _decon_kept_with_arrival(spark, sf_dir)
+        .filter(F.col("is_new"))
+        .select(
+            _manifest_shuffle_key().alias("k"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .write.parquet(staged)
+    )
+
+    class _StagedDeltaReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "40"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(self._path, columns=["k", "doc_id", "n_chars"])
+                self._tbl = t.take(
+                    pc.sort_indices(
+                        t, sort_keys=[("k", "ascending"), ("doc_id", "ascending")]
+                    )
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter([(r["k"], r["doc_id"], r["n_chars"]) for r in sl])
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _StagedDeltaSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "manifest_delta_replay"
+
+        def schema(self) -> str:
+            return "k string, doc_id long, n_chars long"
+
+        def simpleStreamReader(self, schema):
+            return _StagedDeltaReader(self.options)
+
+    spark.dataSource.register(_StagedDeltaSource)
+    return (
+        spark.readStream.format("manifest_delta_replay")
+        .option("path", staged)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_manifest_maintenance_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``incremental_manifest_maintenance``
+    (plans/mlprep.py): the shipped manifest v1 is the SHARED batch step
+    (bootstrapped from the snapshot, exactly like
+    ``stream_mv_maintenance_state`` bootstraps the MV base); the delta
+    arrivals stream in md5-shuffle order and a SINGLE GroupState cell
+    folds them into append-side batches — position counter plus the
+    open batch's running (n_docs, sum_chars, head_doc, tail_doc) — so
+    state is O(1) regardless of corpus size. Batch assignment over one
+    shuffle-ordered stream is inherently sequential (production shards
+    by epoch and folds per shard; this is one epoch's tail).
+
+    Emissions are running per-batch rows with a monotone ver = stream
+    position; the drain takes latest-per-batch, and the final merged
+    table (v1 carried verbatim + offset delta batches) must equal the
+    batch op's v2 output bit-for-bit (tests/test_streaming.py). Single
+    delivery is ENFORCED via a (key, doc_id) high-water mark — a
+    re-delivered replay micro-batch fails loudly."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.mlprep import (
+        _EPOCH_SHUFFLE_BATCH,
+        _decon_kept_with_arrival,
+        _manifest_batches,
+    )
+
+    B = _EPOCH_SHUFFLE_BATCH
+    delta = staged_delta_docs_stream(spark, sf_dir).withColumn("__g", F.lit(0))
+
+    def manifest_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            pos, last_k, last_doc = (
+                int(state.get[0]),
+                state.get[1],
+                int(state.get[2]),
+            )
+            cur, n, chars, head, tail = (
+                int(state.get[3]),
+                int(state.get[4]),
+                int(state.get[5]),
+                int(state.get[6]),
+                int(state.get[7]),
+            )
+        else:
+            pos, last_k, last_doc = 0, "", -1
+            cur, n, chars, head, tail = -1, 0, 0, -1, -1
+        cols = ["k", "doc_id", "n_chars"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        df = df.sort_values(["k", "doc_id"])
+        first_k, first_doc = str(df["k"].iloc[0]), int(df["doc_id"].iloc[0])
+        # single-delivery precondition, ENFORCED: the replay reader
+        # ships (k, doc_id)-ordered disjoint batches, so every new row
+        # must sit strictly above the high-water mark
+        if (first_k, first_doc) <= (last_k, last_doc):
+            raise ValueError(
+                f"duplicate cross-batch delivery: ({first_k}, {first_doc})"
+                f" <= high-water mark ({last_k}, {last_doc})"
+            )
+        touched: dict[int, tuple[int, int, int, int, int]] = {}
+        for k, doc, nc in zip(df["k"], df["doc_id"], df["n_chars"]):
+            pos += 1
+            rel = (pos - 1) // B
+            if rel != cur:
+                cur, n, chars, head, tail = rel, 0, 0, int(doc), int(doc)
+            n += 1
+            chars += int(nc)
+            tail = int(doc)
+            touched[cur] = (n, chars, head, tail, pos)
+            last_k, last_doc = str(k), int(doc)
+        state.update((pos, last_k, last_doc, cur, n, chars, head, tail))
+        yield pd.DataFrame(
+            {
+                "rel_batch": list(touched),
+                "n_docs": [v[0] for v in touched.values()],
+                "sum_chars": [v[1] for v in touched.values()],
+                "head_doc": [v[2] for v in touched.values()],
+                "tail_doc": [v[3] for v in touched.values()],
+                "ver": [v[4] for v in touched.values()],
+            }
+        )
+
+    out = delta.groupBy("__g").applyInPandasWithState(
+        manifest_fold,
+        outputStructType=(
+            "rel_batch long, n_docs long, sum_chars long, "
+            "head_doc long, tail_doc long, ver long"
+        ),
+        stateStructType=(
+            "pos bigint, last_k string, last_doc bigint, cur bigint, "
+            "n bigint, chars bigint, head bigint, tail bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_manifest_maint", mode="update").distinct()
+    latest = log.groupBy("rel_batch").agg(F.max("ver").alias("ver"))
+    fold = log.join(latest, ["rel_batch", "ver"]).select(
+        "rel_batch", "n_docs", "sum_chars", "head_doc", "tail_doc"
+    )
+
+    # shared batch step: v1 (the shipped manifest) — identical to the
+    # batch op's snapshot bootstrap
+    kept = _decon_kept_with_arrival(spark, sf_dir)
+    v1 = _manifest_batches(kept.filter(~F.col("is_new"))).select(
+        F.col("rel_batch").alias("batch_id"),
+        "n_docs",
+        "sum_chars",
+        "head_doc",
+        "tail_doc",
+        F.lit(False).alias("from_delta"),
+    )
+    offset = v1.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("__n1")
+    )
+    appended = fold.crossJoin(F.broadcast(offset)).select(
+        (F.col("__n1") + F.col("rel_batch")).cast("bigint").alias("batch_id"),
+        "n_docs",
+        "sum_chars",
+        "head_doc",
+        "tail_doc",
+        F.lit(True).alias("from_delta"),
+    )
+    return v1.unionByName(appended)

@@ -147,6 +147,29 @@ def test_edited_query_loses_verified_status(monkeypatch):
     )
 
 
+def test_registry_imports_without_spark_context():
+    # session-less tools (boundary_sweep query selection, check_queue,
+    # survey regen) walk the registry before any SparkSession exists;
+    # a module-level F.lit()/F.col() expression built at import time
+    # asserts on the missing context (caught live in round 12)
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "from etl_showcase_spark.registry import all_specs;"
+        "assert len(all_specs()) > 200"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=str(Path(__file__).parents[1]),
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
 def test_verified_queries_rotate_stalest_first():
     # round-11 judge item 2: with 286 queries and a 50/round driver
     # budget, verified queries must be ordered by last-driver-checked

@@ -621,12 +621,27 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_decontamination_state,  # round 10: per-eval 3-scalar fold
         jobs.stream_mv_maintenance_state,  # round 11: per-priority int fold
         jobs.stream_cluster_contamination_state,  # round 11: per-cluster map
+        jobs.stream_manifest_maintenance_state,  # round 12: O(1) append fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
         assert a.equals(b), f"{job.__name__} diverges under RocksDB state store"
     if prev is not None:
         spark.conf.set(key, prev)
+
+
+def test_stateful_manifest_maintenance_matches_batch(spark):
+    # v1 is the shared snapshot bootstrap; the streamed append-side fold
+    # (O(1) GroupState: position + open-batch partials) must reproduce
+    # the batch delta-apply bit-for-bit — batch ids, head/tail docs,
+    # char sums, and the from_delta flags alike
+    from etl_showcase_spark.plans.mlprep import incremental_manifest_maintenance
+
+    streamed = jobs.stream_manifest_maintenance_state(spark, SF_SMOKE).toPandas()
+    batch = incremental_manifest_maintenance(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert streamed["from_delta"].any(), "no delta batches streamed — vacuous"
+    assert not compare_frames(streamed, batch)
 
 
 def test_stateful_drift_matches_batch(spark):
