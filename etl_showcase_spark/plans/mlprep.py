@@ -4724,3 +4724,172 @@ def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     return read_snapshot(spark, base, version=v2).select(
         "batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc", "from_delta"
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6/S11 contamination BLAST-RADIUS over a shipped manifest ([EXT] —
+# round-12 idea bank, built same round): the operational emergency the
+# decontaminated manifest can't prevent — an eval doc arrives AFTER
+# batches shipped. The manifest was decontaminated against the EARLY
+# eval panel only (deterministic md5 '|late' split of the test docs);
+# the LATE panel lands, and the trainer needs the minimal invalidation
+# work list: which (batch_id, doc_id) pairs of the shipped manifest
+# share a word 8-gram with any late eval. Output is change-sized (one
+# row per invalidated doc with its batch and late-gram count); batches
+# absent from the output are certified clean against the late panel.
+#
+# Scale: the late panel's gram set is the probe side of the SAME
+# posting-join shape as decontaminate_train_test (gram-keyed join, no
+# all-pairs); the manifest assignment is the already-proven distributed
+# row-number; everything else is doc-keyed. The oracle nests the FULL
+# composition — gates, early-panel exclusion, ranking, batch
+# assignment, late-panel probe — so one hash proves the work list.
+# ---------------------------------------------------------------------------
+
+
+def _blast_radius_oracle() -> str:
+    from ..operators import textops as _t
+    from .llm_text import _DECON_N, _SQL_TOKS, _scalable_clusters_oracle
+
+    return f"""
+WITH m AS ({_scalable_clusters_oracle()}),
+cw AS (
+  SELECT doc_id FROM m
+  WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cw'), 1, 8) AS BIGINT)
+          * cluster_size
+        < 4294967296
+),
+t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+),
+g AS (
+  SELECT doc_id FROM q
+  WHERE n_tokens >= {_t.GOPHER_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+    AND mean_word_len IS NOT NULL
+    AND mean_word_len >= {_t.GOPHER_MIN_MEAN_LEN}
+    AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+    AND symbol_ratio IS NOT NULL
+    AND symbol_ratio < {_t.GOPHER_MAX_SYMBOL_RATIO}
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_DECON_N - 2}),
+             i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS gram
+  FROM t WHERE LEN(toks) >= {_DECON_N}
+),
+split AS (
+  SELECT doc_id, gram,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test,
+         substr(md5(CAST(doc_id AS VARCHAR) || '|late'), 1, 1) >= 'c' AS is_late
+  FROM grams
+),
+early_g AS (SELECT DISTINCT gram FROM split WHERE is_test AND NOT is_late),
+late_g AS (SELECT DISTINCT gram FROM split WHERE is_test AND is_late),
+contam_early AS (
+  SELECT DISTINCT s.doc_id
+  FROM split s JOIN early_g x ON s.gram = x.gram
+  WHERE NOT s.is_test
+),
+kept AS (
+  SELECT t.doc_id, t.n_chars FROM t
+  JOIN cw ON t.doc_id = cw.doc_id
+  JOIN g ON t.doc_id = g.doc_id
+  WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) >= '4'
+    AND t.doc_id NOT IN (SELECT doc_id FROM contam_early)
+),
+assign AS (
+  SELECT doc_id,
+         CAST((ROW_NUMBER() OVER (
+             ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+           // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id
+  FROM kept
+),
+blast AS (
+  SELECT s.doc_id, CAST(COUNT(DISTINCT s.gram) AS BIGINT) AS n_late_grams
+  FROM split s JOIN late_g x ON s.gram = x.gram
+  WHERE NOT s.is_test
+  GROUP BY s.doc_id
+)
+SELECT a.batch_id, a.doc_id, b.n_late_grams
+FROM assign a JOIN blast b ON a.doc_id = b.doc_id
+"""
+
+
+@register(
+    "manifest_contamination_blast_radius",
+    oracle=_blast_radius_oracle(),
+    tags=("L4", "L6", "S11", "Q2"),
+)
+def manifest_contamination_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+    from .llm_text import _DECON_N, cluster_weighted_sampling
+
+    d = table(spark, sf_dir, "documents")
+    cw = cluster_weighted_sampling(spark, sf_dir).select("doc_id")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    g = (
+        d.select("doc_id", flags["keep"].alias("keep"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    grams = tracked_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(textops.shingles(textops.tokens("text"), _DECON_N))
+            ).alias("gram"),
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+                "is_test"
+            ),
+            (
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|late"))),
+                    1,
+                    1,
+                )
+                >= "c"
+            ).alias("is_late"),
+        )
+    )
+    early_g = grams.filter(F.col("is_test") & ~F.col("is_late")).select("gram").distinct()
+    late_g = grams.filter(F.col("is_test") & F.col("is_late")).select("gram").distinct()
+    train_grams = grams.filter(~F.col("is_test"))
+    contam_early = train_grams.join(early_g, "gram").select("doc_id").distinct()
+
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "4"
+    kept = (
+        d.select("doc_id", "n_chars")
+        .filter(is_train)
+        .join(cw, "doc_id")
+        .join(g, "doc_id")
+        .join(contam_early, "doc_id", "left_anti")
+    )
+    ranked = with_global_row_number(
+        kept.withColumn("__k", _manifest_shuffle_key()),
+        [F.col("__k").asc(), F.col("doc_id").asc()],
+        "pos",
+    )
+    assign = ranked.select(
+        "doc_id",
+        F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint").alias(
+            "batch_id"
+        ),
+    )
+    blast = (
+        train_grams.join(late_g, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_late_grams"))
+    )
+    return assign.join(blast, "doc_id").select("batch_id", "doc_id", "n_late_grams")
