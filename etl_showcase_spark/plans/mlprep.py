@@ -4265,13 +4265,28 @@ def _repack_v2_from_per_doc(
     set over a growing base, the op's actual production shape (the x10
     replica lake multiplies the ExactSubstr chain's duplicates BY
     CONSTRUCTION, which is what dominated the round-11 α=0.74)."""
-    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
+    _repack_land_v1(per_doc, root)
+    return _repack_apply_v2(spark, per_doc, root)
 
-    # v1: the pre-removal manifest, landed partitioned by shard
+
+def _repack_land_v1(per_doc: DataFrame, root: str) -> None:
+    """v1: the pre-removal manifest, landed partitioned by shard. In
+    production this already sits on disk — the stress times it
+    separately from the maintenance phase below."""
+    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
     m1 = _sharded_pack_manifest(
         per_doc.select(shard.alias("shard"), "doc_id", F.col("n_tokens").alias("n"))
     )
     m1.write.partitionBy("shard").parquet(root + "/manifest_v1")
+
+
+def _repack_apply_v2(
+    spark: SparkSession, per_doc: DataFrame, root: str
+) -> DataFrame:
+    """The v2 MAINTENANCE phase: removal deltas → materialized work
+    list, unchanged shards carried via the DPP complement semi join,
+    changed shards re-packed. Assumes root/manifest_v1 exists."""
+    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
 
     # the removal deltas reduce to a materialized work list (the
     # lineage stage's output shape; comparison filter, disk roundtrip)
@@ -4280,7 +4295,7 @@ def _repack_v2_from_per_doc(
         .groupBy(shard.alias("shard"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
     )
-    per_shard.write.parquet(root + "/worklist")
+    per_shard.write.mode("overwrite").parquet(root + "/worklist")
     worklist = (
         spark.read.parquet(root + "/worklist")
         .filter(F.col("n_changed") > 0)
@@ -4299,9 +4314,9 @@ def _repack_v2_from_per_doc(
     all_shards = per_doc.groupBy(shard.alias("shard")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    all_shards.join(F.broadcast(worklist), "shard", "left_anti").write.parquet(
-        root + "/carrylist"
-    )
+    all_shards.join(F.broadcast(worklist), "shard", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(root + "/carrylist")
     # partition-directory values read back as int — match the scan's
     # inferred type on the broadcast side so no cast lands on the scan
     # column (a cast there defeats DPP)

@@ -40,16 +40,16 @@ CHANGED_SHARDS = [3, 77, 501, 1203, 1999]  # fixed at ANY base size
 SCRATCH = "/tmp/spark_graft_scratch/repack_delta"
 
 
-def build_per_doc(spark, n_docs: int, path: str) -> None:
+def build_per_doc(spark, n_docs: int, shard_size: int, path: str) -> None:
     """Synthetic per-doc removal frame: deterministic token counts,
-    removals confined to the fixed changed shards (every 3rd doc there
-    loses 40 tokens) — the shape exact_substr_span_removal produces,
-    without the replica-lake duplicate explosion."""
+    removals confined to the fixed changed shards AND to each changed
+    shard's first 32 doc slots (every 3rd doc there loses 40 tokens) —
+    so the CHANGED-DOC COUNT is identical at every base size. This is
+    the production shape: shard size scales with the corpus (the
+    manifest's directory count stays bounded), the nightly change set
+    does not."""
     import pyspark.sql.functions as F
 
-    from etl_showcase_spark.plans.mlprep import _REPACK_SHARD
-
-    changed = ", ".join(str(s) for s in CHANGED_SHARDS)
     (
         spark.range(n_docs)
         .select(
@@ -59,9 +59,8 @@ def build_per_doc(spark, n_docs: int, path: str) -> None:
         .withColumn(
             "n_removed",
             F.when(
-                F.expr(f"doc_id div {_REPACK_SHARD}").isin(
-                    *CHANGED_SHARDS
-                )
+                F.expr(f"doc_id div {shard_size}").isin(*CHANGED_SHARDS)
+                & (F.col("doc_id") % shard_size < 32)
                 & (F.col("doc_id") % 3 == 0),
                 F.lit(40),
             )
@@ -72,7 +71,6 @@ def build_per_doc(spark, n_docs: int, path: str) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
-    _ = changed
 
 
 def main() -> int:
@@ -83,12 +81,10 @@ def main() -> int:
     ap.add_argument("--round", type=int, default=12)
     args = ap.parse_args()
 
-    import shutil
-    import tempfile
-
     import pyspark.sql.functions as F
 
-    from etl_showcase_spark.plans.mlprep import _repack_v2_from_per_doc
+    from etl_showcase_spark.plans import mlprep
+    from etl_showcase_spark.plans.mlprep import _repack_apply_v2, _repack_land_v1
     from etl_showcase_spark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -100,33 +96,62 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from etl_showcase_spark.plans.mlprep import _REPACK_SHARD, _sharded_pack_manifest
+
+    _ = mlprep
     os.makedirs(SCRATCH, exist_ok=True)
     sizes = {"x1": args.docs, f"x{args.mult}": args.docs * args.mult}
     timings: dict[str, dict] = {}
+    shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
     for label, n in sizes.items():
         pd_path = f"{SCRATCH}/per_doc_{label}"
-        build_per_doc(spark, n, pd_path)
+        build_per_doc(spark, n, _REPACK_SHARD, pd_path)
         per_doc = spark.read.parquet(pd_path)
 
-        def run_full():
-            root = tempfile.mkdtemp(prefix=f"repack_delta_{label}_")
-            try:
-                df = _repack_v2_from_per_doc(spark, per_doc, root)
-                df.write.mode("overwrite").format("noop").save()
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
+        # v1 lands ONCE per lake, outside the timed phases — in
+        # production the shipped manifest already sits on disk; timing
+        # it would measure the bootstrap, not the maintenance
+        root = f"{SCRATCH}/root_{label}"
+        if not os.path.isdir(root + "/manifest_v1"):
+            t0 = time.perf_counter()
+            _repack_land_v1(per_doc, root)
+            timings.setdefault(label, {})["v1_bootstrap_s"] = round(
+                time.perf_counter() - t0, 3
+            )
 
-        def run_recompute_only():
-            root = tempfile.mkdtemp(prefix=f"repack_rec_{label}_")
-            try:
-                df = _repack_v2_from_per_doc(spark, per_doc, root).filter(
-                    F.col("recomputed")
-                )
-                df.write.mode("overwrite").format("noop").save()
-            finally:
-                shutil.rmtree(root, ignore_errors=True)
+        # --- leg 1: the CHANGE-BOUNDED maintenance work, isolated from
+        # the carried scan — work list + changed-shard repack (the only
+        # compute the delta actually causes)
+        def run_recompute_work():
+            per_shard = (
+                per_doc.filter(F.col("n_removed") > 0)
+                .groupBy(shard.alias("shard"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
+            )
+            per_shard.write.mode("overwrite").parquet(root + "/worklist")
+            worklist = (
+                spark.read.parquet(root + "/worklist")
+                .filter(F.col("n_changed") > 0)
+                .select(F.col("shard").cast("bigint").alias("shard"))
+            )
+            _sharded_pack_manifest(
+                per_doc.filter(F.col("n_kept") > 0)
+                .select(shard.alias("shard"), "doc_id", F.col("n_kept").alias("n"))
+                .join(F.broadcast(worklist), "shard", "left_semi")
+            ).write.mode("overwrite").format("noop").save()
 
-        for phase, fn in (("full_v2", run_full), ("recompute_side", run_recompute_only)):
+        # --- leg 2: the full maintenance op (adds the carried side:
+        # partition discovery over the v1 layout + the DPP-pruned
+        # pack-grain scan — driver METADATA, linear in directory count)
+        def run_apply():
+            _repack_apply_v2(spark, per_doc, root).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        for phase, fn in (
+            ("recompute_work", run_recompute_work),
+            ("apply_v2_full", run_apply),
+        ):
             fn()  # warm
             best = float("inf")
             for _ in range(3):
@@ -136,17 +161,14 @@ def main() -> int:
             timings.setdefault(label, {})[phase] = round(best, 3)
 
         # invariant: the recomputed pack set is identical at any base
-        root = tempfile.mkdtemp(prefix=f"repack_chk_{label}_")
-        try:
-            v2 = _repack_v2_from_per_doc(spark, per_doc, root)
-            rec = v2.filter(F.col("recomputed"))
-            timings[label]["n_recomputed_packs"] = rec.count()
-            timings[label]["n_total_packs"] = v2.count()
-            timings[label]["recomputed_shards"] = sorted(
-                r["shard"] for r in rec.select("shard").distinct().collect()
-            )
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+        v2 = _repack_apply_v2(spark, per_doc, root)
+        rec = v2.filter(F.col("recomputed"))
+        timings[label]["n_recomputed_packs"] = rec.count()
+        timings[label]["n_total_packs"] = v2.count()
+        timings[label]["n_manifest_dirs"] = n // _REPACK_SHARD
+        timings[label]["recomputed_shards"] = sorted(
+            r["shard"] for r in rec.select("shard").distinct().collect()
+        )
         print(f"  {label}: {timings[label]}")
     spark.stop()
 
@@ -167,17 +189,24 @@ def main() -> int:
         "methodology": (
             "fixed 5-shard change set over a base growing x"
             f"{args.mult} (synthetic per-doc removal frames driven through "
-            "the factored repack core) — the op's production shape, free of "
-            "the replica lake's by-construction duplicate explosion"
+            "the factored repack core; v1 landed once per lake OUTSIDE the "
+            "timed phases — production's shipped manifest) — the op's "
+            "production shape, free of the replica lake's by-construction "
+            "duplicate explosion"
         ),
         "base_docs": args.docs,
         "timings": timings,
-        "alpha_full_v2": alpha("full_v2"),
-        "alpha_recompute_side": alpha("recompute_side"),
+        "alpha_recompute_work": alpha("recompute_work"),
+        "alpha_apply_v2_full": alpha("apply_v2_full"),
         "reading": (
-            "recompute side is bounded by the changed shards (flat pack "
-            "counts, α≈0 expected); the full phase's slope is the carried "
-            "manifest's pack-grain metadata scan"
+            "recompute_work is the compute the delta causes (work list + "
+            "changed-shard repack) — bounded by the fixed change set, α≈0 "
+            "expected modulo the O(base) columnar scan of per_doc's two "
+            "count-agg columns; apply_v2_full adds the carried side, whose "
+            "slope is driver-side Hive partition DISCOVERY over the v1 "
+            "layout (n_manifest_dirs grows with the corpus at the "
+            "test-scale 32-doc shard constant; production sizes shards to "
+            "bound directory count, which caps this term)"
         ),
     }
     print(json.dumps(entry, indent=1))
