@@ -98,13 +98,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # make the split decisive at this lake's size: hot partition is
-    # ~10^2 MB, median ~10 MB — thresholds sit between the two
+    # skew detection reads COMPRESSED map-output sizes: this lake's hot
+    # partition is ~10 MB compressed vs a ~0.5 MB median — thresholds
+    # sit between the two
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
     spark.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32MB"
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB"
     )
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
 
     fact = spark.read.parquet(f"{LAKE}/fact.parquet")
     dim = spark.read.parquet(f"{LAKE}/dim.parquet")
@@ -143,11 +144,17 @@ def main() -> int:
         df = builder()
         df.collect()  # skew split exists only in the EXECUTED plan
         plan = df._jdf.queryExecution().executedPlan().toString()
-        rows = sorted(
-            (r["o_orderpriority"], r["n"], float(r["rev"])) for r in df.collect()
-        )
+        # counts compare exactly; the DOUBLE revenue sums only to 1e-9
+        # relative — different physical partitionings legitimately add
+        # floats in different orders (this is why the ORACLE-facing
+        # money queries use exact decimals; this probe doesn't)
+        rows = sorted((r["o_orderpriority"], r["n"], float(r["rev"])) for r in df.collect())
         if baseline_rows is None:
             baseline_rows = rows
+        same = len(rows) == len(baseline_rows) and all(
+            a[0] == b[0] and a[1] == b[1] and abs(a[2] - b[2]) <= 1e-9 * max(abs(b[2]), 1)
+            for a, b in zip(rows, baseline_rows)
+        )
         out[leg] = {
             "wall_s": round(best, 3),
             "skew_split_in_plan": "skew=true" in plan,
@@ -155,7 +162,7 @@ def main() -> int:
             "shuffle_write_bytes": shuf.shuffle_write_bytes,
             "shuffle_write_records": shuf.shuffle_write_records,
             "disk_spill_bytes": shuf.disk_spill_bytes,
-            "results_match_leg_A": rows == baseline_rows,
+            "results_match_leg_A": same,
         }
         print(f"  {leg}: {out[leg]}")
     spark.stop()
