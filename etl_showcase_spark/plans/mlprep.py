@@ -4741,40 +4741,42 @@ def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+
+
 # ---------------------------------------------------------------------------
-# L4/L6/S11 contamination BLAST-RADIUS over a shipped manifest ([EXT] —
-# round-12 idea bank, built same round): the operational emergency the
-# decontaminated manifest can't prevent — an eval doc arrives AFTER
-# batches shipped. The manifest was decontaminated against the EARLY
-# eval panel only (deterministic md5 '|late' split of the test docs);
-# the LATE panel lands, and the trainer needs the minimal invalidation
-# work list: which (batch_id, doc_id) pairs of the shipped manifest
-# share a word 8-gram with any late eval. Output is change-sized (one
-# row per invalidated doc with its batch and late-gram count); batches
-# absent from the output are certified clean against the late panel.
+# L4/L6/Q2 contamination BLAST-RADIUS over a shipped manifest ([EXT] —
+# round-12 idea bank, built same round): the operational emergency no
+# decontamination gate can prevent — the manifest shipped BEFORE the
+# benchmark existed. The shipped artifact here is the quality-gated
+# training manifest (train split ∩ Gopher gate, md5 epoch shuffle into
+# fixed batches — the realistic pre-benchmark pipeline: exact-dedup +
+# quality, no benchmark filter); the eval panel then arrives, and the
+# trainer needs the minimal invalidation work list: which (batch_id,
+# doc_id) pairs share a word 8-gram with ANY eval doc. Output is
+# change-sized (one row per contaminated doc with its batch and shared-
+# gram count); batches absent from the output are certified clean.
 #
-# Scale: the late panel's gram set is the probe side of the SAME
-# posting-join shape as decontaminate_train_test (gram-keyed join, no
-# all-pairs); the manifest assignment is the already-proven distributed
-# row-number; everything else is doc-keyed. The oracle nests the FULL
-# composition — gates, early-panel exclusion, ranking, batch
-# assignment, late-panel probe — so one hash proves the work list.
+# Design note: a first cut layered this on the SOFT-DEDUPED
+# (cluster-weighted) manifest, but the 1/cluster_size draw removes
+# almost exactly the docs that share grams (they cluster) — at the
+# graded scales the blast set was empty, a vacuous MATCH. The
+# quality-gated manifest is the honest host: contamination survives
+# shipping, which is the incident this op exists for.
+#
+# Scale: the eval gram set probes via the SAME posting-join shape as
+# decontaminate_train_test (gram-keyed join, no all-pairs); the
+# manifest assignment is the proven distributed row-number; everything
+# else is doc-keyed. The oracle nests the FULL composition — gate,
+# ranking, batch assignment, gram probe — so one hash proves the list.
 # ---------------------------------------------------------------------------
 
 
 def _blast_radius_oracle() -> str:
     from ..operators import textops as _t
-    from .llm_text import _DECON_N, _SQL_TOKS, _scalable_clusters_oracle
+    from .llm_text import _DECON_N, _SQL_TOKS
 
     return f"""
-WITH m AS ({_scalable_clusters_oracle()}),
-cw AS (
-  SELECT doc_id FROM m
-  WHERE CAST('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '|cw'), 1, 8) AS BIGINT)
-          * cluster_size
-        < 4294967296
-),
-t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
 q AS (
   SELECT doc_id,
          CAST(LEN(toks) AS INT) AS n_tokens,
@@ -4806,23 +4808,14 @@ grams AS (
 ),
 split AS (
   SELECT doc_id, gram,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test,
-         substr(md5(CAST(doc_id AS VARCHAR) || '|late'), 1, 1) >= 'c' AS is_late
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
   FROM grams
 ),
-early_g AS (SELECT DISTINCT gram FROM split WHERE is_test AND NOT is_late),
-late_g AS (SELECT DISTINCT gram FROM split WHERE is_test AND is_late),
-contam_early AS (
-  SELECT DISTINCT s.doc_id
-  FROM split s JOIN early_g x ON s.gram = x.gram
-  WHERE NOT s.is_test
-),
+eval_g AS (SELECT DISTINCT gram FROM split WHERE is_test),
 kept AS (
-  SELECT t.doc_id, t.n_chars FROM t
-  JOIN cw ON t.doc_id = cw.doc_id
+  SELECT t.doc_id FROM t
   JOIN g ON t.doc_id = g.doc_id
   WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) >= '4'
-    AND t.doc_id NOT IN (SELECT doc_id FROM contam_early)
 ),
 assign AS (
   SELECT doc_id,
@@ -4832,12 +4825,12 @@ assign AS (
   FROM kept
 ),
 blast AS (
-  SELECT s.doc_id, CAST(COUNT(DISTINCT s.gram) AS BIGINT) AS n_late_grams
-  FROM split s JOIN late_g x ON s.gram = x.gram
+  SELECT s.doc_id, CAST(COUNT(DISTINCT s.gram) AS BIGINT) AS n_eval_grams
+  FROM split s JOIN eval_g x ON s.gram = x.gram
   WHERE NOT s.is_test
   GROUP BY s.doc_id
 )
-SELECT a.batch_id, a.doc_id, b.n_late_grams
+SELECT a.batch_id, a.doc_id, b.n_eval_grams
 FROM assign a JOIN blast b ON a.doc_id = b.doc_id
 """
 
@@ -4845,14 +4838,13 @@ FROM assign a JOIN blast b ON a.doc_id = b.doc_id
 @register(
     "manifest_contamination_blast_radius",
     oracle=_blast_radius_oracle(),
-    tags=("L4", "L6", "S11", "Q2"),
+    tags=("L4", "L6", "Q2", "O1"),
 )
 def manifest_contamination_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import with_global_row_number
-    from .llm_text import _DECON_N, cluster_weighted_sampling
+    from .llm_text import _DECON_N
 
     d = table(spark, sf_dir, "documents")
-    cw = cluster_weighted_sampling(spark, sf_dir).select("doc_id")
     flags = textops.gopher_quality_flags(F.col("text"))
     g = (
         d.select("doc_id", flags["keep"].alias("keep"))
@@ -4868,29 +4860,11 @@ def manifest_contamination_blast_radius(spark: SparkSession, sf_dir: str) -> Dat
             (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
                 "is_test"
             ),
-            (
-                F.substring(
-                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|late"))),
-                    1,
-                    1,
-                )
-                >= "c"
-            ).alias("is_late"),
         )
     )
-    early_g = grams.filter(F.col("is_test") & ~F.col("is_late")).select("gram").distinct()
-    late_g = grams.filter(F.col("is_test") & F.col("is_late")).select("gram").distinct()
-    train_grams = grams.filter(~F.col("is_test"))
-    contam_early = train_grams.join(early_g, "gram").select("doc_id").distinct()
-
+    eval_g = grams.filter(F.col("is_test")).select("gram").distinct()
     is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "4"
-    kept = (
-        d.select("doc_id", "n_chars")
-        .filter(is_train)
-        .join(cw, "doc_id")
-        .join(g, "doc_id")
-        .join(contam_early, "doc_id", "left_anti")
-    )
+    kept = d.select("doc_id").filter(is_train).join(g, "doc_id")
     ranked = with_global_row_number(
         kept.withColumn("__k", _manifest_shuffle_key()),
         [F.col("__k").asc(), F.col("doc_id").asc()],
@@ -4903,8 +4877,9 @@ def manifest_contamination_blast_radius(spark: SparkSession, sf_dir: str) -> Dat
         ),
     )
     blast = (
-        train_grams.join(late_g, "gram")
+        grams.filter(~F.col("is_test"))
+        .join(eval_g, "gram")
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram").cast("bigint").alias("n_late_grams"))
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_eval_grams"))
     )
-    return assign.join(blast, "doc_id").select("batch_id", "doc_id", "n_late_grams")
+    return assign.join(blast, "doc_id").select("batch_id", "doc_id", "n_eval_grams")
