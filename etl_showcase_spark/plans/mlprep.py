@@ -4883,3 +4883,118 @@ def manifest_contamination_blast_radius(spark: SparkSession, sf_dir: str) -> Dat
         .agg(F.countDistinct("gram").cast("bigint").alias("n_eval_grams"))
     )
     return assign.join(blast, "doc_id").select("batch_id", "doc_id", "n_eval_grams")
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q2/L6 gate-version BACKFILL PLANNER ([EXT] — round-12 idea bank,
+# built same round): when a quality gate's thresholds change (Gopher
+# v2 below: min-words tightened 50→80, symbol-ratio tightened
+# 0.1→0.08, min mean-word-len LOOSENED 3.0→2.5 — so verdicts flip in
+# BOTH directions), recomputing every shard is the §4.4 anti-pattern.
+# The planner emits the minimal re-gate work list at the shard grain:
+# only shards containing at least one doc whose keep verdict FLIPS
+# need re-gating; everything else is carried (the DPP complement
+# recipe incremental_pack_repacking already demonstrates on disk).
+# Output is change-sized: one row per affected shard with flip
+# direction counts — n_flip_drop (kept under v1, dropped by v2: the
+# trainer must EXCISE) and n_flip_keep (newly eligible: the trainer
+# may BACKFILL).
+#
+# Scale: per-doc flags (JVM expressions), one shard-keyed agg, no
+# joins. Cross-engine determinism: both keep verdicts compare the
+# SAME exact-integer-derived doubles the long-green gopher gate
+# already hash-verifies.
+# ---------------------------------------------------------------------------
+
+_GATE_V2_MIN_WORDS = 80
+_GATE_V2_MAX_SYMBOL = 0.08
+_GATE_V2_MIN_MEAN_LEN = 2.5
+
+
+def _backfill_plan_oracle() -> str:
+    from ..operators import textops as _t
+    from .llm_text import _SQL_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+),
+v AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens >= {_t.GOPHER_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+               AND mean_word_len IS NOT NULL
+               AND mean_word_len >= {_t.GOPHER_MIN_MEAN_LEN}
+               AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+               AND symbol_ratio IS NOT NULL
+               AND symbol_ratio < {_t.GOPHER_MAX_SYMBOL_RATIO}
+              THEN 1 ELSE 0 END AS keep_v1,
+         CASE WHEN n_tokens >= {_GATE_V2_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+               AND mean_word_len IS NOT NULL
+               AND mean_word_len >= {_GATE_V2_MIN_MEAN_LEN}
+               AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+               AND symbol_ratio IS NOT NULL
+               AND symbol_ratio < {_GATE_V2_MAX_SYMBOL}
+              THEN 1 ELSE 0 END AS keep_v2
+  FROM q
+)
+SELECT CAST(doc_id // 32 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep_v1 = 1 AND keep_v2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flip_drop,
+       CAST(SUM(CASE WHEN keep_v1 = 0 AND keep_v2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flip_keep
+FROM v
+GROUP BY doc_id // 32
+HAVING SUM(CASE WHEN keep_v1 <> keep_v2 THEN 1 ELSE 0 END) > 0
+"""
+
+
+@register(
+    "gate_version_backfill_plan",
+    oracle=_backfill_plan_oracle(),
+    tags=("Q1", "Q2", "L6"),
+)
+def gate_version_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    n_tok = flags["n_tokens"]
+    mean_len = flags["mean_word_len"]
+    sym = flags["symbol_ratio"]
+    keep_v2 = (
+        (n_tok >= _GATE_V2_MIN_WORDS)
+        & (n_tok <= textops.GOPHER_MAX_WORDS)
+        & mean_len.isNotNull()
+        & (mean_len >= _GATE_V2_MIN_MEAN_LEN)
+        & (mean_len <= textops.GOPHER_MAX_MEAN_LEN)
+        & sym.isNotNull()
+        & (sym < _GATE_V2_MAX_SYMBOL)
+    ).cast("int")
+    v = d.select(
+        "doc_id", flags["keep"].alias("keep_v1"), keep_v2.alias("keep_v2")
+    )
+    return (
+        v.groupBy(F.expr("doc_id div 32").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(((F.col("keep_v1") == 1) & (F.col("keep_v2") == 0)).cast("int"))
+            .cast("bigint")
+            .alias("n_flip_drop"),
+            F.sum(((F.col("keep_v1") == 0) & (F.col("keep_v2") == 1)).cast("int"))
+            .cast("bigint")
+            .alias("n_flip_keep"),
+            F.sum((F.col("keep_v1") != F.col("keep_v2")).cast("int")).alias("__flips"),
+        )
+        .filter(F.col("__flips") > 0)
+        .drop("__flips")
+    )
