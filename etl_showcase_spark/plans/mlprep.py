@@ -4960,18 +4960,13 @@ HAVING SUM(CASE WHEN keep_v1 <> keep_v2 THEN 1 ELSE 0 END) > 0
 """
 
 
-@register(
-    "gate_version_backfill_plan",
-    oracle=_backfill_plan_oracle(),
-    tags=("Q1", "Q2", "L6"),
-)
-def gate_version_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    flags = textops.gopher_quality_flags(F.col("text"))
+def _gate_v2_keep(flags: dict) -> Column:
+    """The Gopher-v2 keep verdict over gopher_quality_flags output —
+    shared by the batch planner and its streaming twin."""
     n_tok = flags["n_tokens"]
     mean_len = flags["mean_word_len"]
     sym = flags["symbol_ratio"]
-    keep_v2 = (
+    return (
         (n_tok >= _GATE_V2_MIN_WORDS)
         & (n_tok <= textops.GOPHER_MAX_WORDS)
         & mean_len.isNotNull()
@@ -4980,8 +4975,20 @@ def gate_version_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & sym.isNotNull()
         & (sym < _GATE_V2_MAX_SYMBOL)
     ).cast("int")
+
+
+@register(
+    "gate_version_backfill_plan",
+    oracle=_backfill_plan_oracle(),
+    tags=("Q1", "Q2", "L6"),
+)
+def gate_version_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    flags = textops.gopher_quality_flags(F.col("text"))
     v = d.select(
-        "doc_id", flags["keep"].alias("keep_v1"), keep_v2.alias("keep_v2")
+        "doc_id",
+        flags["keep"].alias("keep_v1"),
+        _gate_v2_keep(flags).alias("keep_v2"),
     )
     return (
         v.groupBy(F.expr("doc_id div 32").cast("bigint").alias("shard"))

@@ -3497,3 +3497,88 @@ def stream_manifest_maintenance_state(spark: SparkSession, sf_dir: str) -> DataF
         F.lit(True).alias("from_delta"),
     )
     return v1.unionByName(appended)
+
+
+def stream_gate_backfill_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``gate_version_backfill_plan``
+    (plans/mlprep.py): the re-gate work list maintained as documents
+    ARRIVE. Both keep verdicts (Gopher v1 and the v2 thresholds) are
+    the same pure JVM expressions as the batch planner, computed on the
+    stream; per-SHARD GroupState folds four integers (n_docs,
+    n_flip_drop, n_flip_keep, doc_id high-water mark — single delivery
+    ENFORCED like the other replay folds), re-emitting the shard's
+    running row with a monotone ver. The drained latest-per-shard,
+    filtered to flips>0, must equal the batch work list bit-for-bit
+    (tests/test_streaming.py; RocksDB parity matrix). State is O(1)
+    per shard — the key space is the shard domain, corpus/32."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators import textops
+    from ..plans.mlprep import _gate_v2_keep
+
+    docs = documents_replay_stream(spark, sf_dir)
+    flags = textops.gopher_quality_flags(F.col("text"))
+    v = docs.select(
+        F.expr("doc_id div 32").cast("bigint").alias("shard"),
+        F.col("doc_id"),
+        flags["keep"].alias("keep_v1"),
+        _gate_v2_keep(flags).alias("keep_v2"),
+    )
+
+    def backfill_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, drop, keep, hwm = (
+                int(state.get[0]),
+                int(state.get[1]),
+                int(state.get[2]),
+                int(state.get[3]),
+            )
+        else:
+            n, drop, keep, hwm = 0, 0, 0, -1
+        cols = ["doc_id", "keep_v1", "keep_v2"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        lo = int(df["doc_id"].min())
+        # single-delivery precondition, ENFORCED: the replay reader
+        # ships doc_id-ordered disjoint batches
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for shard {int(key[0])}: "
+                f"doc_id {lo} <= high-water mark {hwm}"
+            )
+        hwm = int(df["doc_id"].max())
+        n += len(df)
+        drop += int(((df["keep_v1"] == 1) & (df["keep_v2"] == 0)).sum())
+        keep += int(((df["keep_v1"] == 0) & (df["keep_v2"] == 1)).sum())
+        state.update((n, drop, keep, hwm))
+        yield pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "n_docs": [n],
+                "n_flip_drop": [drop],
+                "n_flip_keep": [keep],
+                "ver": [n],
+            }
+        )
+
+    out = v.groupBy("shard").applyInPandasWithState(
+        backfill_fold,
+        outputStructType=(
+            "shard long, n_docs long, n_flip_drop long, n_flip_keep long, ver long"
+        ),
+        stateStructType="n bigint, drop bigint, keep bigint, hwm bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_gate_backfill", mode="update").distinct()
+    latest = log.groupBy("shard").agg(F.max("ver").alias("ver"))
+    return (
+        log.join(latest, ["shard", "ver"])
+        .filter((F.col("n_flip_drop") + F.col("n_flip_keep")) > 0)
+        .select("shard", "n_docs", "n_flip_drop", "n_flip_keep")
+    )

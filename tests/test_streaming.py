@@ -622,6 +622,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_mv_maintenance_state,  # round 11: per-priority int fold
         jobs.stream_cluster_contamination_state,  # round 11: per-cluster map
         jobs.stream_manifest_maintenance_state,  # round 12: O(1) append fold
+        jobs.stream_gate_backfill_state,  # round 12: per-shard 4-int fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -641,6 +642,19 @@ def test_stateful_manifest_maintenance_matches_batch(spark):
     batch = incremental_manifest_maintenance(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert streamed["from_delta"].any(), "no delta batches streamed — vacuous"
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_gate_backfill_matches_batch(spark):
+    # both keep verdicts are pure JVM expressions computed on the
+    # stream; the per-shard integer fold must reproduce the batch
+    # re-gate work list bit-for-bit, including which shards are ABSENT
+    # (flip-free shards are carried, not listed)
+    from etl_showcase_spark.plans.mlprep import gate_version_backfill_plan
+
+    streamed = jobs.stream_gate_backfill_state(spark, SF_SMOKE).toPandas()
+    batch = gate_version_backfill_plan(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0, "no flipped shards at smoke scale — vacuous"
     assert not compare_frames(streamed, batch)
 
 
