@@ -5005,3 +5005,69 @@ def gate_version_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__flips") > 0)
         .drop("__flips")
     )
+
+
+# ---------------------------------------------------------------------------
+# L6/O1/G8 length-sorted inference batching ([EXT] — round-12 session
+# addition: the SERVING-side counterpart of sequence packing). Batched
+# inference pads every sequence in a batch to the batch max; random
+# batching wastes compute proportional to length variance. The
+# standard fix is length-sorted batching: order docs by (n_chars,
+# doc_id), cut fixed batches of 32, and account the padding waste
+# exactly — per batch: max_len, sum_len, pad_waste = 32·max − sum (the
+# compute a serving fleet burns on pad tokens), all exact integers.
+# The global order comes from the proven distributed row-number
+# primitive (range partition + broadcast prefix counts — no
+# single-reducer sort); the rollup is one batch-keyed agg. DuckDB
+# replays the identical partition-less spelling.
+# ---------------------------------------------------------------------------
+
+_INFER_BATCH = 32
+
+_PAD_BATCH_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pos
+  FROM documents
+)
+SELECT CAST((pos - 1) // {_INFER_BATCH} AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_chars) AS BIGINT) AS max_len,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+       CAST(COUNT(*) * MAX(n_chars) - SUM(n_chars) AS BIGINT) AS pad_waste,
+       arg_min(doc_id, pos) AS head_doc,
+       arg_max(doc_id, pos) AS tail_doc
+FROM r GROUP BY (pos - 1) // {_INFER_BATCH}
+"""
+
+
+@register(
+    "length_sorted_infer_batches",
+    oracle=_PAD_BATCH_ORACLE,
+    tags=("L6", "O1", "G8"),
+)
+def length_sorted_infer_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import with_global_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    ranked = with_global_row_number(
+        d, [F.col("n_chars").asc(), F.col("doc_id").asc()], "pos"
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", F.expr(f"(pos - 1) div {_INFER_BATCH}").cast("bigint")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_chars").cast("bigint").alias("max_len"),
+            F.sum("n_chars").cast("bigint").alias("sum_len"),
+            (F.count(F.lit(1)) * F.max("n_chars") - F.sum("n_chars"))
+            .cast("bigint")
+            .alias("pad_waste"),
+            F.min_by("doc_id", "pos").alias("head_doc"),
+            F.max_by("doc_id", "pos").alias("tail_doc"),
+        )
+    )
