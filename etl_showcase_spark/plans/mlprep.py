@@ -5071,3 +5071,197 @@ def length_sorted_infer_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("doc_id", "pos").alias("tail_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S11/L4/Q3 manifest EXCISION repair ([EXT] — round-12 session
+# addition: the EXECUTOR for manifest_contamination_blast_radius's
+# plan). The v1 manifest ships as a doc-grain ASSIGNMENT snapshot
+# (doc_id, n_chars, batch_id); the blast list arrives; v2 excises the
+# contaminated docs IN PLACE — batch ids are stable (the trainer's
+# resume cursor must keep meaning), untouched batches carry their v1
+# stats verbatim, affected batches are re-aggregated from their
+# surviving members and flagged repaired. A fully-excised batch
+# vanishes from v2 (its id is retired, not renumbered). v2 is
+# committed and served through the snapshot protocol.
+#
+# Scale: the affected-batch list is change-sized (broadcast); the
+# carried side is one anti join at the batch-stat grain (manifest
+# metadata, ~corpus/64 rows); re-aggregation touches only affected
+# batches' members. The oracle replays gate → rank → assign → blast →
+# excise → re-aggregate, so one hash proves the repair.
+# ---------------------------------------------------------------------------
+
+
+def _excision_repair_oracle() -> str:
+    from ..operators import textops as _t
+    from .llm_text import _DECON_N, _SQL_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, text, n_chars, {_SQL_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(LEN(toks) AS INT) AS n_tokens,
+         CASE WHEN LEN(toks) > 0
+              THEN CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE)
+                   / LEN(toks)
+              END AS mean_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LEN(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                   / LENGTH(text)
+              END AS symbol_ratio
+  FROM t
+),
+g AS (
+  SELECT doc_id FROM q
+  WHERE n_tokens >= {_t.GOPHER_MIN_WORDS} AND n_tokens <= {_t.GOPHER_MAX_WORDS}
+    AND mean_word_len IS NOT NULL
+    AND mean_word_len >= {_t.GOPHER_MIN_MEAN_LEN}
+    AND mean_word_len <= {_t.GOPHER_MAX_MEAN_LEN}
+    AND symbol_ratio IS NOT NULL
+    AND symbol_ratio < {_t.GOPHER_MAX_SYMBOL_RATIO}
+),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+             range(1, LEN(toks) - {_DECON_N - 2}),
+             i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS gram
+  FROM t WHERE LEN(toks) >= {_DECON_N}
+),
+split AS (
+  SELECT doc_id, gram,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4' AS is_test
+  FROM grams
+),
+eval_g AS (SELECT DISTINCT gram FROM split WHERE is_test),
+blast AS (
+  SELECT DISTINCT s.doc_id
+  FROM split s JOIN eval_g x ON s.gram = x.gram
+  WHERE NOT s.is_test
+),
+assign AS (
+  SELECT t.doc_id, t.n_chars,
+         CAST((ROW_NUMBER() OVER (
+             ORDER BY md5('1:' || CAST(t.doc_id AS VARCHAR)), t.doc_id) - 1)
+           // {_EPOCH_SHUFFLE_BATCH} AS BIGINT) AS batch_id
+  FROM t
+  JOIN g ON t.doc_id = g.doc_id
+  WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1) >= '4'
+),
+affected AS (
+  SELECT DISTINCT batch_id FROM assign WHERE doc_id IN (SELECT doc_id FROM blast)
+),
+v1 AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         MIN(doc_id) AS head_doc,
+         MAX(doc_id) AS tail_doc
+  FROM assign GROUP BY batch_id
+),
+repaired AS (
+  SELECT batch_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         MIN(doc_id) AS head_doc,
+         MAX(doc_id) AS tail_doc
+  FROM assign
+  WHERE batch_id IN (SELECT batch_id FROM affected)
+    AND doc_id NOT IN (SELECT doc_id FROM blast)
+  GROUP BY batch_id
+)
+SELECT batch_id, n_docs, sum_chars, head_doc, tail_doc, FALSE AS repaired
+FROM v1 WHERE batch_id NOT IN (SELECT batch_id FROM affected)
+UNION ALL
+SELECT batch_id, n_docs, sum_chars, head_doc, tail_doc, TRUE AS repaired
+FROM repaired
+"""
+
+
+@register(
+    "manifest_excision_repair",
+    oracle=_excision_repair_oracle(),
+    tags=("S11", "L4", "Q3"),
+)
+def manifest_excision_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.relational import with_global_row_number
+    from ..sources.io import read_snapshot, write_snapshot
+    from .llm_text import _DECON_N
+
+    d = table(spark, sf_dir, "documents")
+    flags = textops.gopher_quality_flags(F.col("text"))
+    g = (
+        d.select("doc_id", flags["keep"].alias("keep"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    grams = tracked_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(textops.shingles(textops.tokens("text"), _DECON_N))
+            ).alias("gram"),
+            (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
+                "is_test"
+            ),
+        )
+    )
+    eval_g = grams.filter(F.col("is_test")).select("gram").distinct()
+    blast = (
+        grams.filter(~F.col("is_test")).join(eval_g, "gram").select("doc_id").distinct()
+    )
+
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) >= "4"
+    kept = d.select("doc_id", "n_chars").filter(is_train).join(g, "doc_id")
+    ranked = with_global_row_number(
+        kept.withColumn("__k", _manifest_shuffle_key()),
+        [F.col("__k").asc(), F.col("doc_id").asc()],
+        "pos",
+    )
+    assign = ranked.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.expr(f"(pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint").alias(
+            "batch_id"
+        ),
+    )
+
+    # v1 ships as the doc-grain assignment snapshot (the trainer's
+    # source of truth for what each batch contains)
+    root = tempfile.mkdtemp(prefix="manifest_excise_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = root + "/assignment"
+    write_snapshot(assign, base)
+    a1 = read_snapshot(spark, base, version=1)
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.groupBy("batch_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("head_doc"),
+            F.max("doc_id").alias("tail_doc"),
+        )
+
+    affected = (
+        a1.join(blast, "doc_id", "left_semi").select("batch_id").distinct()
+    )
+    carried = (
+        stats(a1)
+        .join(F.broadcast(affected), "batch_id", "left_anti")
+        .withColumn("repaired", F.lit(False))
+    )
+    repaired = (
+        stats(
+            a1.join(F.broadcast(affected), "batch_id", "left_semi").join(
+                blast, "doc_id", "left_anti"
+            )
+        ).withColumn("repaired", F.lit(True))
+    )
+    v2 = write_snapshot(carried.unionByName(repaired), base)
+    return read_snapshot(spark, base, version=v2).select(
+        "batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc", "repaired"
+    )
