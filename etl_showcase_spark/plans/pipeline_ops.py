@@ -324,23 +324,62 @@ def weather_pipeline_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # P6/F3: wall-clock audit columns (processed_at/loaded_at injection,
 # reference spark_jobs/transform_weather.py:139,160 and NOW() at
-# dags/weather_etl_pipeline.py:180,190). Wall-clock values can't be
-# oracle-compared by design (SURVEY.md §7.4.5) — rows-only check; the
-# test asserts the audit columns are present, non-null, and constant
-# within a run (current_timestamp is fixed per query, not per row).
+# dags/weather_etl_pipeline.py:180,190). Raw wall-clock VALUES can't be
+# oracle-compared, but the audit CONTRACT can (round-13, VERDICT r12
+# item 2): inject current_timestamp() exactly as the reference does,
+# then project deterministic derived facts — stamp present, ISO render
+# valid, one stamp per run (current_timestamp is fixed per query, not
+# per row). DuckDB replays the same facts over NOW(), so the row goes
+# hash-green and the driver's check budget never burns an `err:
+# no_oracle` slot on it again. The run-constant check is a scalar
+# min/max aggregate broadcast back (single-row BroadcastNestedLoop,
+# the __stride precedent) — no whole-frame window, scale-safe even
+# though nation is a 25-row dim.
 # ---------------------------------------------------------------------------
 
+_AUDIT_TS_ORACLE = """
+WITH stamped AS (
+  SELECT n_nationkey, n_name, NOW() AS processed_at,
+         strftime(NOW(), '%Y-%m-%dT%H:%M:%S') AS processed_at_iso
+  FROM nation
+),
+bounds AS (
+  SELECT MIN(processed_at) AS min_ts, MAX(processed_at) AS max_ts FROM stamped
+)
+SELECT s.n_nationkey, s.n_name,
+       CAST(s.processed_at IS NOT NULL AS INT) AS audit_present,
+       CAST(regexp_matches(s.processed_at_iso,
+            '^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}$') AS INT)
+         AS audit_iso_valid,
+       CAST(b.min_ts = b.max_ts AS INT) AS audit_single_stamp
+FROM stamped s CROSS JOIN bounds b
+"""
 
-@register("audit_timestamp_injection", oracle=None, tags=("P6", "F3"))
+
+@register("audit_timestamp_injection", oracle=_AUDIT_TS_ORACLE, tags=("P6", "F3"))
 def audit_timestamp_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
-    return n.select(
+    stamped = n.select(
         "n_nationkey",
         "n_name",
         F.current_timestamp().alias("processed_at"),
         F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss").alias(
             "processed_at_iso"
         ),
+    )
+    bounds = stamped.agg(
+        F.min("processed_at").alias("_min_ts"),
+        F.max("processed_at").alias("_max_ts"),
+    )
+    return stamped.crossJoin(F.broadcast(bounds)).select(
+        "n_nationkey",
+        "n_name",
+        F.col("processed_at").isNotNull().cast("int").alias("audit_present"),
+        F.col("processed_at_iso")
+        .rlike(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$")
+        .cast("int")
+        .alias("audit_iso_valid"),
+        (F.col("_min_ts") == F.col("_max_ts")).cast("int").alias("audit_single_stamp"),
     )
 
 

@@ -129,11 +129,36 @@ def _driver_last_checked() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            ):
+            if row.get("hash_match") is True:
                 last[name] = max(last.get(name, 0), rnd)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # a rows-only row counts as a check only while the query
+                # still HAS no oracle; once it gains one, that old weak
+                # row must not overstate freshness for the re-queued
+                # hash check (mirrors _spec_is_verified's re-queue rule)
+                spec = _REGISTRY.get(name)
+                if spec is None or spec.oracle is None:
+                    last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def _spec_is_verified(name: str, seen: dict[str, bool], pinned: dict[str, str]) -> bool:
+    """The single verified predicate shared by all_specs (queue order)
+    and check_ledger (published ledger) — one definition so the ledger
+    can never silently disagree with the actual driver check order.
+
+    A query is verified iff a prior driver round recorded a green row
+    for THIS exact code: the stored fingerprint must match the current
+    build fn + oracle (any edit re-queues), and a rows-only row counts
+    only while the query still has no oracle (gaining one re-queues it
+    for a real hash check)."""
+    if name not in seen or name not in _REGISTRY:
+        return False
+    if pinned.get(name) != query_fingerprint(_REGISTRY[name]):
+        return False
+    if seen[name]:
+        return True
+    return _REGISTRY[name].oracle is None
 
 
 def register(
@@ -183,23 +208,9 @@ def all_specs() -> dict[str, QuerySpec]:
     seen = _driver_verified()
     pinned = _stored_fingerprints()
     last = _driver_last_checked()
-
-    def _is_verified(name: str) -> bool:
-        if name not in seen:
-            return False
-        # a green row only counts for the exact code it was computed
-        # against; any edit to the build fn or oracle re-queues
-        if pinned.get(name) != query_fingerprint(_REGISTRY[name]):
-            return False
-        if seen[name]:
-            return True
-        # rows-only row: stays verified only while the query still has
-        # no oracle; gaining one re-queues it for a hash check
-        return _REGISTRY[name].oracle is None
-
     ordered = sorted(
         _REGISTRY,
-        key=lambda n: (1, last.get(n, 0)) if _is_verified(n) else (0, 0),
+        key=lambda n: (1, last.get(n, 0)) if _spec_is_verified(n, seen, pinned) else (0, 0),
     )
     _SPECS_CACHE = {n: _REGISTRY[n] for n in ordered}
     return _SPECS_CACHE
@@ -215,13 +226,12 @@ def check_ledger() -> list[dict]:
     last = _driver_last_checked()
     rows = []
     for i, (name, spec) in enumerate(specs.items()):
-        fresh = pinned.get(name) == query_fingerprint(spec)
         rows.append(
             {
                 "name": name,
                 "pos": i,
                 "in_budget": i < 50,
-                "verified": name in seen and fresh and (seen[name] or spec.oracle is None),
+                "verified": _spec_is_verified(name, seen, pinned),
                 "last_checked_round": last.get(name, 0),
                 "oracle": spec.oracle is not None,
             }

@@ -3296,13 +3296,17 @@ def staged_delta_docs_stream(
     twins freeze cluster membership), so the twin stages its output to
     a parquet and the reader ships (key, doc_id, n_chars) rows in
     (key, doc_id) order in disjoint micro-batches."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
     from ..plans.mlprep import _decon_kept_with_arrival, _manifest_shuffle_key
 
-    staged = tempfile.mkdtemp(prefix="manifest_delta_stage_") + "/delta"
+    staged_root = tempfile.mkdtemp(prefix="manifest_delta_stage_")
+    atexit.register(shutil.rmtree, staged_root, ignore_errors=True)
+    staged = staged_root + "/delta"
     (
         _decon_kept_with_arrival(spark, sf_dir)
         .filter(F.col("is_new"))

@@ -51,10 +51,6 @@ TABLES = [
 def money_queries() -> list[str]:
     from etl_showcase_spark.registry import all_specs
 
-    pat = re.compile(
-        r"\b(" + "|".join(MONEY_COLS) + r")\b|\bevents\b[\s\S]{0,400}?\bvalue\b",
-        re.IGNORECASE,
-    )
     names = []
     for name, spec in all_specs().items():
         if spec.oracle is None:
