@@ -47,6 +47,41 @@ TABLES = [
     "embeddings",
 ]
 
+# Defensive completeness contract (round-13, VERDICT item 7): every
+# floating/decimal testdata column must be either SWEPT (scaled by the
+# boundary lake and regex-selected above) or EXPLICITLY exempted here
+# with the reason it cannot drive a sum past 2^53 — so a future table
+# or column addition can't silently dodge the sweep.
+# events.value is swept via the FROM-events + value regex in
+# money_queries(); the four MONEY_COLS via the column regex.
+SWEPT_COLS = set(MONEY_COLS) | {"value"}
+EXEMPT_NUMERIC_COLS = {
+    ("lineitem", "l_quantity"): "unit count 1..50, not money; magnitude growth is row-count-bound and covered by the replica-lake stress",
+    ("lineitem", "l_discount"): "fraction in [0, 0.10]; sums bounded by 0.1 * rowcount",
+    ("lineitem", "l_tax"): "fraction in [0, 0.08]; sums bounded by 0.08 * rowcount",
+    ("part", "p_retailprice"): "bounded ~2e3 per part; consumed only as exact integer cents (~2e5) in rank/bucket queries — 2^53/2e5 > 4e10 parts of headroom",
+    ("embeddings", "element"): "unit-scale embedding component; cosine/dot math, not money",
+}
+
+
+def unswept_numeric_columns(sf_dir: str = "/root/testdata/sf0.01") -> list[tuple]:
+    """(table, column, type) for every DECIMAL/DOUBLE/FLOAT leaf in the
+    testdata lake that is neither swept nor exempted. Must be empty —
+    pinned by tests/test_boundary_guard.py."""
+    import duckdb
+
+    bad = []
+    for t in TABLES:
+        rows = duckdb.sql(
+            f"SELECT name, type FROM parquet_schema('{sf_dir}/{t}.parquet') "
+            "WHERE type LIKE 'DECIMAL%' OR type IN ('DOUBLE', 'FLOAT')"
+        ).fetchall()
+        for name, typ in rows:
+            if name in SWEPT_COLS or (t, name) in EXEMPT_NUMERIC_COLS:
+                continue
+            bad.append((t, name, typ))
+    return bad
+
 
 def money_queries() -> list[str]:
     from etl_showcase_spark.registry import all_specs
