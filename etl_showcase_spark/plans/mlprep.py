@@ -4270,14 +4270,23 @@ def _repack_v2_from_per_doc(
 
 
 def _repack_land_v1(per_doc: DataFrame, root: str) -> None:
-    """v1: the pre-removal manifest, landed partitioned by shard. In
-    production this already sits on disk — the stress times it
-    separately from the maintenance phase below."""
+    """v1: the pre-removal manifest, landed partitioned by shard with a
+    committed file manifest (_FILELIST.json, landed ONCE at write time)
+    so the maintenance phase never re-discovers the layout by listing
+    directories — the round-12 residual: at the test-scale 32-doc shard
+    constant the directory count grows with the corpus, and Hive
+    discovery on every read was the one remaining driver-side O(corpus)
+    step in this family. In production this manifest already sits on
+    disk — the stress times it separately from the maintenance phase
+    below."""
+    from ..sources.io import land_filelist
+
     shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
     m1 = _sharded_pack_manifest(
         per_doc.select(shard.alias("shard"), "doc_id", F.col("n_tokens").alias("n"))
     )
     m1.write.partitionBy("shard").parquet(root + "/manifest_v1")
+    land_filelist(root + "/manifest_v1")
 
 
 def _repack_apply_v2(
@@ -4325,8 +4334,13 @@ def _repack_apply_v2(
         .filter(F.col("n_docs") > 0)
         .select(F.col("shard").cast("int").alias("shard"))
     )
+    # manifest-driven read: explicit leaf files + basePath from v1's
+    # committed _FILELIST.json — partition columns recover from the
+    # given paths, no recursive directory discovery, DPP still prunes
+    from ..sources.io import read_filelist_parquet
+
     carried = (
-        spark.read.parquet(root + "/manifest_v1")
+        read_filelist_parquet(spark, root + "/manifest_v1")
         .join(F.broadcast(carry_list), "shard", "left_semi")
         .select(
             F.col("shard").cast("bigint").alias("shard"),
@@ -5178,18 +5192,16 @@ FROM repaired
 """
 
 
-@register(
-    "manifest_excision_repair",
-    oracle=_excision_repair_oracle(),
-    tags=("S11", "L4", "Q3"),
-)
-def manifest_excision_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import shutil
-    import tempfile
-
+def _excision_assign_and_blast(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(assign, blast): the doc-grain batch assignment (train split ∩
+    Gopher gate → md5 epoch shuffle → fixed batches) and the
+    blast-radius doc set (train docs sharing a word 8-gram with any
+    eval doc). Shared by the batch op and its streaming twin
+    (streaming/jobs.py:stream_excision_repair_state) so both repair the
+    SAME shipped assignment."""
     from ..operators.relational import with_global_row_number
-    from ..sources.io import read_snapshot, write_snapshot
     from .llm_text import _DECON_N
 
     d = table(spark, sf_dir, "documents")
@@ -5229,6 +5241,33 @@ def manifest_excision_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch_id"
         ),
     )
+    return assign, blast
+
+
+def _excision_batch_stats(df: DataFrame) -> DataFrame:
+    """Per-batch roster stats at the manifest grain — the repair
+    output's shape, shared with the streaming twin's carried side."""
+    return df.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").alias("head_doc"),
+        F.max("doc_id").alias("tail_doc"),
+    )
+
+
+@register(
+    "manifest_excision_repair",
+    oracle=_excision_repair_oracle(),
+    tags=("S11", "L4", "Q3"),
+)
+def manifest_excision_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_snapshot, write_snapshot
+
+    assign, blast = _excision_assign_and_blast(spark, sf_dir)
 
     # v1 ships as the doc-grain assignment snapshot (the trainer's
     # source of truth for what each batch contains)
@@ -5238,13 +5277,7 @@ def manifest_excision_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_snapshot(assign, base)
     a1 = read_snapshot(spark, base, version=1)
 
-    def stats(df: DataFrame) -> DataFrame:
-        return df.groupBy("batch_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("sum_chars"),
-            F.min("doc_id").alias("head_doc"),
-            F.max("doc_id").alias("tail_doc"),
-        )
+    stats = _excision_batch_stats
 
     affected = (
         a1.join(blast, "doc_id", "left_semi").select("batch_id").distinct()

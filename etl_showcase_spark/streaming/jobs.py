@@ -3586,3 +3586,197 @@ def stream_gate_backfill_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_flip_drop") + F.col("n_flip_keep")) > 0)
         .select("shard", "n_docs", "n_flip_drop", "n_flip_keep")
     )
+
+
+def staged_affected_roster_stream(
+    spark: SparkSession, roster_path: str, batch_rows: int = 48
+) -> DataFrame:
+    """Replay a staged affected-batch roster (batch_id, doc_id,
+    n_chars, is_blast) in (batch_id, doc_id) order in disjoint
+    micro-batches — the excision repairer's work feed: the incident
+    response streams each contaminated batch's membership through the
+    repair fold as it is pulled from the shipped assignment."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _RosterReader(SimpleDataSourceStreamReader):
+        def __init__(self, opts):
+            self._path = opts["path"]
+            self._batch = int(opts.get("batch_rows", "48"))
+            self._tbl = None
+
+        def _table(self):
+            if self._tbl is None:
+                import pyarrow.compute as pc
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self._path, columns=["batch_id", "doc_id", "n_chars", "is_blast"]
+                )
+                self._tbl = t.take(
+                    pc.sort_indices(
+                        t,
+                        sort_keys=[
+                            ("batch_id", "ascending"),
+                            ("doc_id", "ascending"),
+                        ],
+                    )
+                )
+            return self._tbl
+
+        def _rows(self, start: int, end: int):
+            sl = self._table().slice(start, max(0, end - start)).to_pylist()
+            return iter(
+                [(r["batch_id"], r["doc_id"], r["n_chars"], r["is_blast"]) for r in sl]
+            )
+
+        def initialOffset(self):
+            return {"row": 0}
+
+        def read(self, start):
+            s = start["row"]
+            e = min(s + self._batch, self._table().num_rows)
+            return self._rows(s, e), {"row": e}
+
+        def readBetweenOffsets(self, start, end):
+            return self._rows(start["row"], end["row"])
+
+    class _RosterSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "excision_roster_replay"
+
+        def schema(self) -> str:
+            return "batch_id long, doc_id long, n_chars long, is_blast boolean"
+
+        def simpleStreamReader(self, schema):
+            return _RosterReader(self.options)
+
+    spark.dataSource.register(_RosterSource)
+    return (
+        spark.readStream.format("excision_roster_replay")
+        .option("path", roster_path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def stream_excision_repair_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``manifest_excision_repair``
+    (plans/mlprep.py): the blast-radius plan's EXECUTOR run as the
+    affected batches' rosters ARRIVE. The shipped assignment and the
+    blast set are the SHARED batch step (_excision_assign_and_blast —
+    exactly as the gate-backfill twin shares its verdict expressions);
+    the affected batches' member rows then stream through a per-batch
+    GroupState fold that accumulates the SURVIVOR stats (n_docs,
+    sum_chars, head/tail doc) while excised rows advance only the
+    doc_id high-water mark — min/max over survivors is monotone under
+    doc_id-ordered arrival, so state is five integers per batch, never
+    a roster. Single delivery is ENFORCED via the high-water mark; a
+    fully-excised batch never emits a survivor row (n_docs stays 0 and
+    the drain filters it), matching the batch op, which drops such
+    batches from the repaired side. The drained latest-per-batch rows
+    (repaired=true) union the carried v1 stats (batch side, identical
+    expressions) and the result must equal the batch op's v2 output
+    bit-for-bit (tests/test_streaming.py; RocksDB parity matrix)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.mlprep import (
+        _excision_assign_and_blast,
+        _excision_batch_stats,
+    )
+
+    assign, blast = _excision_assign_and_blast(spark, sf_dir)
+    affected = assign.join(blast, "doc_id", "left_semi").select("batch_id").distinct()
+
+    staged_root = tempfile.mkdtemp(prefix="excision_roster_stage_")
+    atexit.register(shutil.rmtree, staged_root, ignore_errors=True)
+    roster_path = staged_root + "/roster"
+    (
+        assign.join(F.broadcast(affected), "batch_id", "left_semi")
+        .join(blast.withColumn("is_blast", F.lit(True)), "doc_id", "left")
+        .select(
+            "batch_id",
+            "doc_id",
+            "n_chars",
+            F.coalesce("is_blast", F.lit(False)).alias("is_blast"),
+        )
+        .write.parquet(roster_path)
+    )
+
+    rows = staged_affected_roster_stream(spark, roster_path)
+
+    def repair_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            seen, n, chars, head, tail, hwm = (int(v) for v in state.get)
+        else:
+            seen, n, chars, head, tail, hwm = 0, 0, 0, -1, -1, -1
+        cols = ["doc_id", "n_chars", "is_blast"]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        df = df.sort_values("doc_id")
+        lo = int(df["doc_id"].iloc[0])
+        # single-delivery precondition, ENFORCED: the replay reader
+        # ships (batch_id, doc_id)-ordered disjoint batches
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for batch {int(key[0])}: "
+                f"doc_id {lo} <= high-water mark {hwm}"
+            )
+        hwm = int(df["doc_id"].iloc[-1])
+        seen += len(df)
+        surv = df[~df["is_blast"]]
+        if len(surv):
+            n += len(surv)
+            chars += int(surv["n_chars"].sum())
+            if head < 0:
+                head = int(surv["doc_id"].iloc[0])
+            tail = int(surv["doc_id"].iloc[-1])
+        state.update((seen, n, chars, head, tail, hwm))
+        yield pd.DataFrame(
+            {
+                "batch_id": [int(key[0])],
+                "n_docs": [n],
+                "sum_chars": [chars],
+                "head_doc": [head],
+                "tail_doc": [tail],
+                "ver": [seen],
+            }
+        )
+
+    out = rows.groupBy("batch_id").applyInPandasWithState(
+        repair_fold,
+        outputStructType=(
+            "batch_id long, n_docs long, sum_chars long, "
+            "head_doc long, tail_doc long, ver long"
+        ),
+        stateStructType=(
+            "seen bigint, n bigint, chars bigint, head bigint, "
+            "tail bigint, hwm bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_excision_repair", mode="update").distinct()
+    latest = log.groupBy("batch_id").agg(F.max("ver").alias("ver"))
+    repaired = (
+        log.join(latest, ["batch_id", "ver"])
+        .filter(F.col("n_docs") > 0)
+        .select("batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc")
+        .withColumn("repaired", F.lit(True))
+    )
+
+    carried = (
+        _excision_batch_stats(assign)
+        .join(F.broadcast(affected), "batch_id", "left_anti")
+        .withColumn("repaired", F.lit(False))
+    )
+    return carried.unionByName(repaired)

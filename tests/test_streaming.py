@@ -623,6 +623,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_cluster_contamination_state,  # round 11: per-cluster map
         jobs.stream_manifest_maintenance_state,  # round 12: O(1) append fold
         jobs.stream_gate_backfill_state,  # round 12: per-shard 4-int fold
+        jobs.stream_excision_repair_state,  # round 13: per-batch 6-int survivor fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -655,6 +656,21 @@ def test_stateful_gate_backfill_matches_batch(spark):
     streamed = jobs.stream_gate_backfill_state(spark, SF_SMOKE).toPandas()
     batch = gate_version_backfill_plan(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0, "no flipped shards at smoke scale — vacuous"
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_excision_repair_matches_batch(spark):
+    # the shipped assignment and blast set are the shared batch step;
+    # the per-batch survivor fold (five integers + high-water mark)
+    # must reproduce the batch repair bit-for-bit — carried batches,
+    # repaired stats, head/tail survivors, and which batches are ABSENT
+    # (fully-excised ones vanish from the repaired side) alike
+    from etl_showcase_spark.plans.mlprep import manifest_excision_repair
+
+    streamed = jobs.stream_excision_repair_state(spark, SF_SMOKE).toPandas()
+    batch = manifest_excision_repair(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert streamed["repaired"].any(), "no affected batches at smoke scale — vacuous"
     assert not compare_frames(streamed, batch)
 
 
