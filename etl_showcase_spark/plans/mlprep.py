@@ -4269,23 +4269,38 @@ def _repack_v2_from_per_doc(
     return _repack_apply_v2(spark, per_doc, root)
 
 
+_REPACK_DIRS = 256  # bounded physical partition fan-out at ANY corpus size
+
+
 def _repack_land_v1(per_doc: DataFrame, root: str) -> None:
-    """v1: the pre-removal manifest, landed partitioned by shard with a
-    committed file manifest (_FILELIST.json, landed ONCE at write time)
-    so the maintenance phase never re-discovers the layout by listing
-    directories — the round-12 residual: at the test-scale 32-doc shard
-    constant the directory count grows with the corpus, and Hive
-    discovery on every read was the one remaining driver-side O(corpus)
-    step in this family. In production this manifest already sits on
-    disk — the stress times it separately from the maintenance phase
-    below."""
+    """v1: the pre-removal manifest, landed partitioned by a BOUNDED
+    directory key (dirkey = shard % _REPACK_DIRS) with shard kept as a
+    data column, plus a committed file manifest (_FILELIST.json).
+
+    Round-13 finding, measured: the round-12 α=0.75 maintenance slope
+    was NOT the listing syscalls — it was Spark's per-path planning
+    cost on an UNBOUNDED partition fan-out. Partitioning by the raw
+    shard key (32-doc shards) grows the directory count linearly with
+    the corpus; at x10 the 20,480-dir layout cost ~25 s of file-index
+    machinery (a min(paths,10000)-task parallel listing job + per-path
+    partition inference) to read 243 MB of data, identical whether the
+    paths came from a directory walk or an explicit file manifest. A
+    fixed-fan-out dir key caps the metadata at any lake size
+    (_REPACK_DIRS dirs, one file each via repartition on the key), DPP
+    still prunes changed dirs, and the changed-shard row filter moves
+    to a broadcast anti join on the shard DATA column — the production
+    pattern for partial-partition invalidation. In production this
+    manifest already sits on disk — the stress times it separately
+    from the maintenance phase below."""
     from ..sources.io import land_filelist
 
     shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
     m1 = _sharded_pack_manifest(
         per_doc.select(shard.alias("shard"), "doc_id", F.col("n_tokens").alias("n"))
+    ).withColumn("dirkey", (F.col("shard") % _REPACK_DIRS).cast("int"))
+    m1.repartition(_REPACK_DIRS, "dirkey").write.partitionBy("dirkey").parquet(
+        root + "/manifest_v1"
     )
-    m1.write.partitionBy("shard").parquet(root + "/manifest_v1")
     land_filelist(root + "/manifest_v1")
 
 
@@ -4311,46 +4326,59 @@ def _repack_apply_v2(
         .select(F.col("shard").cast("bigint").alias("shard"))
     )
 
-    # The carried side consumes the COMPLEMENT list (unchanged shards)
-    # as a broadcast SEMI join so Catalyst injects a dynamicpruning
-    # filter into the partitioned manifest scan — DPP never fires for
-    # an anti join, so the NOT-IN shape is materialized as its
-    # complement instead (the §7.5 anti-join pruning probe, answered).
-    # The complement derives from per_doc's shard universe, NOT from
-    # the manifest scan it prunes (the round-10 self-reference
-    # gotcha), lands on disk like the work list, and carries a count
-    # column so the consuming filter is a comparison (gotcha (b)).
-    all_shards = per_doc.groupBy(shard.alias("shard")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    # The carried side prunes at the DIRECTORY grain and filters at the
+    # row grain. Unchanged dirs: the COMPLEMENT list as a broadcast SEMI
+    # join so Catalyst injects a dynamicpruning filter into the
+    # partitioned manifest scan — DPP never fires for an anti join, so
+    # the NOT-IN shape is materialized as its complement instead (the
+    # §7.5 anti-join pruning probe, answered). The complement derives
+    # from per_doc's shard universe, NOT from the manifest scan it
+    # prunes (the round-10 self-reference gotcha), lands on disk like
+    # the work list, and carries a count column so the consuming filter
+    # is a comparison (gotcha (b)). Changed (boundary) dirs: DPP-pruned
+    # to ≤|worklist| dirs, then the changed SHARDS drop out via a
+    # broadcast anti join on the shard data column.
+    dirkey = (F.col("shard") % _REPACK_DIRS).cast("int")
+    all_dirs = (
+        per_doc.groupBy((F.expr(f"doc_id div {_REPACK_SHARD}") % _REPACK_DIRS)
+                .cast("int")
+                .alias("dirkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    all_shards.join(F.broadcast(worklist), "shard", "left_anti").write.mode(
+    changed_dirs = worklist.select(dirkey.alias("dirkey")).distinct()
+    all_dirs.join(F.broadcast(changed_dirs), "dirkey", "left_anti").write.mode(
         "overwrite"
     ).parquet(root + "/carrylist")
     # partition-directory values read back as int — match the scan's
     # inferred type on the broadcast side so no cast lands on the scan
     # column (a cast there defeats DPP)
-    carry_list = (
+    carry_dirs = (
         spark.read.parquet(root + "/carrylist")
         .filter(F.col("n_docs") > 0)
-        .select(F.col("shard").cast("int").alias("shard"))
+        .select(F.col("dirkey").cast("int").alias("dirkey"))
     )
     # manifest-driven read: explicit leaf files + basePath from v1's
     # committed _FILELIST.json — partition columns recover from the
     # given paths, no recursive directory discovery, DPP still prunes
     from ..sources.io import read_filelist_parquet
 
+    v1 = read_filelist_parquet(spark, root + "/manifest_v1")
+    out_cols = [
+        F.col("shard").cast("bigint").alias("shard"),
+        "pack_id",
+        "n_docs",
+        "n_tokens",
+        "first_doc",
+        "last_doc",
+        "n_carryover_docs",
+    ]
+    carried_whole_dirs = v1.join(F.broadcast(carry_dirs), "dirkey", "left_semi")
+    carried_boundary = v1.join(
+        F.broadcast(changed_dirs), "dirkey", "left_semi"
+    ).join(F.broadcast(worklist), "shard", "left_anti")
     carried = (
-        read_filelist_parquet(spark, root + "/manifest_v1")
-        .join(F.broadcast(carry_list), "shard", "left_semi")
-        .select(
-            F.col("shard").cast("bigint").alias("shard"),
-            "pack_id",
-            "n_docs",
-            "n_tokens",
-            "first_doc",
-            "last_doc",
-            "n_carryover_docs",
-        )
+        carried_whole_dirs.select(*out_cols)
+        .unionByName(carried_boundary.select(*out_cols))
         .withColumn("recomputed", F.lit(False))
     )
     recomputed = _sharded_pack_manifest(

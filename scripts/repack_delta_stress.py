@@ -163,9 +163,12 @@ def main() -> int:
         # invariant: the recomputed pack set is identical at any base
         v2 = _repack_apply_v2(spark, per_doc, root)
         rec = v2.filter(F.col("recomputed"))
+        from etl_showcase_spark.plans.mlprep import _REPACK_DIRS
+
         timings[label]["n_recomputed_packs"] = rec.count()
         timings[label]["n_total_packs"] = v2.count()
-        timings[label]["n_manifest_dirs"] = n // _REPACK_SHARD
+        timings[label]["n_shards"] = n // _REPACK_SHARD
+        timings[label]["n_manifest_dirs"] = min(_REPACK_DIRS, n // _REPACK_SHARD)
         timings[label]["recomputed_shards"] = sorted(
             r["shard"] for r in rec.select("shard").distinct().collect()
         )
@@ -202,11 +205,15 @@ def main() -> int:
             "recompute_work is the compute the delta causes (work list + "
             "changed-shard repack) — bounded by the fixed change set, α≈0 "
             "expected modulo the O(base) columnar scan of per_doc's two "
-            "count-agg columns; apply_v2_full adds the carried side, whose "
-            "slope is driver-side Hive partition DISCOVERY over the v1 "
-            "layout (n_manifest_dirs grows with the corpus at the "
-            "test-scale 32-doc shard constant; production sizes shards to "
-            "bound directory count, which caps this term)"
+            "count-agg columns; apply_v2_full adds the carried side: since "
+            "round 13 the v1 layout is partitioned by a BOUNDED dir key "
+            "(shard % _REPACK_DIRS, shard kept as a data column), so the "
+            "per-path planning cost is constant at any corpus size and the "
+            "residual slope is the pack-grain columnar scan itself — no "
+            "shard-sizing caveat needed (round-12's α=0.75 was the "
+            "unbounded 20k-dir fan-out's file-index machinery, ~25 s for "
+            "243 MB, identical under directory walk or explicit file "
+            "manifest)"
         ),
     }
     print(json.dumps(entry, indent=1))
