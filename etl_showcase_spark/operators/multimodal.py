@@ -17,11 +17,16 @@ transforms — is real and tested. Two codec tiers:
   (RFC 2083). No external image library needed.
 - WAV (RIFF PCM): a REAL uncompressed-audio parser, verified against
   stdlib `wave`.
-- Codec-library formats (JPEG/MP3/MP4): stubbed behind
-  NotImplementedError because entropy-codec libraries aren't in this
-  container; the byte-level feature extractor is a genuine
-  implementation (numpy histogram over the raw bytes), so that
-  pipeline still runs end-to-end deterministically.
+- JPEG (round 13): a REAL baseline-sequential entropy codec pair from
+  ITU-T T.81 — encoder (integer-exact color transform, FDCT, Annex K
+  Huffman, byte stuffing) and an independently-written decoder
+  (stream-parsed tables, canonical Huffman, DC prediction + EXTEND,
+  dequant, IDCT, YCbCr→RGB) — pure stdlib + numpy.
+- Remaining codec-library formats (MP3/MP4): stubbed behind
+  NotImplementedError because audio/video codec libraries aren't in
+  this container; the byte-level feature extractor is a genuine
+  implementation (numpy histogram over the raw bytes), so those
+  pipelines still run end-to-end deterministically.
 
 Design for 100 TB: media bytes never leave the executor JVM except as
 Arrow batches into the Python worker; feature extraction is
@@ -59,14 +64,15 @@ def attach_media_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media(fmt: str) -> None:
-    """Codec decode stub — real formats need image/audio libs that are
-    not in this container (SURVEY.md north star allows stubbing the
-    decode step; the surrounding plumbing is real)."""
-    if fmt != SUPPORTED_FAKE_FORMAT:
+    """Codec decode gate. Real from-spec decoders exist for ppm / png /
+    wav / jpeg (parse_ppm / _parse_png / _parse_wav / _parse_jpeg);
+    MP3/MP4 remain stubbed — audio/video codec libraries are not in
+    this container (SURVEY.md north star allows stubbing that decode
+    step; the surrounding plumbing is real)."""
+    if fmt not in (SUPPORTED_FAKE_FORMAT, "ppm", "png", "wav", "jpeg"):
         raise NotImplementedError(
             f"decode for format {fmt!r} requires a media codec library; "
-            f"only the deterministic {SUPPORTED_FAKE_FORMAT!r} payload is "
-            "decodable in this environment"
+            "ppm/png/wav/jpeg have from-spec decoders in this module"
         )
 
 
@@ -1038,6 +1044,595 @@ def patch_ahash_ppm(
                     "patch_row": np.asarray(prs, dtype="int32"),
                     "patch_col": np.asarray(pcs, dtype="int32"),
                     "psig": sigs,
+                }
+            )
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (ITU-T T.81 baseline sequential DCT) — the entropy-codec class
+# that was stubbed through round 12, now a REAL from-spec codec pair
+# like PNG: an encoder (integer-exact RGB→YCbCr, float64 FDCT,
+# round-half-away quantization, zigzag run-length + Annex K canonical
+# Huffman coding, 0xFF byte stuffing, JFIF container) and an
+# independently-written decoder (marker walk, DQT/DHT/SOF0/SOS parse,
+# canonical Huffman reconstruction from BITS/HUFFVAL, bit-unstuffing
+# entropy decode with DC prediction + EXTEND, dequant, dezigzag,
+# float64 IDCT, level shift, YCbCr→RGB, round+clamp). Pure
+# stdlib + numpy — no media library. Profile: 8-bit, 3 components,
+# 4:4:4 (no subsampling), no restart intervals; anything else raises
+# ValueError loudly. Reference parity anchor: the reference pipeline's
+# media columns are opaque bytes (SURVEY.md §2.13); this closes the
+# last stubbed codec class (VERDICT r12 item 5).
+#
+# Oracle discipline (how a LOSSY codec stays hash-checkable): the DC
+# quantization step is 1 in both quant tables, so an image whose 8×8
+# blocks are each CONSTANT gray (R=G=B=v) roundtrips EXACTLY —
+# Y=(v,128,128) is integer-exact by construction, every AC coefficient
+# quantizes to 0, and the DC path reproduces v with ≥0.5 margin
+# against float noise (the IDCT of a DC-only block is uniform). The
+# attach below manufactures exactly that family (one text byte per
+# block), so DuckDB replays the decoded pixels from the parquet
+# columns alone while the bitstream still exercises per-block DC
+# prediction, magnitude categories, Huffman codes, EOB, and byte
+# stuffing. General (non-constant-block) images exercise the AC
+# run-length path and are covered by tests/test_multimodal.py against
+# an independent direct-cosine reference.
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: natural (row-major) index of each zigzag position
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# T.81 Annex K example quantization tables (K.1 luminance, K.2
+# chrominance) with the DC entry pinned to 1 — see the oracle
+# discipline note above.
+_JPEG_Q_LUMA = (
+    1, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_Q_CHROMA = (
+    1, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# T.81 Annex K canonical Huffman specs: (BITS[1..16], HUFFVAL)
+_JPEG_HUFF_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_JPEG_HUFF_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+
+def _make_encode_jpeg():
+    """Factory (ships by value — see _make_parse_ppm) building a
+    baseline-sequential JPEG encoder from T.81: integer-exact
+    RGB→YCbCr (16-bit fixed-point with zero-sum chroma rows, so gray
+    input yields Cb=Cr=128 EXACTLY), per-block float64 FDCT,
+    round-half-away quantization, DC prediction, zigzag AC run-length
+    with ZRL/EOB, Annex K canonical Huffman tables, 0xFF→0xFF00 byte
+    stuffing, and a JFIF container any external viewer could open."""
+    zig = _JPEG_ZIGZAG
+    q_luma, q_chroma = _JPEG_Q_LUMA, _JPEG_Q_CHROMA
+    dc_l, dc_c = _JPEG_HUFF_DC_LUMA, _JPEG_HUFF_DC_CHROMA
+    ac_l, ac_c = _JPEG_HUFF_AC_LUMA, _JPEG_HUFF_AC_CHROMA
+
+    def encode_jpeg(pix) -> bytes:  # (h, w, 3) uint8 RGB; h, w % 8 == 0
+        import struct
+
+        import numpy as np
+
+        h, w, _ = pix.shape
+        if h % 8 or w % 8:
+            raise ValueError("encode_jpeg: dimensions must be multiples of 8")
+
+        # --- color: integer-exact fixed point (see factory docstring)
+        r = pix[:, :, 0].astype(np.int64)
+        g = pix[:, :, 1].astype(np.int64)
+        b = pix[:, :, 2].astype(np.int64)
+        y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+        cb = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+        cr = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+
+        # --- DCT basis: block_dct = M @ s @ M.T with
+        # M[u, x] = c_u/2 * cos((2x+1)uπ/16)
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+
+        def huffcodes(spec):
+            bits, vals = spec
+            out, code, i = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[vals[i]] = (code, ln)
+                    code += 1
+                    i += 1
+                code <<= 1
+            return out
+
+        hdc = [huffcodes(dc_l), huffcodes(dc_c), huffcodes(dc_c)]
+        hac = [huffcodes(ac_l), huffcodes(ac_c), huffcodes(ac_c)]
+        qtabs = [
+            np.asarray(q_luma, dtype=np.float64).reshape(8, 8),
+            np.asarray(q_chroma, dtype=np.float64).reshape(8, 8),
+            np.asarray(q_chroma, dtype=np.float64).reshape(8, 8),
+        ]
+
+        # --- bit writer with byte stuffing
+        out = bytearray()
+        acc, nbits = 0, 0
+
+        def put(code: int, ln: int) -> None:
+            nonlocal acc, nbits
+            acc = (acc << ln) | (code & ((1 << ln) - 1))
+            nbits += ln
+            while nbits >= 8:
+                nbits -= 8
+                byte = (acc >> nbits) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+
+        def put_coef(v: int, htab) -> None:
+            # magnitude category + V bits (negative: v-1 low bits)
+            a = abs(v)
+            ssss = a.bit_length()
+            code, ln = htab[ssss] if ssss in htab else htab.get(ssss, (None, None))
+            put(code, ln)
+            if ssss:
+                put(v if v >= 0 else v - 1 + (1 << ssss), ssss)
+
+        pred = [0, 0, 0]
+        bh, bw = h // 8, w // 8
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    s = planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ].astype(np.float64) - 128.0
+                    coef = m @ s @ m.T
+                    qc = coef / qtabs[ci]
+                    quant = (np.sign(qc) * np.floor(np.abs(qc) + 0.5)).astype(
+                        np.int64
+                    )
+                    zz = quant.reshape(64)[list(zig)]
+                    diff = int(zz[0]) - pred[ci]
+                    pred[ci] = int(zz[0])
+                    put_coef(diff, hdc[ci])
+                    run = 0
+                    last_nz = max(
+                        (k for k in range(1, 64) if zz[k] != 0), default=0
+                    )
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = hac[ci][0xF0]  # ZRL
+                            put(code, ln)
+                            run -= 16
+                        a = abs(v)
+                        ssss = a.bit_length()
+                        code, ln = hac[ci][(run << 4) | ssss]
+                        put(code, ln)
+                        put(v if v >= 0 else v - 1 + (1 << ssss), ssss)
+                        run = 0
+                    if last_nz < 63:
+                        code, ln = hac[ci][0x00]  # EOB
+                        put(code, ln)
+        if nbits:  # pad final byte with 1s
+            put((1 << (8 - nbits)) - 1, 8 - nbits)
+
+        # --- container
+        def seg(marker: int, payload: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        def dqt(tid: int, tab) -> bytes:
+            zzq = bytes(int(tab.reshape(64)[i]) for i in zig)
+            return seg(0xFFDB, bytes([tid]) + zzq)
+
+        def dht(cls: int, tid: int, spec) -> bytes:
+            bits, vals = spec
+            return seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals))
+
+        sof = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        return (
+            b"\xff\xd8"
+            + jfif
+            + dqt(0, qtabs[0])
+            + dqt(1, qtabs[1])
+            + dht(0, 0, dc_l)
+            + dht(1, 0, ac_l)
+            + dht(0, 1, dc_c)
+            + dht(1, 1, ac_c)
+            + sof
+            + sos
+            + bytes(out)
+            + b"\xff\xd9"
+        )
+
+    return encode_jpeg
+
+
+_encode_jpeg = _make_encode_jpeg()
+
+
+def _make_parse_jpeg():
+    """Factory (ships by value — see _make_parse_ppm) building a
+    baseline-sequential JPEG decoder written independently of the
+    encoder, from the T.81 decoding procedures: marker walk,
+    DQT/DHT/SOF0/SOS parsing (tables come from the STREAM, not from
+    assumptions about Annex K), canonical Huffman reconstruction from
+    BITS/HUFFVAL, bit-unstuffing entropy decode with per-component DC
+    prediction and the F.2.2.1 EXTEND, dequantization, dezigzag,
+    float64 IDCT, level shift, YCbCr→RGB, round-half-up + clamp.
+    Supported profile: 8-bit baseline (SOF0), 1 or 3 components, all
+    sampling factors 1×1, no restart intervals — anything else raises
+    ValueError (a corrupt or unsupported payload must fail loudly)."""
+    zig = _JPEG_ZIGZAG
+
+    def parse_jpeg(buf: bytes):
+        # corrupt/truncated payloads must fail loudly as ValueError —
+        # index/unpack errors from short segments are normalized here
+        import struct
+
+        try:
+            return _parse_jpeg_inner(buf)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+    def _parse_jpeg_inner(buf: bytes):
+        import struct
+
+        import numpy as np
+
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG: missing SOI")
+        pos = 2
+        qtabs: dict[int, np.ndarray] = {}
+        htabs: dict[tuple[int, int], tuple] = {}
+        frame = None  # (h, w, comps) where comps = [(cid, tq)]
+        scan = None
+
+        while pos < len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError(f"marker expected at {pos}")
+            marker = buf[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+                continue  # standalone
+            (ln,) = struct.unpack(">H", buf[pos : pos + 2])
+            body = buf[pos + 2 : pos + ln]
+            if marker == 0xDB:  # DQT (may hold several tables)
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 0xF
+                    if pq != 0:
+                        raise ValueError("only 8-bit quant tables supported")
+                    nat = np.zeros(64, dtype=np.int64)
+                    for i, natural in enumerate(zig):
+                        nat[natural] = body[o + 1 + i]
+                    qtabs[tq] = nat.reshape(8, 8)
+                    o += 65
+            elif marker == 0xC4:  # DHT (may hold several tables)
+                o = 0
+                while o < len(body):
+                    cls, tid = body[o] >> 4, body[o] & 0xF
+                    bits = list(body[o + 1 : o + 17])
+                    n = sum(bits)
+                    vals = list(body[o + 17 : o + 17 + n])
+                    # canonical reconstruction: (length, code) -> value
+                    lut, code, i = {}, 0, 0
+                    for L in range(1, 17):
+                        for _ in range(bits[L - 1]):
+                            lut[(L, code)] = vals[i]
+                            code += 1
+                            i += 1
+                        code <<= 1
+                    htabs[(cls, tid)] = lut
+                    o += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                comps = []
+                for i in range(nc):
+                    cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                    if samp != 0x11:
+                        raise ValueError("only 1x1 sampling supported")
+                    comps.append((cid, tq))
+                frame = (fh, fw, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("only baseline sequential (SOF0) supported")
+            elif marker == 0xDD:
+                raise ValueError("restart intervals not supported")
+            elif marker == 0xDA:  # SOS: entropy data follows
+                ns = body[0]
+                sel = []
+                for i in range(ns):
+                    cs, tda = body[1 + 2 * i], body[2 + 2 * i]
+                    sel.append((cs, tda >> 4, tda & 0xF))
+                scan = sel
+                pos += ln
+                break
+            pos += ln
+
+        if frame is None or scan is None:
+            raise ValueError("missing SOF0/SOS")
+        fh, fw, comps = frame
+        if fh % 8 or fw % 8:
+            raise ValueError("only multiple-of-8 dimensions supported")
+        order = []
+        for cs, td, ta in scan:
+            tq = dict(comps)[cs]
+            order.append((qtabs[tq], htabs[(0, td)], htabs[(1, ta)]))
+
+        # --- entropy segment: unstuff, then MSB-first bit reader
+        data = bytearray()
+        p = pos
+        while p < len(buf):
+            byte = buf[p]
+            if byte == 0xFF:
+                nxt = buf[p + 1]
+                if nxt == 0x00:
+                    data.append(0xFF)
+                    p += 2
+                    continue
+                break  # a real marker (EOI) ends the scan
+            data.append(byte)
+            p += 1
+        bitpos = 0
+        nbits_total = len(data) * 8
+
+        def getbit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits_total:
+                raise ValueError("truncated entropy segment")
+            byte = data[bitpos >> 3]
+            bit = (byte >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return bit
+
+        def receive(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | getbit()
+            return v
+
+        def huffdecode(lut) -> int:
+            code, L = 0, 0
+            while L < 16:
+                code = (code << 1) | getbit()
+                L += 1
+                if (L, code) in lut:
+                    return lut[(L, code)]
+            raise ValueError("invalid Huffman code")
+
+        def extend(v: int, t: int) -> int:
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        # --- IDCT basis (transpose relation to the FDCT)
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        m[0, :] *= 1.0 / np.sqrt(2.0)
+
+        nc = len(order)
+        planes = [np.zeros((fh, fw), dtype=np.float64) for _ in range(nc)]
+        pred = [0] * nc
+        for by in range(fh // 8):
+            for bx in range(fw // 8):
+                for ci, (qt, hdc, hac) in enumerate(order):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = huffdecode(hdc)
+                    diff = extend(receive(t), t) if t else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = huffdecode(hac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = extend(receive(s), s)
+                        k += 1
+                    nat = np.zeros(64, dtype=np.int64)
+                    for i, natural in enumerate(zig):
+                        nat[natural] = zz[i]
+                    coef = nat.reshape(8, 8) * qt
+                    blk = m.T @ coef @ m + 128.0
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+
+        if nc == 1:
+            gray = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+            return fw, fh, np.stack([gray] * 3, axis=-1)
+        yp, cbp, crp = planes
+        r = yp + 1.402 * (crp - 128.0)
+        g = yp - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0)
+        b = yp + 1.772 * (cbp - 128.0)
+        rgb = np.stack(
+            [np.clip(np.floor(ch + 0.5), 0, 255) for ch in (r, g, b)], axis=-1
+        ).astype(np.uint8)
+        return fw, fh, rgb
+
+    return parse_jpeg
+
+
+_parse_jpeg = _make_parse_jpeg()
+
+
+def attach_jpeg_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture a deterministic REAL entropy-coded image per row: a
+    baseline JPEG whose 8×8 blocks are each a constant gray — block b
+    carries the document's text byte b (tiled) on all three RGB
+    channels — with doc_id-derived multiple-of-8 dimensions. With the
+    DC quant step pinned to 1 this family roundtrips EXACTLY through
+    the lossy codec (see the section note), which is what lets the
+    decode query hash-match a SQL oracle. Payload bytes are a valid
+    JFIF file any external viewer could open."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, media BINARY, "
+        "media_meta STRUCT<format: STRING, n_bytes: INT, width: INT, height: INT>"
+    )
+    enc = _encode_jpeg  # closure capture: ships by value with the udf
+
+    def encode(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            medias, metas = [], []
+            for did, txt in zip(ids, pdf[text_col]):
+                w = 8 * (1 + int(did) % 3)  # 8 / 16 / 24
+                h = 8 * (1 + int(did) % 2)  # 8 / 16
+                bw, bh = w // 8, h // 8
+                body = (txt or "").encode("utf-8")
+                if body:
+                    vals = [body[k % len(body)] for k in range(bh * bw)]
+                else:
+                    vals = [0] * (bh * bw)
+                grid = np.asarray(vals, dtype=np.uint8).reshape(bh, bw)
+                gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+                payload = enc(np.stack([gray] * 3, axis=-1))
+                medias.append(payload)
+                metas.append(
+                    {"format": "jpeg", "n_bytes": len(payload), "width": w, "height": h}
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": medias, "media_meta": metas})
+
+    return df.select("doc_id", text_col).mapInPandas(encode, out_schema)
+
+
+def decode_resize_jpeg(
+    df: DataFrame, out_size: int = 16, media_col: str = "media"
+) -> DataFrame:
+    """Fused JPEG decode + nearest-neighbor resize — the decode_resize
+    contract (full-resolution pixels never leave the worker) over a
+    genuinely entropy-coded container: Huffman decode, dequant, IDCT,
+    color convert, then the same integer gather as the PPM/PNG paths."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "doc_id LONG, width INT, height INT, n_samples INT, "
+        "resized_dim INT, pixel_sum LONG, resized_sum DOUBLE"
+    )
+    parse = _parse_jpeg  # closure capture: ships by value with the udf
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            ws, hs, ns, sums = [], [], [], []
+            for buf in pdf[media_col]:
+                w, h, pix = parse(bytes(buf))
+                ri = (np.arange(out_size) * h // out_size).clip(max=h - 1)
+                ci = (np.arange(out_size) * w // out_size).clip(max=w - 1)
+                gathered = pix[np.ix_(ri, ci)].astype("int64")
+                ws.append(w)
+                hs.append(h)
+                ns.append(pix.size)
+                sums.append(int(gathered.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": np.asarray(ws, dtype="int32"),
+                    "height": np.asarray(hs, dtype="int32"),
+                    "n_samples": np.asarray(ns, dtype="int32"),
+                    "resized_dim": np.full(len(ids), out_size * out_size * 3, "int32"),
+                    "pixel_sum": np.asarray(sums, dtype="int64"),
+                    "resized_sum": np.asarray(sums, dtype="float64") / 255.0,
                 }
             )
 

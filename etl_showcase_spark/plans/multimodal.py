@@ -230,6 +230,63 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5 ENTROPY-CODED image (round 13 — closes the last stubbed codec
+# class): baseline-sequential JPEG from ITU-T T.81, encoder + an
+# independently-written decoder, both pure stdlib+numpy
+# (operators/multimodal.py:_make_encode_jpeg/_make_parse_jpeg — marker
+# walk, stream-parsed DQT/DHT, canonical Huffman, byte unstuffing, DC
+# prediction + EXTEND, dequant, IDCT, YCbCr→RGB). Lossy codecs can't
+# replay arbitrary pixels in SQL, so the payload family is chosen to
+# make the loss EXACTLY zero: constant-gray 8×8 blocks (one text byte
+# per block, DC quant step 1) — the bitstream still exercises Huffman/
+# DC-diff/EOB/stuffing for real, and DuckDB recomputes every decoded
+# pixel from the parquet columns alone. The 16×16 nearest-neighbor
+# gather replays as integer index arithmetic: source pixel (ri, ci)
+# belongs to block (ri//8)*(w/8) + (ci//8), whose value is
+# ascii(text[block % L]). General (AC-coefficient) images are covered
+# in tests/test_multimodal.py against an independent direct-cosine
+# reference pipeline.
+# ---------------------------------------------------------------------------
+
+_JPEG_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         LENGTH(text) AS L
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w, h,
+         CASE WHEN L > 0 THEN
+           list_sum(list_transform(range(0, 768), k ->
+             ascii(substr(text, CAST((
+               (LEAST(((k // 48) * h) // 16, h - 1) // 8) * (w // 8)
+               + (LEAST((((k // 3) % 16) * w) // 16, w - 1) // 8)
+             ) % L AS BIGINT) + 1, 1))))
+         ELSE 0 END AS pixel_sum
+  FROM d
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h * 3 AS INT) AS n_samples,
+       CAST(768 AS INT) AS resized_dim,
+       CAST(pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(pixel_sum AS DOUBLE) / 255.0 AS resized_sum
+FROM g
+"""
+
+
+@register("multimodal_jpeg_decode", oracle=_JPEG_DECODE_ORACLE, tags=("L5",))
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_jpeg_media, decode_resize_jpeg
+
+    d = attach_jpeg_media(table(spark, sf_dir, "documents"))
+    return decode_resize_jpeg(d, out_size=16)
+
+
+# ---------------------------------------------------------------------------
 # L5 × L7: shard packing by byte budget — media payloads packed into
 # 64 KiB shards per source (the training-data sharding step that turns
 # billions of small media blobs into bounded-size archive shards).

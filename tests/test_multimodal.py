@@ -51,8 +51,9 @@ def test_frame_sample_covers_payload(spark):
 
 def test_decode_stub_contract():
     decode_media("raw")  # supported fake codec: no-op
+    decode_media("jpeg")  # real from-spec decoder since round 13
     with pytest.raises(NotImplementedError):
-        decode_media("jpeg")
+        decode_media("mp4")
 
 
 def test_decode_and_resize(spark):
@@ -93,7 +94,7 @@ def test_decode_stub_raises_for_unknown_codec(spark):
     bad = d.withColumn(
         "media_meta",
         F.struct(
-            F.lit("jpeg").alias("format"),
+            F.lit("mp4").alias("format"),
             F.col("media_meta.n_bytes").alias("n_bytes"),
             F.lit(0).alias("width"),
             F.lit(0).alias("height"),
@@ -334,3 +335,217 @@ def test_png_decode_resize_matches_ppm_path(spark):
         for r in decode_resize_ppm(attach_ppm_media(d), out_size=32).collect()
     }
     assert a == b and len(a) == 40
+
+
+# ---------------------------------------------------------------------------
+# JPEG (round 13): the entropy-codec pair, tested at three levels —
+# exact roundtrip on the oracle payload family, bit-equality with an
+# independent direct-cosine reference pipeline on general images (AC
+# run-length path), and loud failure on unsupported profiles.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_ref_pipeline(img):
+    """Independent reference: direct O(64^2) cosine double-sum FDCT and
+    IDCT in plain loops (the T.81 A.3.3 formulas verbatim), the same
+    integer-exact color transforms, no code shared with the codec's
+    separable matrix implementation. Its only virtue is that it cannot
+    share a bug with the vectorized encoder/decoder."""
+    import numpy as np
+
+    from etl_showcase_spark.operators.multimodal import (
+        _JPEG_Q_CHROMA,
+        _JPEG_Q_LUMA,
+    )
+
+    h, w, _ = img.shape
+    r, g, b = (img[:, :, i].astype(np.int64) for i in range(3))
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    cb = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+    cr = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+    planes = [np.clip(p, 0, 255).astype(np.float64) for p in (y, cb, cr)]
+    qts = [
+        np.array(_JPEG_Q_LUMA, dtype=np.float64).reshape(8, 8),
+        np.array(_JPEG_Q_CHROMA, dtype=np.float64).reshape(8, 8),
+        np.array(_JPEG_Q_CHROMA, dtype=np.float64).reshape(8, 8),
+    ]
+
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    outp = []
+    for ci, p in enumerate(planes):
+        o = np.zeros_like(p)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                s = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                S = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        acc = 0.0
+                        for yy in range(8):
+                            for xx in range(8):
+                                acc += (
+                                    s[yy, xx]
+                                    * np.cos((2 * xx + 1) * v * np.pi / 16)
+                                    * np.cos((2 * yy + 1) * u * np.pi / 16)
+                                )
+                        S[u, v] = 0.25 * c(u) * c(v) * acc
+                q = np.sign(S / qts[ci]) * np.floor(np.abs(S / qts[ci]) + 0.5)
+                R = q * qts[ci]
+                blk = np.zeros((8, 8))
+                for yy in range(8):
+                    for xx in range(8):
+                        acc = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                acc += (
+                                    c(u)
+                                    * c(v)
+                                    * R[u, v]
+                                    * np.cos((2 * xx + 1) * v * np.pi / 16)
+                                    * np.cos((2 * yy + 1) * u * np.pi / 16)
+                                )
+                        blk[yy, xx] = acc / 4.0 + 128.0
+                o[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        outp.append(o)
+    yp, cbp, crp = outp
+    rr = yp + 1.402 * (crp - 128)
+    gg = yp - 0.344136 * (cbp - 128) - 0.714136 * (crp - 128)
+    bb = yp + 1.772 * (cbp - 128)
+    import numpy as np  # noqa: F811
+
+    return np.stack(
+        [np.clip(np.floor(ch + 0.5), 0, 255) for ch in (rr, gg, bb)], -1
+    ).astype("uint8")
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    # the oracle payload family: constant-gray 8x8 blocks with the DC
+    # quant step pinned to 1 must survive the LOSSY codec EXACTLY —
+    # this is the property the registered query's hash check rests on
+    import numpy as np
+
+    from etl_showcase_spark.operators.multimodal import _encode_jpeg, _parse_jpeg
+
+    rng = np.random.RandomState(13)
+    for bw, bh in [(1, 1), (3, 2), (2, 1)]:
+        grid = rng.randint(0, 128, size=(bh, bw)).astype(np.uint8)
+        gray = np.kron(grid, np.ones((8, 8), dtype=np.uint8))
+        img = np.stack([gray] * 3, axis=-1)
+        buf = _encode_jpeg(img)
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        assert b"JFIF\x00" in buf[:32]
+        w, h, dec = _parse_jpeg(buf)
+        assert (w, h) == (bw * 8, bh * 8)
+        assert np.array_equal(dec, img)
+
+
+def test_jpeg_matches_independent_reference_on_general_images():
+    # general images make every AC machinery real: nonzero AC
+    # coefficients, zero runs, ZRL, EOB placement, magnitude
+    # categories, stuffed 0xFF bytes. The full encode -> bitstream ->
+    # decode path must be BIT-IDENTICAL to the independent direct-
+    # cosine reference of dequant(quant(dct)) — i.e. the bitstream is
+    # a lossless carrier of the quantized coefficients and the IDCT /
+    # color convert agree to the final uint8
+    import numpy as np
+
+    from etl_showcase_spark.operators.multimodal import _encode_jpeg, _parse_jpeg
+
+    from etl_showcase_spark.operators.multimodal import _JPEG_Q_CHROMA, _JPEG_Q_LUMA
+
+    def boundary_distance(img):
+        # min distance of any |DCT coeff|/q to a round-half-away
+        # boundary: bit-equality between two float FDCT spellings is
+        # only meaningful when no coefficient sits ON a quantization
+        # boundary (there a 1e-12 FDCT difference legally flips a whole
+        # quant step). The seeds below are fixed AND guarded, so the
+        # comparison can never silently become vacuous.
+        r, g, b = (img[:, :, i].astype(np.int64) for i in range(3))
+        y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+        cb = 128 + ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16)
+        cr = 128 + ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16)
+        planes = [np.clip(p, 0, 255).astype(np.float64) for p in (y, cb, cr)]
+        qts = [np.array(_JPEG_Q_LUMA, float).reshape(8, 8)] + [
+            np.array(_JPEG_Q_CHROMA, float).reshape(8, 8)
+        ] * 2
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        m[0, :] *= 1 / np.sqrt(2)
+        h, w, _ = img.shape
+        dmin = 1.0
+        for ci, p in enumerate(planes):
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    s = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    q = np.abs((m @ s @ m.T) / qts[ci]) + 0.5
+                    dmin = min(dmin, float(np.min(np.abs(q - np.round(q)))))
+        return dmin
+
+    stuffed = False
+    for seed in (1, 3, 5):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(8, 16, 3)).astype(np.uint8)
+        assert boundary_distance(img) > 1e-6, f"seed {seed} hits a quant boundary"
+        buf = _encode_jpeg(img)
+        stuffed = stuffed or (b"\xff\x00" in buf)
+        _, _, dec = _parse_jpeg(buf)
+        ref = _jpeg_ref_pipeline(img)
+        assert np.array_equal(dec, ref), f"seed {seed}: codec diverges from reference"
+    assert stuffed, "no 0xFF byte ever stuffed — stuffing path untested"
+
+
+def test_jpeg_unsupported_profiles_fail_loudly():
+    import numpy as np
+    import pytest
+
+    from etl_showcase_spark.operators.multimodal import _encode_jpeg, _parse_jpeg
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    buf = bytearray(_encode_jpeg(img))
+    # progressive SOF2 instead of baseline SOF0
+    sof = buf.find(b"\xff\xc0")
+    buf2 = bytes(buf[:sof]) + b"\xff\xc2" + bytes(buf[sof + 2 :])
+    with pytest.raises(ValueError, match="baseline"):
+        _parse_jpeg(buf2)
+    # truncated entropy segment
+    with pytest.raises(ValueError):
+        _parse_jpeg(bytes(buf[: len(buf) // 2]))
+    # dimensions not multiples of 8 rejected at the encoder
+    with pytest.raises(ValueError):
+        _encode_jpeg(np.zeros((9, 8, 3), dtype=np.uint8))
+
+
+def test_jpeg_decode_query_matches_closed_form(spark):
+    # the Spark-side path end-to-end: attach (encode) -> decode ->
+    # resize over real documents must equal the closed form the SQL
+    # oracle replays (block value = text byte at block index)
+    from etl_showcase_spark.catalog import table
+    from etl_showcase_spark.operators.multimodal import (
+        attach_jpeg_media,
+        decode_resize_jpeg,
+    )
+    from .conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").limit(60)
+    got = (
+        decode_resize_jpeg(attach_jpeg_media(docs), out_size=16)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    src = docs.select("doc_id", "text").toPandas().set_index("doc_id").sort_index()
+    for did, row in got.iterrows():
+        body = (src.loc[did, "text"] or "").encode("utf-8")
+        w, h = int(row["width"]), int(row["height"])
+        assert (w, h) == (8 * (1 + did % 3), 8 * (1 + did % 2))
+        expect = 0
+        for k in range(768):
+            i, j = k // 48, (k // 3) % 16
+            ri = min(i * h // 16, h - 1)
+            ci = min(j * w // 16, w - 1)
+            blk = (ri // 8) * (w // 8) + (ci // 8)
+            expect += body[blk % len(body)] if body else 0
+        assert int(row["pixel_sum"]) == expect, did
