@@ -2790,3 +2790,106 @@ def cluster_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L4/F11 mojibake detection + repair audit ([EXT] — round-13: the
+# encoding-repair stage every web-scale text pipeline runs before
+# anything else, ftfy-style. The classic corruption is UTF-8 bytes
+# misdecoded as latin-1: 'á' (0xC3 0xA1) becomes the two-character
+# sequence 'Ã¡'. The corpus is pure ASCII, so — exactly like
+# pii_redact_rewrite injects synthetic PII — a deterministic
+# doc_id-keyed feed simulates the damaged upstream: docs with
+# doc_id%3==0 arrive with every 'a' double-encoded to 'Ã¡', docs with
+# doc_id%7==0 with every 'e' as 'Ã©' (both can apply). The repair maps
+# each mojibake sequence back to its true single character; md5
+# equality of repair(feed) against the independently-built expected
+# text proves the rewrite is byte-identical cross-engine, per source:
+# detection counts, exact sequence counts (char-delta arithmetic), and
+# the repaired-match tally (must equal n_docs — enforced in tests).
+# Plain (non-regex) replace chains: JVM-side, one map stage, no
+# shuffle beyond the final low-cardinality agg.
+# ---------------------------------------------------------------------------
+
+_MOJI_PAIRS = (("Ã¡", "á", "a", 3), ("Ã©", "é", "e", 7))
+
+_MOJI_ORACLE = """
+WITH feed AS (
+  SELECT doc_id, source, text,
+         CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'Ã¡') ELSE text END
+           AS f1
+  FROM documents
+),
+feed2 AS (
+  SELECT doc_id, source, text,
+         CASE WHEN doc_id % 7 = 0 THEN replace(f1, 'e', 'Ã©') ELSE f1 END AS raw
+  FROM feed
+),
+expected AS (
+  SELECT doc_id, source, raw,
+         CASE WHEN doc_id % 7 = 0 THEN
+           replace(CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'á')
+                        ELSE text END, 'e', 'é')
+         ELSE CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'á')
+                   ELSE text END END AS want
+  FROM feed2
+),
+audit AS (
+  SELECT source,
+         raw LIKE '%Ã%' AS detected,
+         (LENGTH(raw) - LENGTH(replace(raw, 'Ã¡', ''))) // 2 AS n_seq_a,
+         (LENGTH(raw) - LENGTH(replace(raw, 'Ã©', ''))) // 2 AS n_seq_e,
+         md5(replace(replace(raw, 'Ã¡', 'á'), 'Ã©', 'é')) = md5(want)
+           AS repaired_ok,
+         LENGTH(raw) - LENGTH(replace(replace(raw, 'Ã¡', 'á'), 'Ã©', 'é'))
+           AS char_delta
+  FROM expected
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+       CAST(SUM(n_seq_a) AS BIGINT) AS n_seq_a,
+       CAST(SUM(n_seq_e) AS BIGINT) AS n_seq_e,
+       CAST(SUM(CASE WHEN repaired_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repaired_ok,
+       CAST(SUM(char_delta) AS BIGINT) AS chars_recovered
+FROM audit
+GROUP BY source
+"""
+
+
+@register("mojibake_repair_audit", oracle=_MOJI_ORACLE, tags=("L4", "F11", "Q1"))
+def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    raw = F.col("text")
+    want = F.col("text")
+    for moji, true_ch, ascii_ch, mod in _MOJI_PAIRS:
+        hit = F.col("doc_id") % mod == 0
+        raw = F.when(hit, F.replace(raw, F.lit(ascii_ch), F.lit(moji))).otherwise(raw)
+        want = F.when(hit, F.replace(want, F.lit(ascii_ch), F.lit(true_ch))).otherwise(
+            want
+        )
+    repaired = F.col("raw")
+    for moji, true_ch, _ascii_ch, _mod in _MOJI_PAIRS:
+        repaired = F.replace(repaired, F.lit(moji), F.lit(true_ch))
+    seq_count = {
+        moji: ((F.length("raw") - F.length(F.replace(F.col("raw"), F.lit(moji), F.lit(""))))
+               / 2).cast("bigint")
+        for moji, *_ in _MOJI_PAIRS
+    }
+    audit = d.select("source", raw.alias("raw"), want.alias("want")).select(
+        "source",
+        F.col("raw").contains("Ã").alias("detected"),
+        seq_count["Ã¡"].alias("n_seq_a"),
+        seq_count["Ã©"].alias("n_seq_e"),
+        (F.md5(repaired) == F.md5("want")).alias("repaired_ok"),
+        (F.length("raw") - F.length(repaired)).cast("bigint").alias("char_delta"),
+    )
+    return audit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("detected").cast("int")).cast("bigint").alias("n_mojibake"),
+        F.sum("n_seq_a").cast("bigint").alias("n_seq_a"),
+        F.sum("n_seq_e").cast("bigint").alias("n_seq_e"),
+        F.sum(F.col("repaired_ok").cast("int")).cast("bigint").alias("n_repaired_ok"),
+        F.sum("char_delta").cast("bigint").alias("chars_recovered"),
+    )

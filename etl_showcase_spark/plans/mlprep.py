@@ -5326,3 +5326,106 @@ def manifest_excision_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, base, version=v2).select(
         "batch_id", "n_docs", "sum_chars", "head_doc", "tail_doc", "repaired"
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 FIM (fill-in-the-middle) span-corruption plan ([EXT] — round-13:
+# the deterministic augmentation planner for infilling-trained models,
+# "Efficient Training of Language Models to Fill in the Middle",
+# Bavarian et al. 2022, public). Each document draws two md5-derived
+# cut points (no RNG — the seeded-epoch-shuffle discipline, so any
+# executor re-derives the same plan) splitting it into
+# prefix/middle/suffix; a third salted draw picks PSM vs SPM document
+# ordering 50/50. Documents too short to split (< 8 chars) are kept
+# whole and counted. The plan is emitted at the (source, mode) grain —
+# exact integer char budgets per segment plus the exact-ppm middle
+# fraction — which is what a training-mix controller consumes; the
+# doc-grain plan is the same expressions ungrouped. All arithmetic is
+# integer (conv/md5, div, least/greatest), so DuckDB replays the whole
+# plan bit-for-bit.
+# Scale: one scan, one hash-agg on a low-cardinality key; no joins.
+# ---------------------------------------------------------------------------
+
+_FIM_MIN_CHARS = 8
+
+_FIM_ORACLE = f"""
+WITH cuts AS (
+  SELECT source, doc_id,
+         CAST(n_chars AS BIGINT) AS L,
+         n_chars >= {_FIM_MIN_CHARS} AS eligible,
+         1 + CAST(('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % (n_chars - 1) AS c1,
+         1 + CAST(('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % (n_chars - 1) AS c2,
+         CASE WHEN substr(md5('fimm:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+              THEN 'psm' ELSE 'spm' END AS mode
+  FROM documents WHERE n_chars >= 2
+),
+plan AS (
+  SELECT source, mode, L, eligible,
+         CASE WHEN eligible THEN LEAST(c1, c2) ELSE L END AS prefix_len,
+         CASE WHEN eligible THEN GREATEST(c1, c2) - LEAST(c1, c2) ELSE 0 END
+           AS middle_len,
+         CASE WHEN eligible THEN L - GREATEST(c1, c2) ELSE 0 END AS suffix_len
+  FROM cuts
+)
+SELECT source, mode,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN eligible THEN 0 ELSE 1 END) AS BIGINT) AS n_whole,
+       CAST(SUM(prefix_len) AS BIGINT) AS sum_prefix,
+       CAST(SUM(middle_len) AS BIGINT) AS sum_middle,
+       CAST(SUM(suffix_len) AS BIGINT) AS sum_suffix,
+       CAST(MAX(middle_len * 1000000 // L) AS BIGINT) AS max_middle_ppm,
+       CAST(SUM(middle_len * 1000000 // L) AS DOUBLE) / COUNT(*) AS avg_middle_ppm
+FROM plan
+GROUP BY source, mode
+"""
+
+
+@register("fim_span_corruption_plan", oracle=_FIM_ORACLE, tags=("L6", "F1", "G8"))
+def fim_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 2)
+    L = F.col("n_chars").cast("bigint")
+
+    def draw(salt: str) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        return F.lit(1) + h % (L - 1)
+
+    eligible = F.col("n_chars") >= _FIM_MIN_CHARS
+    c1, c2 = draw("fim1:"), draw("fim2:")
+    mode = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("fimm:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "8",
+        "psm",
+    ).otherwise("spm")
+    plan = d.select(
+        "source",
+        mode.alias("mode"),
+        L.alias("L"),
+        eligible.alias("eligible"),
+        F.when(eligible, F.least(c1, c2)).otherwise(L).alias("prefix_len"),
+        F.when(eligible, F.greatest(c1, c2) - F.least(c1, c2))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("middle_len"),
+        F.when(eligible, L - F.greatest(c1, c2))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("suffix_len"),
+    )
+    ppm = F.expr("middle_len * 1000000 div L")
+    return plan.groupBy("source", "mode").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((~F.col("eligible")).cast("int")).cast("bigint").alias("n_whole"),
+        F.sum("prefix_len").cast("bigint").alias("sum_prefix"),
+        F.sum("middle_len").cast("bigint").alias("sum_middle"),
+        F.sum("suffix_len").cast("bigint").alias("sum_suffix"),
+        F.max(ppm).cast("bigint").alias("max_middle_ppm"),
+        (F.sum(ppm).cast("double") / F.count(F.lit(1))).alias("avg_middle_ppm"),
+    )
