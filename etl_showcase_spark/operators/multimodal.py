@@ -1637,3 +1637,34 @@ def decode_resize_jpeg(
             )
 
     return df.select("doc_id", media_col).mapInPandas(run, out_schema)
+
+
+def jpeg_ahash(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Perceptual average-hash over DECODED JPEG payloads: entropy
+    decode (full parse_jpeg path), gray 8×8 nearest-neighbor gather,
+    then the 64-bit aHash emitted as a bit-string (engine-portable —
+    no int64 sign games). bit = (64·pixel > Σpixels), strict integer
+    compare, so the SQL oracle replays it exactly. The full-resolution
+    pixels never leave the worker — one fused mapInPandas stage."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "doc_id LONG, ahash STRING"
+    parse = _parse_jpeg  # closure capture: ships by value with the udf
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            hashes = []
+            for buf in pdf[media_col]:
+                w, h, pix = parse(bytes(buf))
+                gray = pix[:, :, 0].astype("int64")  # gray payloads: R==G==B
+                ri = (np.arange(8) * h // 8).clip(max=h - 1)
+                ci = (np.arange(8) * w // 8).clip(max=w - 1)
+                g = gray[np.ix_(ri, ci)]
+                total = int(g.sum())
+                bits = (64 * g > total).astype(np.uint8).reshape(64)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.select("doc_id", media_col).mapInPandas(run, out_schema)

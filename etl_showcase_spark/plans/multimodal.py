@@ -2,8 +2,9 @@
 typed metadata, batch-vectorized feature extraction, frame sampling.
 
 The payloads are manufactured deterministically from documents.text
-(utf-8 bytes) so the whole path runs and oracle-checks end-to-end; the
-codec decode for real media formats is the one stubbed step
+(utf-8 bytes) so the whole path runs and oracle-checks end-to-end.
+Real from-spec codecs cover PPM, PNG, WAV, and (round 13) baseline
+JPEG; only MP3/MP4 decode remains stubbed
 (operators/multimodal.py:decode_media).
 """
 
@@ -690,4 +691,72 @@ def image_patch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.least("n_sigs_a", "n_sigs_b")
             ).alias("patch_overlap"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5 × L2 composition (round 13): perceptual near-dup over DECODED
+# entropy-coded images — the image-dedup stage of a multimodal
+# training pipeline, fed by the real JPEG decoder rather than raw
+# bytes (byte-level hashing misses re-encodes; pixel-level hashing is
+# the production spelling). Each payload entropy-decodes, gathers a
+# gray 8×8 aHash (strict integer bit rule 64·pixel > Σ), and images
+# collide at the hash grain; clusters of ≥2 are the near-dup work
+# list. The oracle replays the decoded pixels (constant-block family —
+# exact through the codec), the 8×8 gather, the bit rule, and the
+# grouping, so one hash proves decode → feature → dedup end-to-end.
+# Scale: decode is embarrassingly parallel; the dedup is one hash-agg
+# on the 64-bit key (the exact-dedup shape, never pairwise).
+# ---------------------------------------------------------------------------
+
+_JPEG_AHASH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, text,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + doc_id % 2) AS h,
+         LENGTH(text) AS L
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), k ->
+           CASE WHEN L > 0 THEN
+             ascii(substr(text, CAST((
+               (LEAST(((k // 8) * h) // 8, h - 1) // 8) * (w // 8)
+               + (LEAST(((k % 8) * w) // 8, w - 1) // 8)
+             ) % L AS BIGINT) + 1, 1))
+           ELSE 0 END) AS g
+  FROM d
+),
+hashed AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(g, v ->
+             CASE WHEN 64 * v > list_sum(g) THEN '1' ELSE '0' END), '')
+           AS ahash
+  FROM px
+)
+SELECT ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM hashed
+GROUP BY ahash
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("jpeg_ahash_neardup", oracle=_JPEG_AHASH_ORACLE, tags=("L5", "L2"))
+def jpeg_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_jpeg_media, jpeg_ahash
+
+    hashed = jpeg_ahash(attach_jpeg_media(table(spark, sf_dir, "documents")))
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_images") >= 2)
     )

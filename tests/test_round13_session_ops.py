@@ -81,3 +81,13 @@ def test_snapshot_commit_lands_filelist(spark, tmp_path):
     v = write_snapshot(spark.range(10).select(F.col("id").alias("k")), base)
     assert os.path.exists(os.path.join(base, f"v={v}", "_FILELIST.json"))
     assert read_snapshot(spark, base, v).count() == 10
+
+
+def test_jpeg_ahash_neardup_not_vacuous(spark):
+    # decode -> feature -> dedup composition: collisions must actually
+    # occur at smoke scale (the HAVING >= 2 filter is not vacuous), and
+    # every hash is a 64-char bitstring
+    pdf = SPECS["jpeg_ahash_neardup"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0, "no ahash collisions at smoke scale — vacuous"
+    assert (pdf["n_images"] >= 2).all()
+    assert pdf["ahash"].str.fullmatch("[01]{64}").all()
