@@ -77,12 +77,26 @@ def test_every_registered_query_is_tagged_and_unique():
         assert spec.build is not None
 
 
+# Queries whose oracle legitimately CALLS wall-clock but projects only
+# deterministic DERIVED facts from it (never a raw timestamp value in
+# the output — that could never hash-match). Each entry must state why.
+_WALL_CLOCK_DERIVED_FACTS_ONLY = {
+    # round 13 (VERDICT r12 item 2): injects NOW() like the reference's
+    # processed_at, but outputs only present/ISO-valid/single-stamp
+    # flags; the raw-timestamp vacuity guard is
+    # tests/test_oracle_parity.py::test_audit_timestamp_flags_not_vacuous
+    "audit_timestamp_injection",
+}
+
+
 def test_oracle_sql_has_no_wall_clock():
-    # wall-clock in oracle-checked output can never hash-match
+    # wall-clock VALUES in oracle-checked output can never hash-match;
+    # a wall-clock CALL is allowed only for the exempted derived-facts
+    # queries above
     from etl_showcase_spark.registry import all_specs
 
     for name, spec in all_specs().items():
-        if spec.oracle:
+        if spec.oracle and name not in _WALL_CLOCK_DERIVED_FACTS_ONLY:
             low = spec.oracle.lower()
             assert "current_timestamp" not in low and "now()" not in low, (
                 f"{name} oracle contains wall-clock"
