@@ -1103,6 +1103,177 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3/L4 chunk-grain neighbor retrieval ([EXT] — round-13: the RAG/RETRO
+# index-build shape at the CHUNK grain — "for this passage, the
+# most-similar passages from OTHER documents". No model in the
+# container, so the chunk embedding is the classic hashed bag-of-words:
+# each token is md5-bucketed into one of _CNB_DIMS integer counts —
+# feature hashing (Weinberger et al.), exact integers end-to-end, so
+# the DuckDB twin replays bucketing, dots, and ranking bit-for-bit.
+# The same-document exclusion is the RETRO training rule (neighbors
+# from the doc itself are leakage, not context). Scale shape: vectors
+# live in LONG form (chunk, dim, count) — the dot join is keyed on the
+# 16-value dim domain with the query side filtered to the O(1) strided
+# panel first, so the pair space is panel × corpus-chunks — the
+# brute-force ANN envelope (corpus streams once), never
+# chunks × chunks; everything else is map-side or panel-sized.
+# ---------------------------------------------------------------------------
+
+_CNB_DIMS, _CNB_K = 16, 5
+
+_CNB_ORACLE = f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM documents
+),
+ch AS (
+  SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+         SUBSTR(text, idx * {_STRIDE} + 1, {_CHUNK}) AS text
+  FROM (
+    SELECT doc_id, text,
+           1 + CASE WHEN LENGTH(text) <= {_CHUNK} THEN 0
+                    ELSE (LENGTH(text) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} END
+             AS n_chunks
+    FROM documents
+  ) n, UNNEST(generate_series(0, n_chunks - 1)) AS t(idx)
+),
+tok AS (
+  SELECT doc_id, chunk_idx, UNNEST({_SQL_TOKS}) AS term FROM ch
+),
+vec AS (
+  SELECT doc_id, chunk_idx,
+         CAST('0x' || SUBSTR(MD5(term || '|hb'), 1, 8) AS BIGINT) % {_CNB_DIMS}
+           AS dim,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM tok GROUP BY 1, 2, 3
+),
+nrm AS (SELECT doc_id, chunk_idx, SUM(x*x) AS sq FROM vec GROUP BY 1, 2),
+qv AS (
+  SELECT v.* FROM vec v, s WHERE v.doc_id % s.stride = 0 AND v.chunk_idx = 0
+),
+dots AS (
+  SELECT q.doc_id AS q_doc_id, q.chunk_idx AS q_chunk_idx,
+         c.doc_id AS c_doc_id, c.chunk_idx AS c_chunk_idx,
+         SUM(q.x * c.x) AS dot
+  FROM qv q JOIN vec c ON q.dim = c.dim AND q.doc_id <> c.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+scored AS (
+  SELECT d.q_doc_id, d.q_chunk_idx, d.c_doc_id, d.c_chunk_idx,
+         CAST(d.dot AS BIGINT) AS dot,
+         CAST(d.dot AS DOUBLE)
+           / (SQRT(CAST(a.sq AS DOUBLE)) * SQRT(CAST(b.sq AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN nrm a ON d.q_doc_id = a.doc_id AND d.q_chunk_idx = a.chunk_idx
+  JOIN nrm b ON d.c_doc_id = b.doc_id AND d.c_chunk_idx = b.chunk_idx
+)
+SELECT q_doc_id, q_chunk_idx, c_doc_id, c_chunk_idx, dot, cosine,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc_id, q_chunk_idx
+            ORDER BY cosine DESC, c_doc_id ASC, c_chunk_idx ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {_CNB_K}
+"""
+
+
+@register("chunk_neighbor_topk", oracle=_CNB_ORACLE, tags=("L3", "L4", "A2"))
+def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hash_key
+    from ..operators.relational import topk_per_group
+
+    d = table(spark, sf_dir, "documents")
+    n_chunks = F.lit(1) + F.when(F.length("text") <= _CHUNK, F.lit(0)).otherwise(
+        F.expr(f"(length(text) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}")
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias("__idx")
+    chunk = F.col("text").substr(
+        (F.col("__idx") * _STRIDE + 1).cast("int"), F.lit(_CHUNK)
+    )
+    ch = (
+        d.select("doc_id", "text", n_chunks.alias("__n_chunks"))
+        .select("doc_id", "text", idx)
+        .select(
+            "doc_id", F.col("__idx").cast("int").alias("chunk_idx"),
+            chunk.alias("chunk"),
+        )
+    )
+    tok = ch.select(
+        "doc_id", "chunk_idx", F.explode(textops.tokens("chunk")).alias("term")
+    )
+    dim = (
+        F.conv(F.substring(hash_key(F.col("term"), "hb"), 1, 8), 16, 10)
+        .cast("bigint") % _CNB_DIMS
+    )
+    # persisted: consumed by norms, the panel, AND the dot join
+    vec = (
+        tok.groupBy("doc_id", "chunk_idx", dim.alias("dim"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .transform(tracked_persist)
+    )
+    nrm = vec.groupBy("doc_id", "chunk_idx").agg(
+        F.sum(F.col("x") * F.col("x")).alias("sq")
+    )
+    stride = d.agg(
+        F.greatest(F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long"))
+        .alias("__stride")
+    )
+    qv = (
+        vec.crossJoin(F.broadcast(stride))
+        .filter((F.col("doc_id") % F.col("__stride") == 0) & (F.col("chunk_idx") == 0))
+        .select(
+            F.col("doc_id").alias("q_doc_id"),
+            F.col("chunk_idx").alias("q_chunk_idx"),
+            "dim",
+            F.col("x").alias("qx"),
+        )
+    )
+    cv = vec.select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.col("chunk_idx").alias("c_chunk_idx"),
+        "dim",
+        F.col("x").alias("cx"),
+    )
+    dots = (
+        qv.join(cv, "dim")
+        .filter(F.col("q_doc_id") != F.col("c_doc_id"))
+        .groupBy("q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx")
+        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
+    )
+    a = nrm.select(
+        F.col("doc_id").alias("q_doc_id"),
+        F.col("chunk_idx").alias("q_chunk_idx"),
+        F.col("sq").alias("sqa"),
+    )
+    b = nrm.select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.col("chunk_idx").alias("c_chunk_idx"),
+        F.col("sq").alias("sqb"),
+    )
+    scored = (
+        dots.join(a, ["q_doc_id", "q_chunk_idx"])
+        .join(b, ["c_doc_id", "c_chunk_idx"])
+        .select(
+            "q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx",
+            F.col("dot").cast("bigint").alias("dot"),
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("sqa").cast("double")) * F.sqrt(F.col("sqb").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    return topk_per_group(
+        scored,
+        ["q_doc_id", "q_chunk_idx"],
+        [F.col("cosine").desc(), F.col("c_doc_id").asc(), F.col("c_chunk_idx").asc()],
+        _CNB_K,
+        rank_col="rnk",
+    ).select(
+        "q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx", "dot", "cosine",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L1+F11 normalization-aware dedup ([EXT] — the curation step between
 # exact and near dedup: case-fold, strip non-alphanumerics, collapse
 # runs of whitespace, THEN group. Catches trivially-reformatted copies
@@ -2858,9 +3029,13 @@ GROUP BY source
 """
 
 
-@register("mojibake_repair_audit", oracle=_MOJI_ORACLE, tags=("L4", "F11", "Q1"))
-def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+def moji_doc_audit(d: DataFrame) -> DataFrame:
+    """Doc-grain mojibake audit facts over any frame with (doc_id,
+    source, text): the deterministic damaged feed, its repair, and the
+    per-doc counters — shared by the batch aggregate below and the
+    per-source GroupState fold in streaming/jobs.py
+    (stream_mojibake_repair_state). Pure JVM replace chains, no
+    shuffle."""
     raw = F.col("text")
     want = F.col("text")
     for moji, true_ch, ascii_ch, mod in _MOJI_PAIRS:
@@ -2877,7 +3052,8 @@ def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                / 2).cast("bigint")
         for moji, *_ in _MOJI_PAIRS
     }
-    audit = d.select("source", raw.alias("raw"), want.alias("want")).select(
+    return d.select("doc_id", "source", raw.alias("raw"), want.alias("want")).select(
+        "doc_id",
         "source",
         F.col("raw").contains("Ã").alias("detected"),
         seq_count["Ã¡"].alias("n_seq_a"),
@@ -2885,6 +3061,11 @@ def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.md5(repaired) == F.md5("want")).alias("repaired_ok"),
         (F.length("raw") - F.length(repaired)).cast("bigint").alias("char_delta"),
     )
+
+
+@register("mojibake_repair_audit", oracle=_MOJI_ORACLE, tags=("L4", "F11", "Q1"))
+def mojibake_repair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audit = moji_doc_audit(table(spark, sf_dir, "documents"))
     return audit.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("detected").cast("int")).cast("bigint").alias("n_mojibake"),

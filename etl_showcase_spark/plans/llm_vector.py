@@ -334,6 +334,305 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3 diversified re-rank: Maximal Marginal Relevance ([EXT] — round-13:
+# the standard post-retrieval diversification step, Carbonell &
+# Goldstein 1998 — a RAG stack runs it between ANN candidate
+# generation and the context window so the k passages aren't five
+# copies of the same paragraph). Inner-product MMR in EXACT integer
+# arithmetic: relevance is the quantized int64 dot q·c, redundancy the
+# max dot to the already-selected set, and the λ=0.7 tradeoff is the
+# integer split score = 7·rel − 3·maxsim — every comparison is BIGINT,
+# so the greedy argmax chain is bit-reproducible and the DuckDB twin
+# replays all _MMR_K rounds as an unrolled CTE chain (house precedent:
+# kmeans_lloyd_clusters' fixed-point rounds). Scale shape: the
+# candidate pool is the exact top-_MMR_POOL_K per panel query (corpus
+# streams once through a broadcast-NLJ; same envelope as
+# ann_cosine_topk); the greedy iteration then touches only
+# panel × pool rows — an Arrow-batched applyInPandas over O(1)-sized
+# groups, never the corpus.
+# ---------------------------------------------------------------------------
+
+_MMR_POOL_K = 20  # relevance-ranked candidate pool entering the greedy loop
+_MMR_K = 5  # selections emitted per query
+_MMR_LAM_NUM, _MMR_LAM_DEN = 7, 3  # λ = 0.7 as the exact integer split
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+v AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+q AS (SELECT vec_id AS q_id, qv FROM v, s WHERE vec_id % s.stride = 0),
+rel AS (
+  SELECT q.q_id, c.vec_id AS c_id,
+         CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS rel_dot
+  FROM v c JOIN q ON q.q_id <> c.vec_id
+),
+pool AS (
+  SELECT q_id, c_id, rel_dot FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY rel_dot DESC, c_id ASC) AS cand_rnk
+    FROM rel
+  ) WHERE cand_rnk <= {_MMR_POOL_K}
+),
+pdot AS (
+  SELECT p1.q_id, p1.c_id AS a_id, p2.c_id AS b_id,
+         CAST(list_dot_product(x.qv, y.qv) AS BIGINT) AS dd
+  FROM pool p1
+  JOIN pool p2 ON p1.q_id = p2.q_id AND p1.c_id <> p2.c_id
+  JOIN v x ON p1.c_id = x.vec_id
+  JOIN v y ON p2.c_id = y.vec_id
+),
+sel1 AS (
+  SELECT q_id, c_id, rel_dot,
+         CAST({_MMR_LAM_NUM} * rel_dot AS BIGINT) AS mmr_score, 1 AS sel_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY rel_dot DESC, c_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+sset1 AS (SELECT q_id, c_id FROM sel1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = r - 1
+        parts.append(
+            f""",
+cand{r} AS (
+  SELECT p.q_id, p.c_id, p.rel_dot, MAX(d.dd) AS maxsim
+  FROM pool p
+  JOIN pdot d ON d.q_id = p.q_id AND d.a_id = p.c_id
+  JOIN sset{prev} t ON t.q_id = d.q_id AND t.c_id = d.b_id
+  LEFT JOIN sset{prev} x ON x.q_id = p.q_id AND x.c_id = p.c_id
+  WHERE x.c_id IS NULL
+  GROUP BY p.q_id, p.c_id, p.rel_dot
+),
+sel{r} AS (
+  SELECT q_id, c_id, rel_dot,
+         CAST({_MMR_LAM_NUM} * rel_dot - {_MMR_LAM_DEN} * maxsim AS BIGINT)
+           AS mmr_score, {r} AS sel_rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY {_MMR_LAM_NUM} * rel_dot - {_MMR_LAM_DEN} * maxsim DESC,
+                 c_id ASC) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+),
+sset{r} AS (
+  SELECT q_id, c_id FROM sset{prev} UNION ALL SELECT q_id, c_id FROM sel{r}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, c_id, sel_rank, rel_dot, mmr_score FROM sel{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT q_id, c_id, CAST(sel_rank AS INT) AS sel_rank,
+       CAST(rel_dot AS BIGINT) AS rel_dot, CAST(mmr_score AS BIGINT) AS mmr_score
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diverse_rerank", oracle=_mmr_oracle(), tags=("L3",))
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import topk_per_group
+
+    e = table(spark, sf_dir, "embeddings")
+    q = _strided_queries(e).select(
+        F.col("vec_id").alias("q_id"), quantize(F.col("embedding")).alias("q_vec")
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"), quantize(F.col("embedding")).alias("cv")
+    )
+    # candidate pool: exact integer-relevance top-K per query; the
+    # corpus streams once through the broadcast-NLJ, and only
+    # panel × _MMR_POOL_K rows (with their quantized vectors) survive
+    # into the greedy stage
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", "cv",
+            int_dot(F.col("q_vec"), F.col("cv")).alias("rel_dot"),
+        )
+    )
+    pool = topk_per_group(
+        pairs,
+        ["q_id"],
+        [F.col("rel_dot").desc(), F.col("c_id").asc()],
+        _MMR_POOL_K,
+        rank_col="cand_rnk",
+    ).select("q_id", "c_id", "cv", "rel_dot")
+
+    def mmr_fold(pdf):
+        # self-contained (pickled by value)
+        import numpy as np
+        import pandas as pd
+
+        lam_n, lam_d, k = 7, 3, 5
+        ids = pdf["c_id"].to_numpy().astype("int64")
+        rel = pdf["rel_dot"].to_numpy().astype("int64")
+        V = np.stack(pdf["cv"].to_numpy()).astype("int64")
+        G = V @ V.T  # exact pairwise int64 dots within the pool
+        n = len(pdf)
+        avail = np.ones(n, dtype=bool)
+        sel_idx: list[int] = []
+        out = []
+        for r in range(1, min(k, n) + 1):
+            if sel_idx:
+                sc = lam_n * rel - lam_d * G[:, sel_idx].max(axis=1)
+            else:
+                sc = lam_n * rel
+            m = sc[avail].max()
+            tied = np.nonzero(avail & (sc == m))[0]
+            best = tied[np.argmin(ids[tied])]
+            out.append((int(pdf["q_id"].iloc[0]), int(ids[best]), r,
+                        int(rel[best]), int(sc[best])))
+            sel_idx.append(best)
+            avail[best] = False
+        return pd.DataFrame(
+            out, columns=["q_id", "c_id", "sel_rank", "rel_dot", "mmr_score"]
+        )
+
+    return pool.groupBy("q_id").applyInPandas(
+        mmr_fold,
+        "q_id long, c_id long, sel_rank int, rel_dot long, mmr_score long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 retrieval evaluation: ANN recall@k / MRR vs the exact ranking
+# ([EXT] — round-13: the index-quality gate a production retrieval
+# pipeline runs before swapping an ANN index into serving. Ground
+# truth is the exact quantized-cosine top-10 (ann_cosine_topk's
+# semantics); the system under test is the hyperplane-LSH ANN
+# (ann_lsh_topk's semantics, same planes/tables literals). Per panel
+# query: hit count, recall@10 in exact ppm (1e6·hits // 10), the LSH
+# rank of the first true hit, and MRR in ppm (1e6 // first_hit) — all
+# integers, so the evaluation is oracle-replayable end-to-end, unlike
+# the property-test-only recall gates. A query whose LSH candidate set
+# misses every true neighbor scores 0/0 (LEFT JOIN from the exact
+# panel keeps it). Scale shape: both legs are existing bounded-panel
+# plans; the comparison itself joins two ~panel×10-row lists.
+# ---------------------------------------------------------------------------
+
+_RECALL_EVAL_K = 10
+
+
+def _ann_recall_oracle() -> str:
+    postings = _lsh_posting_sql(_ANN_LSH_PLANES, _ND_DIM, _ANN_LSH_TABLES)
+    return f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+v AS (SELECT vec_id, {_SQL_QUANT} AS qv FROM embeddings),
+n AS (
+  SELECT vec_id, qv, SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM v
+),
+qids AS (
+  SELECT vec_id AS q_id FROM embeddings, s WHERE vec_id % s.stride = 0
+),
+exact AS (
+  SELECT q_id, c_id, rnk FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_dot_product(q.qv, c.qv) AS DOUBLE) / (q.nrm * c.nrm) DESC,
+             c.vec_id ASC) AS rnk
+    FROM n c
+    JOIN n q ON q.vec_id <> c.vec_id
+    JOIN qids qq ON q.vec_id = qq.q_id
+  ) WHERE rnk <= {_RECALL_EVAL_K}
+),
+posting AS (
+  {postings}
+),
+qpost AS (
+  SELECT p.vec_id, p.tbl, p.key FROM posting p, s WHERE p.vec_id % s.stride = 0
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM qpost q
+  JOIN posting c ON q.tbl = c.tbl AND q.key = c.key AND q.vec_id <> c.vec_id
+),
+lsh AS (
+  SELECT q_id, c_id, rnk FROM (
+    SELECT cand.q_id, cand.c_id,
+           ROW_NUMBER() OVER (PARTITION BY cand.q_id ORDER BY
+             CAST(list_dot_product(x.qv, y.qv) AS DOUBLE) / (x.nrm * y.nrm) DESC,
+             cand.c_id ASC) AS rnk
+    FROM cand
+    JOIN n x ON cand.q_id = x.vec_id
+    JOIN n y ON cand.c_id = y.vec_id
+  ) WHERE rnk <= {_RECALL_EVAL_K}
+),
+hits AS (
+  SELECT l.q_id, l.c_id, l.rnk
+  FROM lsh l JOIN exact e ON l.q_id = e.q_id AND l.c_id = e.c_id
+),
+agg AS (
+  SELECT p.q_id, COUNT(h.c_id) AS n_hits, MIN(h.rnk) AS first_hit
+  FROM (SELECT DISTINCT q_id FROM exact) p
+  LEFT JOIN hits h ON p.q_id = h.q_id
+  GROUP BY p.q_id
+)
+SELECT q_id,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(1000000 * n_hits // {_RECALL_EVAL_K} AS BIGINT) AS recall_ppm,
+       CAST(COALESCE(first_hit, 0) AS INT) AS first_hit_rnk,
+       CAST(CASE WHEN first_hit IS NULL THEN 0
+                 ELSE 1000000 // first_hit END AS BIGINT) AS mrr_ppm
+FROM agg
+"""
+
+
+@register("ann_recall_eval", oracle=_ann_recall_oracle(), tags=("L3", "G6"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import gemm_exact_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    # ground truth leg, persisted: consumed by the hit join AND the
+    # panel spine
+    exact = tracked_persist(
+        gemm_exact_topk(
+            _strided_queries(e), e, "vec_id", "vec_id", "embedding",
+            k=_RECALL_EVAL_K,
+        ).select("q_id", "c_id")
+    )
+    lsh = lsh_ann_topk(
+        _strided_queries(e), e, "vec_id", "vec_id", "embedding",
+        k=_RECALL_EVAL_K,
+        n_planes=_ANN_LSH_PLANES,
+        dim=_ND_DIM,
+        n_tables=_ANN_LSH_TABLES,
+    ).select("q_id", "c_id", "rnk")
+    hits = lsh.join(exact, ["q_id", "c_id"])
+    panel = exact.select("q_id").distinct()
+    per_q = (
+        panel.join(hits, "q_id", "left_outer")
+        .groupBy("q_id")
+        .agg(
+            F.count("c_id").cast("bigint").alias("n_hits"),
+            F.min("rnk").alias("first_hit"),
+        )
+    )
+    return per_q.select(
+        "q_id",
+        "n_hits",
+        F.expr(f"1000000 * n_hits div {_RECALL_EVAL_K}").cast("bigint")
+        .alias("recall_ppm"),
+        F.coalesce("first_hit", F.lit(0)).cast("int").alias("first_hit_rnk"),
+        F.when(F.col("first_hit").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000 div first_hit"))
+        .cast("bigint")
+        .alias("mrr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L3 analytics: per-label centroid components — the distributed mean
 # vector, in long (label, dim, mean) form. posexplode → groupBy is one
 # map-side-combined shuffle of (label × dim) rows regardless of corpus

@@ -31,6 +31,7 @@ from ..operators import textops
 from ..operators.similarity import int_dot, quantize, quantized_cosine
 from ..registry import register
 from .llm_text import _SQL_TOKS
+from .llm_vector import _SQL_QUANT as _SQL_QUANT_EMB
 
 # ---------------------------------------------------------------------------
 # shared integer helpers
@@ -1204,11 +1205,14 @@ WHERE rnk <= {_TFIDF_SIM_K}
 """
 
 
-@register("tfidf_doc_similarity_topk", oracle=_TFIDF_SIM_ORACLE, tags=("L2", "L3"))
-def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.relational import topk_per_group
-
-    d = table(spark, sf_dir, "documents")
+def _tfidf_trigram_weights(d: DataFrame) -> DataFrame:
+    """(doc_id, term, w): integer TF-IDF trigram weights over the given
+    corpus — tf · bit-length idf, postings df-banded at
+    df <= _TFIDF_SIM_DF_MAX. The corpus argument is the only thing that
+    varies between callers (tfidf_doc_similarity_topk: all documents;
+    hybrid_rrf_retrieval: the embedded slice), and df/n_docs are
+    computed over exactly that corpus so the weights stay
+    self-consistent."""
     toks = textops.tokens("text")
     tok = d.filter(F.size(toks) >= 3).select(
         "doc_id", F.explode(textops.shingles(toks, 3)).alias("term")
@@ -1216,7 +1220,7 @@ def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n = d.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
-    w = (
+    return (
         tf.join(df.filter(F.col("df") <= _TFIDF_SIM_DF_MAX), "term")
         .crossJoin(F.broadcast(n))
         .select(
@@ -1226,8 +1230,16 @@ def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tf") * (F.length(F.bin(F.expr("n_docs div df"))) - 1)
             ).alias("w"),
         )
-        .transform(tracked_persist)  # consumed by norms AND the pair join
     )
+
+
+@register("tfidf_doc_similarity_topk", oracle=_TFIDF_SIM_ORACLE, tags=("L2", "L3"))
+def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import topk_per_group
+
+    d = table(spark, sf_dir, "documents")
+    # persisted: consumed by norms AND the pair join
+    w = _tfidf_trigram_weights(d).transform(tracked_persist)
     nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
     a = w.select(F.col("doc_id").alias("doc_id"), "term", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("other_id"), "term", F.col("w").alias("wb"))
@@ -1259,6 +1271,210 @@ def tfidf_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TFIDF_SIM_K,
         rank_col="rnk",
     ).select("doc_id", "other_id", "dot", "cosine", F.col("rnk").cast("int").alias("rnk"))
+
+
+# ---------------------------------------------------------------------------
+# L3/L4 hybrid retrieval with reciprocal-rank fusion ([EXT] — round-13:
+# the standard RAG-stack retrieval shape. A lexical ranking (the sparse
+# TF-IDF trigram cosine above — the inverted-index leg) and a semantic
+# ranking (exact quantized-cosine over `embeddings`, the dense leg —
+# plans/llm_vector.py's ann_cosine_topk machinery) are computed for the
+# same bounded strided query panel over the same corpus (documents that
+# HAVE an embedding: ids are shared across the two tables), then fused
+# per query as the sum of integer reciprocal-rank contributions
+# 1e6 // (60 + rank) over each system's top-20 list (Cormack/Clarke/
+# Buettcher RRF, k0=60) — a candidate missing from one list simply
+# contributes 0 from that side. Every fusion quantity is an exact
+# BIGINT, so the fused (rrf_ppm DESC, c_id ASC) top-10 is
+# bit-reproducible cross-engine; the only doubles are the two legs'
+# rank-order cosines (identical IEEE sequence both sides, the house
+# precedent). Scale shape: the lexical leg is df-banded postings keyed
+# by term with the query side semi-joined down to the O(1) panel — the
+# same bounded-candidate envelope as tfidf_doc_similarity_topk; the
+# dense leg streams the corpus once through the GEMM scorer; the fusion
+# itself is a full-outer join of two ~panel×20-row lists — metadata
+# scale regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60  # the standard RRF dampener
+_RRF_LIST_K = 20  # per-system list depth entering the fusion
+_RRF_OUT_K = 10  # fused emission depth
+
+_HYBRID_RRF_ORACLE = f"""
+WITH emb_ids AS (
+  SELECT DISTINCT vec_id FROM embeddings
+),
+emb_docs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN emb_ids e ON d.doc_id = e.vec_id
+),
+s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride FROM embeddings
+),
+qids AS (
+  SELECT vec_id AS q_id FROM embeddings, s WHERE vec_id % s.stride = 0
+),
+tok AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM emb_docs)
+  WHERE LEN(toks) >= 3
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM emb_docs),
+w AS (
+  SELECT t.doc_id, t.term,
+         t.tf * (LENGTH(bin(n.n_docs // d.df)) - 1) AS w
+  FROM tf t JOIN df d ON t.term = d.term, n
+  WHERE d.df <= {_TFIDF_SIM_DF_MAX}
+),
+nrm AS (SELECT doc_id, SUM(w*w) AS sq FROM w GROUP BY doc_id),
+ldots AS (
+  SELECT a.doc_id AS q_id, b.doc_id AS c_id, SUM(a.w * b.w) AS dot
+  FROM w a
+  JOIN qids q ON a.doc_id = q.q_id
+  JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+lex AS (
+  SELECT q_id, c_id, rnk FROM (
+    SELECT d.q_id, d.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY
+             CAST(d.dot AS DOUBLE)
+               / (SQRT(CAST(x.sq AS DOUBLE)) * SQRT(CAST(y.sq AS DOUBLE))) DESC,
+             d.c_id ASC) AS rnk
+    FROM ldots d JOIN nrm x ON d.q_id = x.doc_id JOIN nrm y ON d.c_id = y.doc_id
+  ) WHERE rnk <= {_RRF_LIST_K}
+),
+v AS (SELECT vec_id, {_SQL_QUANT_EMB} AS qv FROM embeddings),
+nv AS (
+  SELECT vec_id, qv, SQRT(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nrm FROM v
+),
+sem AS (
+  SELECT q_id, c_id, rnk FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             CAST(list_dot_product(q.qv, c.qv) AS DOUBLE) / (q.nrm * c.nrm) DESC,
+             c.vec_id ASC) AS rnk
+    FROM nv c
+    JOIN nv q ON q.vec_id <> c.vec_id
+    JOIN qids qq ON q.vec_id = qq.q_id
+  ) WHERE rnk <= {_RRF_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(l.q_id, m.q_id) AS q_id,
+         COALESCE(l.c_id, m.c_id) AS c_id,
+         COALESCE(l.rnk, 0) AS lex_rnk,
+         COALESCE(m.rnk, 0) AS sem_rnk,
+         (CASE WHEN l.rnk IS NULL THEN 0
+               ELSE 1000000 // ({_RRF_K0} + l.rnk) END
+        + CASE WHEN m.rnk IS NULL THEN 0
+               ELSE 1000000 // ({_RRF_K0} + m.rnk) END) AS rrf_ppm
+  FROM lex l FULL OUTER JOIN sem m ON l.q_id = m.q_id AND l.c_id = m.c_id
+)
+SELECT q_id, c_id, CAST(lex_rnk AS INT) AS lex_rnk, CAST(sem_rnk AS INT) AS sem_rnk,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_ppm DESC, c_id ASC)
+    AS rnk
+  FROM fused
+) WHERE rnk <= {_RRF_OUT_K}
+"""
+
+
+@register("hybrid_rrf_retrieval", oracle=_HYBRID_RRF_ORACLE, tags=("L3", "L4"))
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import topk_per_group
+    from ..operators.similarity import gemm_exact_topk
+    from .llm_vector import _strided_queries
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    # the hybrid corpus: documents that have an embedding (shuffle semi
+    # join on id — both sides are corpus-sized at scale, no broadcast)
+    emb_ids = e.select(F.col("vec_id").alias("doc_id")).distinct()
+    dd = d.join(emb_ids, "doc_id", "left_semi")
+
+    # lexical leg: integer TF-IDF trigram postings over the hybrid
+    # corpus (persisted: consumed by norms AND the pair join)
+    w = _tfidf_trigram_weights(dd).transform(tracked_persist)
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("sq"))
+    panel = _strided_queries(e).select(F.col("vec_id").alias("doc_id"))
+    qw = w.join(panel, "doc_id", "left_semi")
+    a = qw.select(F.col("doc_id").alias("q_id"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("c_id"), "term", F.col("w").alias("wb"))
+    ldots = (
+        a.join(b, "term")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    nx = nrm.select(F.col("doc_id").alias("q_id"), F.col("sq").alias("sqx"))
+    ny = nrm.select(F.col("doc_id").alias("c_id"), F.col("sq").alias("sqy"))
+    lex_scored = (
+        ldots.join(nx, "q_id")
+        .join(ny, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("sqx").cast("double")) * F.sqrt(F.col("sqy").cast("double")))
+            ).alias("cosine"),
+        )
+    )
+    lex = topk_per_group(
+        lex_scored,
+        ["q_id"],
+        [F.col("cosine").desc(), F.col("c_id").asc()],
+        _RRF_LIST_K,
+        rank_col="rnk",
+    ).select("q_id", "c_id", F.col("rnk").alias("lex_rnk"))
+
+    # semantic leg: exact quantized-cosine top-20 for the same panel
+    # (GEMM scorer — corpus streams once, query side is O(1))
+    sem = gemm_exact_topk(
+        _strided_queries(e), e, "vec_id", "vec_id", "embedding", k=_RRF_LIST_K
+    ).select("q_id", "c_id", F.col("rnk").alias("sem_rnk"))
+
+    # integer RRF fusion over the union of the two lists
+    fused = (
+        lex.join(sem, ["q_id", "c_id"], "full_outer")
+        .select(
+            "q_id",
+            "c_id",
+            F.coalesce("lex_rnk", F.lit(0)).cast("int").alias("lex_rnk"),
+            F.coalesce("sem_rnk", F.lit(0)).cast("int").alias("sem_rnk"),
+        )
+        .withColumn(
+            "rrf_ppm",
+            (
+                F.when(
+                    F.col("lex_rnk") > 0,
+                    F.expr(f"1000000 div ({_RRF_K0} + lex_rnk)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("sem_rnk") > 0,
+                    F.expr(f"1000000 div ({_RRF_K0} + sem_rnk)"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    return topk_per_group(
+        fused,
+        ["q_id"],
+        [F.col("rrf_ppm").desc(), F.col("c_id").asc()],
+        _RRF_OUT_K,
+        rank_col="rnk",
+    ).select(
+        "q_id", "c_id", "lex_rnk", "sem_rnk", "rrf_ppm",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
 
 
 # ---------------------------------------------------------------------------

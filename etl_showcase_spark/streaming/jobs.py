@@ -3588,6 +3588,91 @@ def stream_gate_backfill_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_mojibake_repair_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``mojibake_repair_audit`` (plans/llm_text.py):
+    the encoding-repair audit maintained as documents ARRIVE. The
+    damaged feed, the repair, and the per-doc counters are the same
+    pure JVM replace chains as the batch op (moji_doc_audit), computed
+    on the stream; per-SOURCE GroupState folds six integers (n_docs,
+    n_mojibake, n_seq_a, n_seq_e, n_repaired_ok, chars_recovered —
+    plus the doc_id high-water mark, single delivery ENFORCED like the
+    other replay folds), re-emitting the source's running row with a
+    monotone ver. The drained latest-per-source must equal the batch
+    audit bit-for-bit (tests/test_streaming.py; RocksDB parity
+    matrix). State is O(1) per source — the key space is the source
+    domain, ~180 rows at any corpus size."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.llm_text import moji_doc_audit
+
+    docs = documents_replay_stream_with_source(spark, sf_dir)
+    flags = moji_doc_audit(docs)
+
+    def moji_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, moji, sa, se, ok, chars, hwm = (int(x) for x in state.get)
+        else:
+            n, moji, sa, se, ok, chars, hwm = 0, 0, 0, 0, 0, 0, -1
+        cols = [
+            "doc_id", "detected", "n_seq_a", "n_seq_e", "repaired_ok", "char_delta"
+        ]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        lo = int(df["doc_id"].min())
+        # single-delivery precondition, ENFORCED: the replay reader
+        # ships doc_id-ordered disjoint batches
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for source {key[0]}: "
+                f"doc_id {lo} <= high-water mark {hwm}"
+            )
+        hwm = int(df["doc_id"].max())
+        n += len(df)
+        moji += int(df["detected"].sum())
+        sa += int(df["n_seq_a"].sum())
+        se += int(df["n_seq_e"].sum())
+        ok += int(df["repaired_ok"].sum())
+        chars += int(df["char_delta"].sum())
+        state.update((n, moji, sa, se, ok, chars, hwm))
+        yield pd.DataFrame(
+            {
+                "source": [str(key[0])],
+                "n_docs": [n],
+                "n_mojibake": [moji],
+                "n_seq_a": [sa],
+                "n_seq_e": [se],
+                "n_repaired_ok": [ok],
+                "chars_recovered": [chars],
+                "ver": [n],
+            }
+        )
+
+    out = flags.groupBy("source").applyInPandasWithState(
+        moji_fold,
+        outputStructType=(
+            "source string, n_docs long, n_mojibake long, n_seq_a long, "
+            "n_seq_e long, n_repaired_ok long, chars_recovered long, ver long"
+        ),
+        stateStructType=(
+            "n bigint, moji bigint, sa bigint, se bigint, ok bigint, "
+            "chars bigint, hwm bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_mojibake_repair", mode="update").distinct()
+    latest = log.groupBy("source").agg(F.max("ver").alias("ver"))
+    return log.join(latest, ["source", "ver"]).select(
+        "source", "n_docs", "n_mojibake", "n_seq_a", "n_seq_e",
+        "n_repaired_ok", "chars_recovered",
+    )
+
+
 def staged_affected_roster_stream(
     spark: SparkSession, roster_path: str, batch_rows: int = 48
 ) -> DataFrame:

@@ -50,6 +50,77 @@ def test_mojibake_repair_is_total_and_exact(spark):
     assert (pdf["chars_recovered"] == pdf["n_seq_a"] + pdf["n_seq_e"]).all()
 
 
+def test_hybrid_rrf_fuses_both_systems(spark):
+    pdf = SPECS["hybrid_rrf_retrieval"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    # the fusion is not vacuous: some candidates are found by BOTH legs
+    # and some by exactly one (RRF's whole point is combining them)
+    both = (pdf["lex_rnk"] > 0) & (pdf["sem_rnk"] > 0)
+    assert both.any(), "no candidate surfaced by both systems — vacuous fusion"
+    assert ((pdf["lex_rnk"] > 0) & (pdf["sem_rnk"] == 0)).any()
+    assert ((pdf["lex_rnk"] == 0) & (pdf["sem_rnk"] > 0)).any()
+    # rrf_ppm is exactly the integer formula over the two ranks
+    def contrib(r):
+        return 0 if r == 0 else 1_000_000 // (60 + r)
+    want = pdf["lex_rnk"].map(contrib) + pdf["sem_rnk"].map(contrib)
+    assert (pdf["rrf_ppm"] == want).all()
+    # per query: at most 10 rows, ranks contiguous from 1, ordered by
+    # (rrf_ppm DESC, c_id ASC)
+    for _, g in pdf.groupby("q_id"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 10
+        key = list(zip(-g["rrf_ppm"], g["c_id"]))
+        assert key == sorted(key)
+
+
+def test_mmr_rerank_diversifies(spark):
+    pdf = SPECS["mmr_diverse_rerank"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    n_div = 0
+    for _, g in pdf.groupby("q_id"):
+        g = g.sort_values("sel_rank")
+        assert list(g["sel_rank"]) == list(range(1, len(g) + 1))
+        # greedy init: the first pick is pure relevance (λ-scaled)
+        first = g.iloc[0]
+        assert first["rel_dot"] == g["rel_dot"].max()
+        assert first["mmr_score"] == 7 * first["rel_dot"]
+        # diversification is not vacuous when the emission order differs
+        # from the pure-relevance order
+        by_rel = g.sort_values(["rel_dot", "c_id"], ascending=[False, True])
+        if list(g["c_id"]) != list(by_rel["c_id"]):
+            n_div += 1
+    assert n_div > 0, "MMR never reordered vs pure relevance — vacuous"
+
+
+def test_ann_recall_eval_metrics_consistent(spark):
+    pdf = SPECS["ann_recall_eval"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert pdf["n_hits"].between(0, 10).all()
+    assert (pdf["recall_ppm"] == 1_000_000 * pdf["n_hits"] // 10).all()
+    hit = pdf["first_hit_rnk"] > 0
+    assert (pdf.loc[hit, "mrr_ppm"] == 1_000_000 // pdf.loc[hit, "first_hit_rnk"]).all()
+    assert (pdf.loc[~hit, "mrr_ppm"] == 0).all()
+    assert (pdf.loc[~hit, "n_hits"] == 0).all()
+    # the OR-amplified LSH index actually works at smoke scale
+    assert pdf["recall_ppm"].mean() >= 500_000, "LSH recall collapsed"
+
+
+def test_chunk_neighbors_exclude_own_document(spark):
+    pdf = SPECS["chunk_neighbor_topk"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    # the RETRO rule: no neighbor comes from the query's own document
+    assert (pdf["q_doc_id"] != pdf["c_doc_id"]).all()
+    assert (pdf["dot"] > 0).all()  # only chunks sharing a hash bucket score
+    for _, g in pdf.groupby(["q_doc_id", "q_chunk_idx"]):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert len(g) <= 5
+        # emission order is the declared total order
+        key = list(zip(-g["cosine"], g["c_doc_id"], g["c_chunk_idx"]))
+        assert key == sorted(key)
+
+
 def test_filelist_read_matches_directory_read(spark, tmp_path):
     # the snapshot commit protocol's _FILELIST.json: the manifest-driven
     # read returns the same rows as directory discovery, recovers the

@@ -624,6 +624,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_manifest_maintenance_state,  # round 12: O(1) append fold
         jobs.stream_gate_backfill_state,  # round 12: per-shard 4-int fold
         jobs.stream_excision_repair_state,  # round 13: per-batch 6-int survivor fold
+        jobs.stream_mojibake_repair_state,  # round 13: per-source 6-int audit fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -671,6 +672,21 @@ def test_stateful_excision_repair_matches_batch(spark):
     batch = manifest_excision_repair(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert streamed["repaired"].any(), "no affected batches at smoke scale — vacuous"
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_mojibake_repair_matches_batch(spark):
+    # the damaged feed, repair, and per-doc counters are the same JVM
+    # replace chains as the batch audit, computed on the stream; the
+    # per-source six-integer fold must reproduce the batch audit
+    # bit-for-bit — detection counts, exact sequence counts, the
+    # repaired-match tally, and recovered-char sums alike
+    from etl_showcase_spark.plans.llm_text import mojibake_repair_audit
+
+    streamed = jobs.stream_mojibake_repair_state(spark, SF_SMOKE).toPandas()
+    batch = mojibake_repair_audit(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert streamed["n_mojibake"].sum() > 0, "no damaged docs at smoke scale — vacuous"
     assert not compare_frames(streamed, batch)
 
 
