@@ -1233,8 +1233,12 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.col("x").alias("cx"),
     )
+    # broadcast the O(1) panel side: a shuffle join on `dim` would cap
+    # parallelism at the 16-value dim domain (and did — α 1.26 at x10
+    # before this); the broadcast keeps the corpus side streaming at
+    # full parallelism with map-side partial aggregation on the pairs
     dots = (
-        qv.join(cv, "dim")
+        cv.join(F.broadcast(qv), "dim")
         .filter(F.col("q_doc_id") != F.col("c_doc_id"))
         .groupBy("q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx")
         .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))

@@ -666,6 +666,68 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3/G8 per-dimension robust embedding screen ([EXT] — round-13: the
+# embedding-side sibling of mad_outlier_events (plans/events.py), run
+# before training/indexing to catch dead, clipped, or
+# outlier-polluted dimensions: per dim the exact median, the median
+# absolute deviation, and the count of components beyond 6·MAD —
+# median/MAD because the screen must be immune to the very outliers
+# it hunts. Components are the quantized integers, medians the same
+# exact-percentile interpolation in both engines (quantiles_quantity
+# precedent); two reduced passes with the 64-row dim tables joined
+# back broadcast, so the corpus-sized long form never shuffles wide.
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_ORACLE = f"""
+WITH comp AS (
+  SELECT CAST(u.i - 1 AS INT) AS dim, q[u.i] AS x
+  FROM (SELECT {_SQL_QUANT} AS q FROM embeddings),
+       LATERAL (SELECT UNNEST(range(1, LEN(q) + 1)) AS i) u
+),
+med AS (SELECT dim, MEDIAN(x) AS med FROM comp GROUP BY dim),
+mad AS (
+  SELECT c.dim, MEDIAN(ABS(c.x - m.med)) AS mad
+  FROM comp c JOIN med m USING (dim) GROUP BY c.dim
+)
+SELECT c.dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(m.med) AS med,
+       MIN(d.mad) AS mad,
+       CAST(SUM(CASE WHEN ABS(c.x - m.med) > 6 * d.mad THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_outliers,
+       CAST(MIN(c.x) AS BIGINT) AS min_x,
+       CAST(MAX(c.x) AS BIGINT) AS max_x
+FROM comp c JOIN med m USING (dim) JOIN mad d USING (dim)
+GROUP BY c.dim
+"""
+
+
+@register("embedding_dim_robust_stats", oracle=_DIM_STATS_ORACLE, tags=("L3", "G8", "A2"))
+def embedding_dim_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(quantize(F.col("embedding"))).alias("dim", "x")
+    ).select(F.col("dim").cast("int").alias("dim"), "x")
+    med = comp.groupBy("dim").agg(F.expr("median(x)").alias("med"))
+    dev = comp.join(F.broadcast(med), "dim")
+    mad = dev.groupBy("dim").agg(F.expr("median(abs(x - med))").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "dim")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("x") - F.col("med")) > 6 * F.col("mad")).cast("int")
+            ).cast("bigint").alias("n_outliers"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # L3 dimensionality reduction: Johnson-Lindenstrauss Rademacher
 # projection 64d -> 16d ([EXT] — the cheap-ANN preprocessing step:
 # candidate generation in the reduced space, exact re-rank in the

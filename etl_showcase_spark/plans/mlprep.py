@@ -5598,9 +5598,13 @@ GROUP BY source, mode
 """
 
 
-@register("fim_span_corruption_plan", oracle=_FIM_ORACLE, tags=("L6", "F1", "G8"))
-def fim_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 2)
+def fim_doc_plan(d: DataFrame) -> DataFrame:
+    """Doc-grain FIM plan facts over any frame with (doc_id, source,
+    n_chars): the two md5 cut draws, PSM/SPM mode, and the exact
+    segment lengths — shared by the batch (source, mode) aggregate
+    below and the GroupState fold in streaming/jobs.py
+    (stream_fim_plan_state). Rows with n_chars < 2 are out of plan."""
+    d = d.filter(F.col("n_chars") >= 2)
     L = F.col("n_chars").cast("bigint")
 
     def draw(salt: str) -> Column:
@@ -5620,7 +5624,8 @@ def fim_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         < "8",
         "psm",
     ).otherwise("spm")
-    plan = d.select(
+    return d.select(
+        "doc_id",
         "source",
         mode.alias("mode"),
         L.alias("L"),
@@ -5635,6 +5640,11 @@ def fim_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("suffix_len"),
     )
+
+
+@register("fim_span_corruption_plan", oracle=_FIM_ORACLE, tags=("L6", "F1", "G8"))
+def fim_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = fim_doc_plan(table(spark, sf_dir, "documents"))
     ppm = F.expr("middle_len * 1000000 div L")
     return plan.groupBy("source", "mode").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -5644,4 +5654,177 @@ def fim_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("suffix_len").cast("bigint").alias("sum_suffix"),
         F.max(ppm).cast("bigint").alias("max_middle_ppm"),
         (F.sum(ppm).cast("double") / F.count(F.lit(1))).alias("avg_middle_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 water-filling token-budget allocation ([EXT] — round-13: the
+# data-mixing primitive for fitting a corpus to a global token budget.
+# Given per-source available tokens and a budget B (60% of the corpus
+# here), find the water line L such that allocating min(avail, L) per
+# source spends exactly B: sources below the line keep everything,
+# sources above are capped at L, and the integer remainder goes +1 to
+# the first r capped sources in source order. This is the exact
+# integer closed form (sort by avail, prefix sums, the first row where
+# (B − prefix) // remaining < avail pins L) — no iteration, and the
+# proof in-line: every row before the pivot sits at or below L, no
+# capped row ties with L, so 0 ≤ r < n_capped and base+1 ≤ avail
+# always — the allocation is feasible and sums to exactly min(B,
+# total). All integers, so DuckDB replays it bit-for-bit. Scale shape:
+# the doc-grain token count is the only corpus-sized stage (one scan +
+# one source-keyed agg); everything after runs on the ~180-row source
+# domain — the single-partition window is over that bounded domain,
+# never the corpus.
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET_NUM, _WF_BUDGET_DEN = 6, 10  # budget = 60% of corpus tokens
+
+_WATER_FILL_ORACLE = f"""
+WITH tok AS (
+  SELECT source, CAST(LEN({{toks}}) AS BIGINT) AS n_toks FROM documents
+),
+src AS (
+  SELECT source, CAST(SUM(n_toks) AS BIGINT) AS avail FROM tok GROUP BY source
+),
+b AS (
+  SELECT CAST(SUM(avail) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(avail) * {_WF_BUDGET_NUM} // {_WF_BUDGET_DEN} AS budget
+  FROM src
+),
+ranked AS (
+  SELECT source, avail,
+         ROW_NUMBER() OVER (ORDER BY avail ASC, source ASC) AS i,
+         COALESCE(SUM(avail) OVER (ORDER BY avail ASC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM src
+),
+cand AS (
+  SELECT r.source, r.avail, r.i, r.pre,
+         (b.budget - r.pre) // (b.n - r.i + 1) AS lvl,
+         b.budget, b.n
+  FROM ranked r, b
+),
+piv AS (
+  SELECT MIN(i) AS pi FROM cand WHERE lvl < avail
+),
+lev AS (
+  SELECT c.lvl AS level,
+         c.budget - c.pre - c.lvl * (c.n - c.i + 1) AS rmd
+  FROM cand c JOIN piv p ON c.i = p.pi
+),
+alloc AS (
+  SELECT c.source, c.avail,
+         CASE WHEN l.level IS NULL OR c.avail <= l.level
+              THEN c.avail ELSE l.level END AS base,
+         (l.level IS NOT NULL AND c.avail > l.level) AS capped,
+         COALESCE(l.level, -1) AS level,
+         COALESCE(l.rmd, 0) AS rmd,
+         c.budget
+  FROM cand c LEFT JOIN lev l ON TRUE
+),
+final AS (
+  SELECT source, avail, capped, level, budget,
+         base + CASE WHEN capped AND
+             ROW_NUMBER() OVER (PARTITION BY capped ORDER BY source ASC) <= rmd
+           THEN 1 ELSE 0 END AS alloc
+  FROM alloc
+)
+SELECT source,
+       CAST(avail AS BIGINT) AS avail_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       capped,
+       CAST(level AS BIGINT) AS water_level,
+       CAST(alloc * 1000000 // budget AS BIGINT) AS share_ppm
+FROM final
+"""
+
+
+@register(
+    "source_budget_water_fill",
+    oracle=_WATER_FILL_ORACLE.format(toks=_SQL_TOKS),
+    tags=("L6", "G8", "W3"),
+)
+def source_budget_water_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.size(textops.tokens("text")).cast("bigint").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").cast("bigint").alias("avail"))
+    )
+    b = F.broadcast(
+        src.agg(
+            F.sum("avail").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr(
+                f"sum(avail) * {_WF_BUDGET_NUM} div {_WF_BUDGET_DEN}"
+            ).cast("bigint").alias("budget"),
+        )
+    )
+    w = Window.orderBy(F.col("avail").asc(), F.col("source").asc())
+    ranked = src.select(
+        "source",
+        "avail",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("pre"),
+    )
+    cand = ranked.crossJoin(b).select(
+        "source", "avail", "i", "pre", "budget", "n",
+        F.expr("(budget - pre) div (n - i + 1)").cast("bigint").alias("lvl"),
+    )
+    pivot = F.broadcast(
+        cand.filter(F.col("lvl") < F.col("avail")).agg(F.min("i").alias("pi"))
+    )
+    # the one-row agg keeps this frame single-row even when no pivot
+    # exists (budget >= total): level/rmd come back NULL, mirroring the
+    # oracle's LEFT JOIN — min() over the single pivot row is identity
+    lev = F.broadcast(
+        cand.join(pivot, cand.i == pivot.pi)
+        .select(
+            F.col("lvl"),
+            F.expr("budget - pre - lvl * (n - i + 1)").cast("bigint").alias("r"),
+        )
+        .agg(
+            F.min("lvl").cast("bigint").alias("level"),
+            F.min("r").cast("bigint").alias("rmd"),
+        )
+    )
+    alloc = cand.crossJoin(lev).select(
+        "source",
+        "avail",
+        "budget",
+        F.when(
+            F.col("level").isNull() | (F.col("avail") <= F.col("level")),
+            F.col("avail"),
+        )
+        .otherwise(F.col("level"))
+        .alias("base"),
+        (F.col("level").isNotNull() & (F.col("avail") > F.col("level"))).alias(
+            "capped"
+        ),
+        F.coalesce("level", F.lit(-1)).cast("bigint").alias("level"),
+        F.coalesce("rmd", F.lit(0)).cast("bigint").alias("rmd"),
+    )
+    wc = Window.partitionBy("capped").orderBy(F.col("source").asc())
+    final = alloc.select(
+        "source", "avail", "capped", "level", "budget",
+        (
+            F.col("base")
+            + F.when(
+                F.col("capped") & (F.row_number().over(wc) <= F.col("rmd")), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("alloc"),
+    )
+    return final.select(
+        "source",
+        F.col("avail").cast("bigint").alias("avail_tokens"),
+        F.col("alloc").cast("bigint").alias("alloc_tokens"),
+        "capped",
+        F.col("level").cast("bigint").alias("water_level"),
+        F.expr("alloc * 1000000 div budget").cast("bigint").alias("share_ppm"),
     )

@@ -3673,6 +3673,100 @@ def stream_mojibake_repair_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_fim_plan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``fim_span_corruption_plan`` (plans/mlprep.py):
+    the FIM augmentation plan maintained as documents ARRIVE. The md5
+    cut draws, PSM/SPM mode, and segment lengths are the same pure JVM
+    expressions as the batch planner (fim_doc_plan), computed on the
+    stream; per-(SOURCE, MODE) GroupState folds the five integer sums,
+    the running max middle-ppm, and the ppm sum (the avg is the one
+    final double, divided at drain exactly as the batch agg divides) —
+    plus the doc_id high-water mark, single delivery ENFORCED. The
+    drained latest-per-key must equal the batch plan bit-for-bit
+    (tests/test_streaming.py; RocksDB parity matrix). State is O(1)
+    per key — the key space is source × {psm, spm}."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..plans.mlprep import fim_doc_plan
+
+    docs = documents_replay_stream_with_source(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    )
+    plan = fim_doc_plan(docs).withColumn(
+        "ppm", F.expr("middle_len * 1000000 div L")
+    )
+
+    def fim_fold(key, pdfs, state):
+        # self-contained (pickled by value): no references to this module
+        import pandas as pd
+
+        if state.exists:
+            n, whole, p, m, sfx, mx, sp, hwm = (int(x) for x in state.get)
+        else:
+            n, whole, p, m, sfx, mx, sp, hwm = 0, 0, 0, 0, 0, -1, 0, -1
+        cols = [
+            "doc_id", "eligible", "prefix_len", "middle_len", "suffix_len", "ppm"
+        ]
+        chunks = [pdf[cols] for pdf in pdfs]
+        df = pd.concat(chunks) if chunks else pd.DataFrame(columns=cols)
+        if not len(df):
+            return
+        lo = int(df["doc_id"].min())
+        # single-delivery precondition, ENFORCED: the replay reader
+        # ships doc_id-ordered disjoint batches
+        if lo <= hwm:
+            raise ValueError(
+                f"duplicate cross-batch delivery for {tuple(key)}: "
+                f"doc_id {lo} <= high-water mark {hwm}"
+            )
+        hwm = int(df["doc_id"].max())
+        n += len(df)
+        whole += int((~df["eligible"]).sum())
+        p += int(df["prefix_len"].sum())
+        m += int(df["middle_len"].sum())
+        sfx += int(df["suffix_len"].sum())
+        mx = max(mx, int(df["ppm"].max()))
+        sp += int(df["ppm"].sum())
+        state.update((n, whole, p, m, sfx, mx, sp, hwm))
+        yield pd.DataFrame(
+            {
+                "source": [str(key[0])],
+                "mode": [str(key[1])],
+                "n_docs": [n],
+                "n_whole": [whole],
+                "sum_prefix": [p],
+                "sum_middle": [m],
+                "sum_suffix": [sfx],
+                "max_middle_ppm": [mx],
+                "sum_ppm": [sp],
+                "ver": [n],
+            }
+        )
+
+    out = plan.groupBy("source", "mode").applyInPandasWithState(
+        fim_fold,
+        outputStructType=(
+            "source string, mode string, n_docs long, n_whole long, "
+            "sum_prefix long, sum_middle long, sum_suffix long, "
+            "max_middle_ppm long, sum_ppm long, ver long"
+        ),
+        stateStructType=(
+            "n bigint, whole bigint, p bigint, m bigint, sfx bigint, "
+            "mx bigint, sp bigint, hwm bigint"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    log = _drain_replay_union(out, "stream_fim_plan", mode="update").distinct()
+    latest = log.groupBy("source", "mode").agg(F.max("ver").alias("ver"))
+    return log.join(latest, ["source", "mode", "ver"]).select(
+        "source", "mode", "n_docs", "n_whole", "sum_prefix", "sum_middle",
+        "sum_suffix", "max_middle_ppm",
+        # the one double, divided exactly as the batch agg divides
+        (F.col("sum_ppm").cast("double") / F.col("n_docs")).alias("avg_middle_ppm"),
+    )
+
+
 def staged_affected_roster_stream(
     spark: SparkSession, roster_path: str, batch_rows: int = 48
 ) -> DataFrame:

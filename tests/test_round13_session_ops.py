@@ -121,6 +121,36 @@ def test_chunk_neighbors_exclude_own_document(spark):
         assert key == sorted(key)
 
 
+def test_water_fill_spends_exactly_the_budget(spark):
+    pdf = SPECS["source_budget_water_fill"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    total = int(pdf["avail_tokens"].sum())
+    budget = total * 6 // 10
+    # the allocation is feasible and spends exactly min(budget, total)
+    assert (pdf["alloc_tokens"] <= pdf["avail_tokens"]).all()
+    assert int(pdf["alloc_tokens"].sum()) == min(budget, total)
+    # uncapped sources keep everything; capped sources sit at the water
+    # line (or +1 from the remainder round)
+    unc = pdf[~pdf["capped"]]
+    assert (unc["alloc_tokens"] == unc["avail_tokens"]).all()
+    cap = pdf[pdf["capped"]]
+    assert len(cap) > 0, "no source capped at smoke scale — vacuous"
+    assert cap["water_level"].nunique() == 1
+    lvl = int(cap["water_level"].iloc[0])
+    assert cap["alloc_tokens"].isin([lvl, lvl + 1]).all()
+    assert (cap["avail_tokens"] > lvl).all()
+
+
+def test_embedding_dim_stats_cover_every_dim(spark):
+    pdf = SPECS["embedding_dim_robust_stats"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 64  # one row per embedding dimension
+    assert pdf["n"].nunique() == 1  # every dim sees every vector
+    assert (pdf["mad"] >= 0).all()
+    assert (pdf["min_x"] <= pdf["med"]).all() and (pdf["med"] <= pdf["max_x"]).all()
+    # the 6-MAD screen is a screen, not a sieve: outliers are rare
+    assert (pdf["n_outliers"] <= pdf["n"] // 10).all()
+
+
 def test_filelist_read_matches_directory_read(spark, tmp_path):
     # the snapshot commit protocol's _FILELIST.json: the manifest-driven
     # read returns the same rows as directory discovery, recovers the

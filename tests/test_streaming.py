@@ -625,6 +625,7 @@ def test_rocksdb_state_store_matches_default_provider(spark):
         jobs.stream_gate_backfill_state,  # round 12: per-shard 4-int fold
         jobs.stream_excision_repair_state,  # round 13: per-batch 6-int survivor fold
         jobs.stream_mojibake_repair_state,  # round 13: per-source 6-int audit fold
+        jobs.stream_fim_plan_state,  # round 13: per-(source,mode) 7-int plan fold
     ):
         a, b = run_both(job)
         assert len(a) > 0
@@ -687,6 +688,20 @@ def test_stateful_mojibake_repair_matches_batch(spark):
     batch = mojibake_repair_audit(spark, SF_SMOKE).toPandas()
     assert len(streamed) > 0
     assert streamed["n_mojibake"].sum() > 0, "no damaged docs at smoke scale — vacuous"
+    assert not compare_frames(streamed, batch)
+
+
+def test_stateful_fim_plan_matches_batch(spark):
+    # the md5 cut draws and segment lengths are the same JVM
+    # expressions computed on the stream; the per-(source, mode)
+    # integer fold (plus the one final double division at drain) must
+    # reproduce the batch plan bit-for-bit
+    from etl_showcase_spark.plans.mlprep import fim_span_corruption_plan
+
+    streamed = jobs.stream_fim_plan_state(spark, SF_SMOKE).toPandas()
+    batch = fim_span_corruption_plan(spark, SF_SMOKE).toPandas()
+    assert len(streamed) > 0
+    assert set(streamed["mode"]) == {"psm", "spm"}
     assert not compare_frames(streamed, batch)
 
 
