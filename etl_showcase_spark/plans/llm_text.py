@@ -1178,6 +1178,18 @@ FROM (
 
 @register("chunk_neighbor_topk", oracle=_CNB_ORACLE, tags=("L3", "L4", "A2"))
 def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scoring is GEMM over dense 16-count vectors (one Arrow matmul per
+    # batch against the broadcast O(1) panel), NOT a long-form join on
+    # `dim`: the dim join's pair fan-out is n_chunks × panel rows
+    # (~1.1B at x100 — it OOMed the hash agg), while the GEMM path's
+    # memory is one batch at a time and each corpus chunk is touched
+    # exactly once. Same design call as ann_cosine_topk
+    # (operators/similarity.py:gemm_exact_topk), composite keys + the
+    # same-document exclusion applied inside the batch so per-batch
+    # top-k pruning stays exact.
+    import numpy as np
+    import pandas as pd
+
     from ..operators.curation import hash_key
     from ..operators.relational import topk_per_group
 
@@ -1204,66 +1216,84 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(hash_key(F.col("term"), "hb"), 1, 8), 16, 10)
         .cast("bigint") % _CNB_DIMS
     )
-    # persisted: consumed by norms, the panel, AND the dot join
-    vec = (
-        tok.groupBy("doc_id", "chunk_idx", dim.alias("dim"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-        .transform(tracked_persist)
-    )
-    nrm = vec.groupBy("doc_id", "chunk_idx").agg(
-        F.sum(F.col("x") * F.col("x")).alias("sq")
+    # one shuffle: bucket counts → the dense per-chunk count vector
+    # (chunks with zero tokens drop out, matching the oracle's vec CTE)
+    dense = (
+        tok.select("doc_id", "chunk_idx", dim.alias("dim"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            *[
+                F.sum((F.col("dim") == i).cast("bigint")).alias(f"d{i}")
+                for i in range(_CNB_DIMS)
+            ]
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array(*[F.col(f"d{i}") for i in range(_CNB_DIMS)]).alias("v"),
+        )
+        .transform(tracked_persist)  # consumed by the panel AND the scan
     )
     stride = d.agg(
         F.greatest(F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long"))
         .alias("__stride")
     )
-    qv = (
-        vec.crossJoin(F.broadcast(stride))
+    # O(1) panel: first chunk of every stride-th document
+    qpd = (
+        dense.crossJoin(F.broadcast(stride))
         .filter((F.col("doc_id") % F.col("__stride") == 0) & (F.col("chunk_idx") == 0))
-        .select(
-            F.col("doc_id").alias("q_doc_id"),
-            F.col("chunk_idx").alias("q_chunk_idx"),
-            "dim",
-            F.col("x").alias("qx"),
+        .select("doc_id", "chunk_idx", "v")
+        .toPandas()
+    )
+    if not len(qpd):
+        return spark.createDataFrame(
+            [],
+            "q_doc_id long, q_chunk_idx int, c_doc_id long, c_chunk_idx int, "
+            "dot long, cosine double, rnk int",
         )
-    )
-    cv = vec.select(
-        F.col("doc_id").alias("c_doc_id"),
-        F.col("chunk_idx").alias("c_chunk_idx"),
-        "dim",
-        F.col("x").alias("cx"),
-    )
-    # broadcast the O(1) panel side: a shuffle join on `dim` would cap
-    # parallelism at the 16-value dim domain (and did — α 1.26 at x10
-    # before this); the broadcast keeps the corpus side streaming at
-    # full parallelism with map-side partial aggregation on the pairs
-    dots = (
-        cv.join(F.broadcast(qv), "dim")
-        .filter(F.col("q_doc_id") != F.col("c_doc_id"))
-        .groupBy("q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx")
-        .agg(F.sum(F.col("qx") * F.col("cx")).alias("dot"))
-    )
-    a = nrm.select(
-        F.col("doc_id").alias("q_doc_id"),
-        F.col("chunk_idx").alias("q_chunk_idx"),
-        F.col("sq").alias("sqa"),
-    )
-    b = nrm.select(
-        F.col("doc_id").alias("c_doc_id"),
-        F.col("chunk_idx").alias("c_chunk_idx"),
-        F.col("sq").alias("sqb"),
-    )
-    scored = (
-        dots.join(a, ["q_doc_id", "q_chunk_idx"])
-        .join(b, ["c_doc_id", "c_chunk_idx"])
-        .select(
-            "q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx",
-            F.col("dot").cast("bigint").alias("dot"),
-            (
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("sqa").cast("double")) * F.sqrt(F.col("sqb").cast("double")))
-            ).alias("cosine"),
-        )
+    q_doc = qpd["doc_id"].to_numpy().astype("int64")
+    q_idx = qpd["chunk_idx"].to_numpy().astype("int64")
+    Q = np.stack(qpd["v"].to_numpy()).astype("int64")
+    q_nrm = np.sqrt((Q * Q).sum(axis=1).astype("float64"))
+    bq = spark.sparkContext.broadcast((q_doc, q_idx, Q, q_nrm))
+
+    def score_batches(batches):
+        qd, qi, Qm, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack would raise
+                continue
+            c_doc = pdf["doc_id"].to_numpy().astype("int64")
+            c_idx = pdf["chunk_idx"].to_numpy().astype("int64")
+            C = np.stack(pdf["v"].to_numpy()).astype("int64")
+            c_nrm = np.sqrt((C * C).sum(axis=1).astype("float64"))
+            D = C @ Qm.T  # exact int64 dots
+            cos = D.astype("float64") / (c_nrm[:, None] * qn[None, :])
+            for j in range(cos.shape[1]):
+                mask = c_doc != qd[j]  # the RETRO same-document exclusion
+                col = np.where(mask, cos[:, j], -np.inf)
+                n_m = int(mask.sum())
+                if n_m > _CNB_K:
+                    thr = np.partition(col, len(col) - _CNB_K)[len(col) - _CNB_K]
+                    keep = np.flatnonzero(mask & (col >= thr))
+                else:
+                    keep = np.flatnonzero(mask)
+                if not len(keep):
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "q_doc_id": qd[j],
+                        "q_chunk_idx": qi[j],
+                        "c_doc_id": c_doc[keep],
+                        "c_chunk_idx": c_idx[keep],
+                        "dot": D[keep, j],
+                        "cosine": cos[keep, j],
+                    }
+                )
+
+    scored = dense.mapInPandas(
+        score_batches,
+        "q_doc_id long, q_chunk_idx long, c_doc_id long, c_chunk_idx long, "
+        "dot long, cosine double",
     )
     return topk_per_group(
         scored,
@@ -1272,7 +1302,12 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CNB_K,
         rank_col="rnk",
     ).select(
-        "q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx", "dot", "cosine",
+        "q_doc_id",
+        F.col("q_chunk_idx").cast("int").alias("q_chunk_idx"),
+        "c_doc_id",
+        F.col("c_chunk_idx").cast("int").alias("c_chunk_idx"),
+        "dot",
+        "cosine",
         F.col("rnk").cast("int").alias("rnk"),
     )
 
@@ -2727,6 +2762,74 @@ def bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2.orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(10)
         .select("merged_pair", "pair", F.col("n").cast("bigint").alias("n_occurrences"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4/L6 BPE encode — merge APPLICATION ([EXT] — round-13: the
+# tokenizer family's missing half. bpe_pair_counts / bpe_second_merge
+# cover merge LEARNING; this op runs the encode side a serving
+# tokenizer executes per request: a PINNED merge table (literals in
+# both engines, like the LSH plane literals) applied greedily
+# left-to-right in priority order over every word — char-split with
+# space separators, one plain (non-regex) replace per merge, split
+# back into subwords. Replace-all left-to-right is deterministic and
+# identical in Spark and DuckDB, so the segmentation — and the
+# emitted per-subword vocabulary statistics — hash-match exactly.
+# Later merges consume earlier outputs ('t h'→'th', then
+# 'th e'→'the'), exercising the chaining a real merge table has.
+# Scale: per-row expressions + one subword-keyed agg; no joins.
+# ---------------------------------------------------------------------------
+
+# priority-ordered, chaining through th→the and an→and
+_BPE_APPLY_MERGES = (
+    ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("i", "n"), ("e", "r"), ("r", "e"), ("o", "n"),
+)
+
+
+def _bpe_apply_sql() -> str:
+    s = "TRIM(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    for a, b in _BPE_APPLY_MERGES:
+        s = f"replace({s}, '{a} {b}', '{a}{b}')"
+    return f"""
+WITH tok AS (
+  SELECT UNNEST({_SQL_TOKS}) AS w FROM documents
+),
+enc AS (
+  SELECT w, {s} AS s FROM tok
+),
+sub AS (
+  SELECT w, UNNEST(string_split(s, ' ')) AS subword FROM enc
+)
+SELECT subword,
+       CAST(LENGTH(subword) AS INT) AS subword_len,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+FROM sub GROUP BY subword
+"""
+
+
+@register("bpe_apply_merges", oracle=_bpe_apply_sql(), tags=("L4", "L6", "F11"))
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens("text")).alias("w"))
+    s = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for a, b in _BPE_APPLY_MERGES:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    sub = tok.select("w", F.explode(F.split(s, " ")).alias("subword"))
+    return (
+        sub.groupBy("subword")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+        )
+        .select(
+            "subword",
+            F.length("subword").cast("int").alias("subword_len"),
+            "n_occurrences",
+            "n_distinct_words",
+        )
     )
 
 

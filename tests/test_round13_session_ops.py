@@ -151,6 +151,24 @@ def test_embedding_dim_stats_cover_every_dim(spark):
     assert (pdf["n_outliers"] <= pdf["n"] // 10).all()
 
 
+def test_bpe_apply_merges_segmentation_conserves_chars(spark):
+    pdf = SPECS["bpe_apply_merges"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    # merges actually fired, including the chained ones (th -> the)
+    assert (pdf["subword_len"] > 1).any()
+    assert "the" in set(pdf["subword"])
+    # conservation: subwords partition every word's characters exactly
+    got = int((pdf["subword_len"] * pdf["n_occurrences"]).sum())
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.sum(F.length("w")))
+        .first()[0]
+    )
+    assert got == int(want)
+
+
 def test_filelist_read_matches_directory_read(spark, tmp_path):
     # the snapshot commit protocol's _FILELIST.json: the manifest-driven
     # read returns the same rows as directory discovery, recovers the
