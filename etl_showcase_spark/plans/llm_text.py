@@ -1176,24 +1176,14 @@ FROM (
 """
 
 
-@register("chunk_neighbor_topk", oracle=_CNB_ORACLE, tags=("L3", "L4", "A2"))
-def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scoring is GEMM over dense 16-count vectors (one Arrow matmul per
-    # batch against the broadcast O(1) panel), NOT a long-form join on
-    # `dim`: the dim join's pair fan-out is n_chunks × panel rows
-    # (~1.1B at x100 — it OOMed the hash agg), while the GEMM path's
-    # memory is one batch at a time and each corpus chunk is touched
-    # exactly once. Same design call as ann_cosine_topk
-    # (operators/similarity.py:gemm_exact_topk), composite keys + the
-    # same-document exclusion applied inside the batch so per-batch
-    # top-k pruning stays exact.
-    import numpy as np
-    import pandas as pd
-
+def _chunk_dense(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, v): dense _CNB_DIMS-count hashed-BoW vector
+    per chunk over any frame with (doc_id, text) — one shuffle (bucket
+    counts → array); chunks with zero tokens drop out, matching the
+    oracle's vec CTE. Shared by chunk_neighbor_topk (whole corpus) and
+    incremental_chunk_index_refresh (base / delta slices)."""
     from ..operators.curation import hash_key
-    from ..operators.relational import topk_per_group
 
-    d = table(spark, sf_dir, "documents")
     n_chunks = F.lit(1) + F.when(F.length("text") <= _CHUNK, F.lit(0)).otherwise(
         F.expr(f"(length(text) - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}")
     )
@@ -1216,9 +1206,7 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(hash_key(F.col("term"), "hb"), 1, 8), 16, 10)
         .cast("bigint") % _CNB_DIMS
     )
-    # one shuffle: bucket counts → the dense per-chunk count vector
-    # (chunks with zero tokens drop out, matching the oracle's vec CTE)
-    dense = (
+    return (
         tok.select("doc_id", "chunk_idx", dim.alias("dim"))
         .groupBy("doc_id", "chunk_idx")
         .agg(
@@ -1232,25 +1220,31 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_idx",
             F.array(*[F.col(f"d{i}") for i in range(_CNB_DIMS)]).alias("v"),
         )
-        .transform(tracked_persist)  # consumed by the panel AND the scan
     )
-    stride = d.agg(
-        F.greatest(F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long"))
-        .alias("__stride")
-    )
-    # O(1) panel: first chunk of every stride-th document
-    qpd = (
-        dense.crossJoin(F.broadcast(stride))
-        .filter((F.col("doc_id") % F.col("__stride") == 0) & (F.col("chunk_idx") == 0))
-        .select("doc_id", "chunk_idx", "v")
-        .toPandas()
-    )
+
+
+_CNB_EMPTY_SCHEMA = (
+    "q_doc_id long, q_chunk_idx int, c_doc_id long, c_chunk_idx int, "
+    "dot long, cosine double, rnk int"
+)
+
+
+def _chunk_gemm_topk(spark: SparkSession, dense: DataFrame, qpd, k: int) -> DataFrame:
+    """Exact chunk-grain top-k of the qpd panel (pandas: doc_id,
+    chunk_idx, v) against the dense corpus, GEMM-style: one Arrow
+    matmul per batch against the broadcast O(1) panel — NOT a
+    long-form join on `dim` (that spelling's pair fan-out is
+    n_chunks × panel ≈ 1.1B rows at x100 and OOMed the hash agg; same
+    design call as operators/similarity.py:gemm_exact_topk). The
+    same-document exclusion is applied inside the batch so per-batch
+    top-k pruning stays exact across ties."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.relational import topk_per_group
+
     if not len(qpd):
-        return spark.createDataFrame(
-            [],
-            "q_doc_id long, q_chunk_idx int, c_doc_id long, c_chunk_idx int, "
-            "dot long, cosine double, rnk int",
-        )
+        return spark.createDataFrame([], _CNB_EMPTY_SCHEMA)
     q_doc = qpd["doc_id"].to_numpy().astype("int64")
     q_idx = qpd["chunk_idx"].to_numpy().astype("int64")
     Q = np.stack(qpd["v"].to_numpy()).astype("int64")
@@ -1272,8 +1266,8 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mask = c_doc != qd[j]  # the RETRO same-document exclusion
                 col = np.where(mask, cos[:, j], -np.inf)
                 n_m = int(mask.sum())
-                if n_m > _CNB_K:
-                    thr = np.partition(col, len(col) - _CNB_K)[len(col) - _CNB_K]
+                if n_m > k:
+                    thr = np.partition(col, len(col) - k)[len(col) - k]
                     keep = np.flatnonzero(mask & (col >= thr))
                 else:
                     keep = np.flatnonzero(mask)
@@ -1299,7 +1293,7 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored,
         ["q_doc_id", "q_chunk_idx"],
         [F.col("cosine").desc(), F.col("c_doc_id").asc(), F.col("c_chunk_idx").asc()],
-        _CNB_K,
+        k,
         rank_col="rnk",
     ).select(
         "q_doc_id",
@@ -1309,6 +1303,176 @@ def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dot",
         "cosine",
         F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+@register("chunk_neighbor_topk", oracle=_CNB_ORACLE, tags=("L3", "L4", "A2"))
+def chunk_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # persisted: consumed by the panel AND the GEMM scan
+    dense = _chunk_dense(d).transform(tracked_persist)
+    stride = d.agg(
+        F.greatest(F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long"))
+        .alias("__stride")
+    )
+    # O(1) panel: first chunk of every stride-th document
+    qpd = (
+        dense.crossJoin(F.broadcast(stride))
+        .filter((F.col("doc_id") % F.col("__stride") == 0) & (F.col("chunk_idx") == 0))
+        .select("doc_id", "chunk_idx", "v")
+        .toPandas()
+    )
+    return _chunk_gemm_topk(spark, dense, qpd, _CNB_K)
+
+
+# ---------------------------------------------------------------------------
+# L3/L6/Q3 incremental chunk-index refresh ([EXT] — round-13: the
+# nightly-index-update pattern for the retrieval index above. New
+# documents ARRIVE (md5 arrival split, ~3/16 of the corpus); instead
+# of rebuilding, the serving top-k is refreshed by the monotone-top-k
+# identity topk(base ∪ delta) = rerank(topk(base) ∪ topk(delta)) —
+# only the DELTA's chunks are scored against the standing panel, the
+# base side is the already-materialized result. Emits from_delta so
+# the operator witnesses which neighbors the refresh displaced; the
+# equivalence to a full rebuild is asserted in tests
+# (test_round13_session_ops.py). The oracle replays both phases and
+# the re-rank. Scale: the recompute is delta-sized (plus the O(1)
+# panel); the base top-k is k·panel rows.
+# ---------------------------------------------------------------------------
+
+_CNB_ARRIVAL_SQL = "substr(md5('arr:' || CAST(doc_id AS VARCHAR)), 1, 1) < '3'"
+
+
+def _cnb_vec_cte(sfx: str, where: str) -> str:
+    """ch/tok/vec/nrm CTE block for one corpus slice (WHERE on
+    documents) — the same chunking/hashing as _CNB_ORACLE."""
+    return f"""
+ch{sfx} AS (
+  SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+         SUBSTR(text, idx * {_STRIDE} + 1, {_CHUNK}) AS text
+  FROM (
+    SELECT doc_id, text,
+           1 + CASE WHEN LENGTH(text) <= {_CHUNK} THEN 0
+                    ELSE (LENGTH(text) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} END
+             AS n_chunks
+    FROM documents WHERE {where}
+  ) n, UNNEST(generate_series(0, n_chunks - 1)) AS t(idx)
+),
+tok{sfx} AS (
+  SELECT doc_id, chunk_idx, UNNEST({_SQL_TOKS}) AS term FROM ch{sfx}
+),
+vec{sfx} AS (
+  SELECT doc_id, chunk_idx,
+         CAST('0x' || SUBSTR(MD5(term || '|hb'), 1, 8) AS BIGINT) % {_CNB_DIMS}
+           AS dim,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM tok{sfx} GROUP BY 1, 2, 3
+),
+nrm{sfx} AS (SELECT doc_id, chunk_idx, SUM(x*x) AS sq FROM vec{sfx} GROUP BY 1, 2)"""
+
+
+def _cnb_phase_cte(sfx: str) -> str:
+    """dots/top CTE block scoring the base panel against one slice."""
+    return f"""
+dots{sfx} AS (
+  SELECT q.doc_id AS q_doc_id, q.chunk_idx AS q_chunk_idx,
+         c.doc_id AS c_doc_id, c.chunk_idx AS c_chunk_idx,
+         SUM(q.x * c.x) AS dot
+  FROM qv q JOIN vec{sfx} c ON q.dim = c.dim AND q.doc_id <> c.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+top{sfx} AS (
+  SELECT q_doc_id, q_chunk_idx, c_doc_id, c_chunk_idx, dot, cosine FROM (
+    SELECT d.q_doc_id, d.q_chunk_idx, d.c_doc_id, d.c_chunk_idx,
+           CAST(d.dot AS BIGINT) AS dot,
+           CAST(d.dot AS DOUBLE)
+             / (SQRT(CAST(a.sq AS DOUBLE)) * SQRT(CAST(b.sq AS DOUBLE))) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY d.q_doc_id, d.q_chunk_idx
+               ORDER BY CAST(d.dot AS DOUBLE)
+                 / (SQRT(CAST(a.sq AS DOUBLE)) * SQRT(CAST(b.sq AS DOUBLE))) DESC,
+               d.c_doc_id ASC, d.c_chunk_idx ASC) AS prnk
+    FROM dots{sfx} d
+    JOIN nrmb a ON d.q_doc_id = a.doc_id AND d.q_chunk_idx = a.chunk_idx
+    JOIN nrm{sfx} b ON d.c_doc_id = b.doc_id AND d.c_chunk_idx = b.chunk_idx
+  ) WHERE prnk <= {_CNB_K}
+)"""
+
+
+_CNB_INCR_ORACLE = f"""
+WITH s AS (
+  SELECT GREATEST(50, CAST(COUNT(*) // 100 AS BIGINT)) AS stride
+  FROM documents WHERE NOT ({_CNB_ARRIVAL_SQL})
+),
+{_cnb_vec_cte("b", f"NOT ({_CNB_ARRIVAL_SQL})")[1:]},
+{_cnb_vec_cte("d", _CNB_ARRIVAL_SQL)[1:]},
+qv AS (
+  SELECT v.* FROM vecb v, s WHERE v.doc_id % s.stride = 0 AND v.chunk_idx = 0
+),
+{_cnb_phase_cte("b")[1:]},
+{_cnb_phase_cte("d")[1:]},
+u AS (
+  SELECT *, FALSE AS from_delta FROM topb
+  UNION ALL
+  SELECT *, TRUE AS from_delta FROM topd
+)
+SELECT q_doc_id, q_chunk_idx, c_doc_id, c_chunk_idx, dot, cosine, from_delta,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_doc_id, q_chunk_idx
+            ORDER BY cosine DESC, c_doc_id ASC, c_chunk_idx ASC) AS rnk
+  FROM u
+) WHERE rnk <= {_CNB_K}
+"""
+
+
+def _cnb_arrival_col() -> Column:
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit("arr:"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "3"
+    )
+
+
+@register(
+    "incremental_chunk_index_refresh", oracle=_CNB_INCR_ORACLE, tags=("L3", "L6", "Q3")
+)
+def incremental_chunk_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import topk_per_group
+
+    d = table(spark, sf_dir, "documents")
+    is_new = _cnb_arrival_col()
+    base = d.filter(~is_new)
+    delta = d.filter(is_new)
+    # persisted: consumed by the panel AND the base-phase scan
+    dense_b = _chunk_dense(base).transform(tracked_persist)
+    dense_d = _chunk_dense(delta)
+    stride = base.agg(
+        F.greatest(F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long"))
+        .alias("__stride")
+    )
+    qpd = (
+        dense_b.crossJoin(F.broadcast(stride))
+        .filter((F.col("doc_id") % F.col("__stride") == 0) & (F.col("chunk_idx") == 0))
+        .select("doc_id", "chunk_idx", "v")
+        .toPandas()
+    )
+    p_base = _chunk_gemm_topk(spark, dense_b, qpd, _CNB_K).withColumn(
+        "from_delta", F.lit(False)
+    )
+    p_delta = _chunk_gemm_topk(spark, dense_d, qpd, _CNB_K).withColumn(
+        "from_delta", F.lit(True)
+    )
+    merged = p_base.unionByName(p_delta).drop("rnk")
+    return topk_per_group(
+        merged,
+        ["q_doc_id", "q_chunk_idx"],
+        [F.col("cosine").desc(), F.col("c_doc_id").asc(), F.col("c_chunk_idx").asc()],
+        _CNB_K,
+        rank_col="rnk",
+    ).select(
+        "q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx", "dot", "cosine",
+        "from_delta", F.col("rnk").cast("int").alias("rnk"),
     )
 
 

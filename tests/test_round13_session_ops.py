@@ -169,6 +169,44 @@ def test_bpe_apply_merges_segmentation_conserves_chars(spark):
     assert got == int(want)
 
 
+def test_incremental_chunk_refresh_equals_full_rebuild(spark):
+    # the monotone-top-k identity the refresh relies on:
+    # topk(base ∪ delta) must equal rerank(topk(base) ∪ topk(delta))
+    from etl_showcase_spark.plans.llm_text import (
+        _chunk_dense,
+        _chunk_gemm_topk,
+        _cnb_arrival_col,
+        _CNB_K,
+    )
+
+    inc = (
+        SPECS["incremental_chunk_index_refresh"].build(spark, SF_SMOKE).toPandas()
+    )
+    assert len(inc) > 0
+    assert inc["from_delta"].any(), "no delta neighbor displaced a base one — vacuous"
+    assert (~inc["from_delta"]).any()
+
+    # full rebuild over base+delta with the SAME standing panel
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = d.filter(~_cnb_arrival_col())
+    dense_b = _chunk_dense(base)
+    stride = base.agg(
+        F.greatest(F.lit(50).cast("long"), (F.count(F.lit(1)) / 100).cast("long"))
+        .alias("__stride")
+    )
+    qpd = (
+        dense_b.crossJoin(F.broadcast(stride))
+        .filter((F.col("doc_id") % F.col("__stride") == 0) & (F.col("chunk_idx") == 0))
+        .select("doc_id", "chunk_idx", "v")
+        .toPandas()
+    )
+    full = _chunk_gemm_topk(spark, _chunk_dense(d), qpd, _CNB_K).toPandas()
+    cols = ["q_doc_id", "q_chunk_idx", "c_doc_id", "c_chunk_idx", "dot", "rnk"]
+    a = inc[cols].sort_values(cols).reset_index(drop=True)
+    b = full[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), "incremental refresh diverges from full rebuild"
+
+
 def test_filelist_read_matches_directory_read(spark, tmp_path):
     # the snapshot commit protocol's _FILELIST.json: the manifest-driven
     # read returns the same rows as directory discovery, recovers the
