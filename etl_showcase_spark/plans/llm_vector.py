@@ -468,12 +468,15 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="cand_rnk",
     ).select("q_id", "c_id", "cv", "rel_dot")
 
+    # closure cells bind the module constants at build time, keeping
+    # the pickled-by-value fold single-sourced with the oracle
+    # (applyInPandas requires a (data) or (key, data) signature, so
+    # the constants can't ride as default args)
+    lam_n, lam_d, k = _MMR_LAM_NUM, _MMR_LAM_DEN, _MMR_K
+
     def mmr_fold(pdf):
-        # self-contained (pickled by value)
         import numpy as np
         import pandas as pd
-
-        lam_n, lam_d, k = 7, 3, 5
         ids = pdf["c_id"].to_numpy().astype("int64")
         rel = pdf["rel_dot"].to_numpy().astype("int64")
         V = np.stack(pdf["cv"].to_numpy()).astype("int64")
