@@ -1478,6 +1478,70 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L3/L6 context-window packing under a token budget ([EXT] — round-13:
+# the serving-side step between retrieval and the prompt — a RAG stack
+# walks the fused ranking in order and keeps stuffing passages until
+# the context budget is spent. Prefix-stop policy (include a candidate
+# iff the running token total THROUGH it fits; the first overflow ends
+# the context), which preserves rank contiguity — the property prompt
+# builders rely on. Consumes hybrid_rrf_retrieval's fused top-10
+# as-is (the oracle nests that query's SQL verbatim as a CTE, so the
+# two stay in lockstep); token costs are the house whitespace counts.
+# All integers: the cumulative window sum and the budget comparison
+# replay exactly. Scale: the fused result is panel × 10 rows; the one
+# corpus-sized stage is the token-count scan it joins.
+# ---------------------------------------------------------------------------
+
+_CTX_BUDGET_TOKENS = 120
+
+_CTX_PACK_ORACLE = f"""
+WITH fused_out AS (
+{_HYBRID_RRF_ORACLE}
+),
+cost AS (
+  SELECT doc_id, CAST(LEN({_SQL_TOKS}) AS BIGINT) AS n_toks FROM documents
+),
+ranked AS (
+  SELECT f.q_id, f.c_id, f.rnk, c.n_toks,
+         SUM(c.n_toks) OVER (PARTITION BY f.q_id ORDER BY f.rnk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM fused_out f JOIN cost c ON f.c_id = c.doc_id
+)
+SELECT q_id, c_id, CAST(rnk AS INT) AS rnk,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {_CTX_BUDGET_TOKENS}
+"""
+
+
+@register(
+    "retrieval_context_budget_pack", oracle=_CTX_PACK_ORACLE, tags=("L3", "L6", "W3")
+)
+def retrieval_context_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    fused = hybrid_rrf_retrieval(spark, sf_dir).select("q_id", "c_id", "rnk")
+    cost = d.select(
+        F.col("doc_id").alias("c_id"),
+        F.size(textops.tokens("text")).cast("bigint").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("q_id")
+        .orderBy(F.col("rnk").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = fused.join(cost, "c_id").select(
+        "q_id",
+        "c_id",
+        F.col("rnk").cast("int").alias("rnk"),
+        "n_toks",
+        F.sum("n_toks").over(w).cast("bigint").alias("cum_tokens"),
+    )
+    return ranked.filter(F.col("cum_tokens") <= _CTX_BUDGET_TOKENS)
+
+
+# ---------------------------------------------------------------------------
 # Q1/G-family Benford first-digit audit ([EXT] — the forensic
 # data-quality screen for fabricated or truncated money columns: the
 # first significant digit of natural amounts follows log10(1+1/d)).

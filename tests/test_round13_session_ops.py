@@ -207,6 +207,21 @@ def test_incremental_chunk_refresh_equals_full_rebuild(spark):
     assert a.equals(b), "incremental refresh diverges from full rebuild"
 
 
+def test_context_pack_respects_budget_and_rank_contiguity(spark):
+    pdf = SPECS["retrieval_context_budget_pack"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["cum_tokens"] <= 120).all()
+    n_ctx = pdf.groupby("q_id").size()
+    assert (n_ctx >= 1).all()  # every panel query gets SOME context
+    assert (n_ctx < 10).any(), "budget never truncated a context — vacuous"
+    for _, g in pdf.groupby("q_id"):
+        g = g.sort_values("rnk")
+        # prefix-stop: the included ranks are exactly 1..n (contiguous)
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        # the running total is the pairwise cumsum of the included costs
+        assert (g["cum_tokens"] == g["n_toks"].cumsum()).all()
+
+
 def test_filelist_read_matches_directory_read(spark, tmp_path):
     # the snapshot commit protocol's _FILELIST.json: the manifest-driven
     # read returns the same rows as directory discovery, recovers the
