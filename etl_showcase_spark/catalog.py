@@ -67,8 +67,31 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 # this branch never triggers.
 FACT_TABLES = frozenset({"lineitem", "orders", "events", "documents", "embeddings"})
 
+# Fan-out key per fact table (optimization round 13, guide §2.4/§2.5):
+# hash-partitioning on the table's natural join/group key instead of
+# round-robin. Two wins at identical spread (keys are uniform, 47-18750x
+# more distinct values than partitions): (a) a keyless repartition(n)
+# pays a full local sort of every row first (sortBeforeRepartition,
+# SPARK-23207 — needed so retried tasks re-produce the same assignment;
+# hash partitioning is deterministic without it), and (b) downstream
+# joins/aggregations keyed the same way reuse the exchange outright —
+# e.g. join_fact_revenue's per-order pre-aggregation consumes
+# hashpartitioning(l_orderkey, slots) directly, dropping its
+# ENSURE_REQUIREMENTS exchange (600k-row shuffle at sf0.1) from the
+# plan. Result-neutral: partitioning never changes what a declarative
+# plan computes, and every money aggregate is decimal (order-free).
+FANOUT_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = True
+) -> DataFrame:
     """Load one testdata table. Parquet scan → full pushdown/pruning.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects by
@@ -94,7 +117,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.schema(SCHEMAS[name]).parquet(path)
     else:
         df = spark.read.parquet(path)
-    if name in FACT_TABLES:
+    if name in FACT_TABLES and fanout:
         import os
 
         slots = spark.sparkContext.defaultParallelism
@@ -107,7 +130,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             and os.path.getsize(path) < slots * 8 * 1024 * 1024
         )
         if small:
-            df = df.repartition(slots)
+            key = FANOUT_KEYS.get(name)
+            if key is not None:
+                from pyspark.sql import functions as F
+
+                df = df.repartition(slots, F.col(key))
+            else:
+                df = df.repartition(slots)
     return df
 
 

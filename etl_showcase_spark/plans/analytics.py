@@ -171,7 +171,11 @@ LIMIT 10
 @register("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("J1", "J2", "G1", "O3"), bench=True)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = table(spark, sf_dir, "orders").filter(
+    # fanout=False (r13 optimization): the filtered orders side is
+    # broadcast by AQE at bench scale — fanning it out first only adds
+    # a wasted exchange before the BroadcastExchange re-collects it; at
+    # shuffle-join scale the join's own exchange supplies the spread.
+    o = table(spark, sf_dir, "orders", fanout=False).filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
     )
     li = table(spark, sf_dir, "lineitem").filter(
@@ -233,8 +237,10 @@ ORDER BY revenue DESC, nation ASC
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     # 1995 window: the testdata's order dates start 1995-01-01, so the
-    # canonical 1994 window would make the whole query vacuous
-    o = table(spark, sf_dir, "orders").filter(
+    # canonical 1994 window would make the whole query vacuous.
+    # fanout=False: same rationale as q3 — this side is broadcast at
+    # bench scale, so a pre-broadcast fan-out exchange is pure waste.
+    o = table(spark, sf_dir, "orders", fanout=False).filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
     )

@@ -76,7 +76,13 @@ GROUP BY o.o_orderpriority
 
 @register("join_fact_revenue", oracle=_SMJ_ORACLE, tags=("J2", "G1"), bench=True)
 def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # fanout=False (r13 optimization): this frame flows straight into a
+    # join where AQE broadcasts it at bench scale — a fan-out exchange
+    # ahead of a BroadcastExchange is pure waste (the broadcast
+    # re-collects whatever distribution it gets), and when orders is
+    # big enough to shuffle instead, the join's own keyed exchange
+    # provides the spread. Plan: 150k-row RoundRobin exchange removed.
+    o = table(spark, sf_dir, "orders", fanout=False)
     li = table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(12,2)")
     per_order = li.groupBy("l_orderkey").agg(
