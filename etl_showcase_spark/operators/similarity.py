@@ -191,62 +191,106 @@ def lsh_ann_topk(
     path. Recall ≈ 1-(1-p^n_planes)^n_tables, tunable per workload.
 
     Asymmetric sides, by design: the QUERY side is bounded (O(1) in
-    corpus size), so BOTH its posting list and its vector table are
-    broadcast. Both sides sign with the GEMM — evaluated and rejected
-    in round 10: computing the query-side keys as JVM lsh_bucket_key
-    expressions (bit-identical, see
-    tests/test_round10_session_ops.py::test_lsh_expression_keys_equal_gemm_keys)
-    removes one pandas-UDF stage but regresses the query 1.4s -> 3.7s
-    at sf0.1, because 32 planes x 64 dims of INTERPRETED higher-order
-    zip_with/aggregate cost ~µs per element while the Arrow GEMM does
-    the same work in one vectorized matmul. Python-worker warm-up is
-    cheaper than interpreted expression evaluation here.
-    Candidate dedup is ids-only — carrying the quantized
-    query vector through dropDuplicates would put an array<bigint>
-    inside the aggregation buffer and demote the whole dedup to
-    SortAggregate (sort by q_id,c_id instead of hashing them); with
-    bigint-only keys Catalyst keeps HashAggregate, and the query
-    vectors rejoin by a second (free) broadcast at scoring time. The
-    query frame is computed ONCE and persisted — its construction may
-    itself be a plan (e.g. the strided query-set build), and both the
-    posting explode and the vector table consume it in one action. The
-    CORPUS side — the one that grows with data — stays ids-only through
-    candidate dedup; corpus vectors rejoin exactly once, by id, for the
-    exact-cosine scoring."""
-    q_base = queries.select(
-        F.col(query_id).alias("q_id"),
-        quantize(F.col(vec_col)).alias("q_vec"),
-        lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables).alias("keys"),
-    ).transform(tracked_persist)  # bounded: the query set is O(1) in corpus size
-    q_sig = q_base.select("q_id", F.posexplode("keys").alias("tbl", "key"))
-    q_vecs = q_base.select(
-        "q_id",
-        "q_vec",
-        F.sqrt(int_dot(F.col("q_vec"), F.col("q_vec")).cast("double")).alias("q_nrm"),
+    corpus size), so its postings AND its quantized vectors are
+    collected once and shipped to executors in ONE broadcast (the same
+    driver-metadata envelope as gemm_exact_topk's query matrix); the
+    CORPUS — the side that grows with data — streams through a single
+    mapInPandas pass that signs each Arrow batch with the plane GEMM,
+    matches the batch's (table, bucket) keys against the query postings
+    with vectorized merges, dedups candidate pairs in-batch (each
+    corpus row lives in exactly one batch, so in-batch dedup IS global
+    dedup), and emits the exact quantized cosine for the matches. One
+    Python stage, zero corpus-side joins, zero corpus-vector shuffles;
+    the only exchange after the scan is the per-query top-k.
+
+    Optimization round 13 rewrite of the round-10 shape (posting
+    explode → broadcast posting join → dropDuplicates exchange → two
+    scoring joins): that plan shuffled the candidate set twice,
+    re-joined corpus vectors by id, and scored each pair with the
+    INTERPRETED zip_with/aggregate int_dot (~2 lambda evals per vector
+    component — measured 345 ms single-task at sf0.1 where the numpy
+    gather-dot below is ~1 ms). Candidates, cosines and ranking are
+    bit-identical: same ±1 planes (_plane_signs), same exact int64
+    dots, same IEEE double sequence (dot→double / (q_nrm·c_nrm);
+    IEEE multiply is commutative), so the DuckDB oracle that replays
+    postings+scoring in SQL stays hash-green across the rewrite.
+    Round 10's lesson (JVM expression signatures 2.6× slower than the
+    Arrow GEMM, see tests/test_round10_session_ops.py::
+    test_lsh_expression_keys_equal_gemm_keys) still holds and is why
+    BOTH sides sign with the GEMM here."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qpd = queries.select(
+        F.col(query_id).alias("q_id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    if not len(qpd):
+        return spark.createDataFrame([], "q_id long, c_id long, cosine double, rnk int")
+    total = n_planes * n_tables
+    S = np.array([_plane_signs(p, dim) for p in range(total)], dtype="int64").T
+    weights = np.array(
+        [1 << (n_planes - 1 - p) for p in range(n_planes)], dtype="int64"
     )
-    cb = corpus.select(
-        F.col(corpus_id).alias("c_id"),
-        F.posexplode(lsh_bucket_keys_gemm(vec_col, n_planes, dim, n_tables)).alias(
-            "tbl", "key"
-        ),
-    )
-    cv = corpus.select(
-        F.col(corpus_id).alias("c_id"), quantize(F.col(vec_col)).alias("c_vec")
-    ).withColumn("c_nrm", F.sqrt(int_dot(F.col("c_vec"), F.col("c_vec")).cast("double")))
-    candidates = (
-        cb.join(F.broadcast(q_sig), ["tbl", "key"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .dropDuplicates(["q_id", "c_id"])
-    )
-    scored = candidates.join(cv, "c_id").join(F.broadcast(q_vecs), "q_id").select(
-        "q_id",
-        "c_id",
-        (
-            int_dot(F.col("q_vec"), F.col("c_vec")).cast("double")
-            / (F.col("q_nrm") * F.col("c_nrm"))
-        ).alias("cosine"),
-    )
+
+    def _keys(int_mat):
+        # identical math to lsh_bucket_keys_gemm: one GEMM against the
+        # ±1 plane matrix, sign, per-table bit-pack → (rows, n_tables)
+        bits = (int_mat @ S) > 0
+        out = np.zeros((int_mat.shape[0], n_tables), dtype="int64")
+        for t in range(n_tables):
+            out[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+        return out
+
+    q_ids = qpd["q_id"].to_numpy()
+    q_int = np.floor(
+        np.stack(qpd["v"].to_numpy()).astype("float64") * 1000 + 0.5
+    ).astype("int64")
+    q_nrm = np.sqrt((q_int * q_int).sum(axis=1).astype("float64"))
+    q_keys = _keys(q_int)
+    # per-table posting frames (bucket key → query index): O(|queries|)
+    postings = [
+        pd.DataFrame({"key": q_keys[:, t], "qi": np.arange(len(q_ids))})
+        for t in range(n_tables)
+    ]
+    bq = spark.sparkContext.broadcast((q_ids, q_int, q_nrm, postings))
+    nt, npl = n_tables, n_planes
+
+    def match_batches(batches):
+        ids, Q, qn, posts = bq.value
+        for pdf in batches:
+            if not len(pdf):  # zero-row Arrow batch: np.stack would raise
+                continue
+            c_ids = pdf["c_id"].to_numpy()
+            C = np.floor(
+                np.stack(pdf["v"].to_numpy()).astype("float64") * 1000 + 0.5
+            ).astype("int64")
+            cn = np.sqrt((C * C).sum(axis=1).astype("float64"))
+            bits = (C @ S) > 0
+            parts = []
+            for t in range(nt):
+                kt = bits[:, t * npl : (t + 1) * npl] @ weights
+                m = pd.DataFrame({"key": kt, "ci": np.arange(len(c_ids))})
+                parts.append(m.merge(posts[t], on="key")[["ci", "qi"]])
+            cand = pd.concat(parts, ignore_index=True).drop_duplicates()
+            ci = cand["ci"].to_numpy()
+            qi = cand["qi"].to_numpy()
+            keep = ids[qi] != c_ids[ci]
+            ci, qi = ci[keep], qi[keep]
+            if not len(ci):
+                continue
+            dots = (C[ci] * Q[qi]).sum(axis=1)  # exact int64
+            yield pd.DataFrame(
+                {
+                    "q_id": ids[qi],
+                    "c_id": c_ids[ci],
+                    "cosine": dots.astype("float64") / (qn[qi] * cn[ci]),
+                }
+            )
+
+    scored = corpus.select(
+        F.col(corpus_id).alias("c_id"), F.col(vec_col).alias("v")
+    ).mapInPandas(match_batches, "q_id long, c_id long, cosine double")
     return topk_per_group(
         scored, ["q_id"], [F.col("cosine").desc(), F.col("c_id").asc()], k, rank_col="rnk"
     )

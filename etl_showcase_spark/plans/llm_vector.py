@@ -98,7 +98,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import gemm_exact_topk
 
     e = table(spark, sf_dir, "embeddings")
-    res = gemm_exact_topk(_strided_queries(e), e, "vec_id", "vec_id", "embedding", k=10)
+    # query panel from an UN-fanned scan (r13 optimization): the panel
+    # is collected by its own toPandas action, which would otherwise
+    # pay the corpus fan-out exchange again just to gather ~100 rows —
+    # shuffle reuse never crosses actions. Same rows either way.
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
+    res = gemm_exact_topk(_strided_queries(eq), e, "vec_id", "vec_id", "embedding", k=10)
     return res.select("q_id", "c_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
 
 
@@ -291,8 +296,11 @@ WHERE rnk <= 10
 @register("ann_lsh_topk", oracle=_ann_lsh_oracle(), tags=("L3",), bench=True)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
+    # query panel from an UN-fanned scan: collected driver-side by its
+    # own action — see ann_cosine_topk for the rationale
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
     return lsh_ann_topk(
-        _strided_queries(e),
+        _strided_queries(eq),
         e,
         "vec_id",
         "vec_id",
@@ -316,8 +324,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_ann_topk
 
     e = table(spark, sf_dir, "embeddings")
+    # query panel from an UN-fanned scan: collected driver-side by its
+    # own action — see ann_cosine_topk for the rationale
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
     return ivf_ann_topk(
-        _strided_queries(e),
+        _strided_queries(eq),
         e,
         "vec_id",
         "vec_id",
@@ -597,16 +608,19 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import gemm_exact_topk
 
     e = table(spark, sf_dir, "embeddings")
+    # query panel from an UN-fanned scan: both legs collect it with
+    # their own toPandas action — see ann_cosine_topk for the rationale
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
     # ground truth leg, persisted: consumed by the hit join AND the
     # panel spine
     exact = tracked_persist(
         gemm_exact_topk(
-            _strided_queries(e), e, "vec_id", "vec_id", "embedding",
+            _strided_queries(eq), e, "vec_id", "vec_id", "embedding",
             k=_RECALL_EVAL_K,
         ).select("q_id", "c_id")
     )
     lsh = lsh_ann_topk(
-        _strided_queries(e), e, "vec_id", "vec_id", "embedding",
+        _strided_queries(eq), e, "vec_id", "vec_id", "embedding",
         k=_RECALL_EVAL_K,
         n_planes=_ANN_LSH_PLANES,
         dim=_ND_DIM,
