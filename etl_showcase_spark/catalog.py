@@ -88,9 +88,30 @@ FANOUT_KEYS: dict[str, str] = {
     "embeddings": "vec_id",
 }
 
+# Per-table fan-out chunk (optimization round 13, guide §2.2): bytes of
+# table one slot must be worth before the small-file fan-out exchange
+# pays for itself. The partition count DERIVES from the input size —
+# min(slots, ceil(size / chunk)) — so it adapts across scale factors
+# instead of pinning the local core count; a sub-chunk table skips the
+# exchange outright. Tables whose consumers are Arrow-vectorized
+# (embeddings: every similarity/ANN/mlprep path signs or scores whole
+# batches with one GEMM; events: plain sum/count aggregates) spread
+# only once there is real per-slot work; documents (regex tokenization,
+# ~100× the per-byte cost) and lineitem/orders (decimal partial
+# aggregates, exchange-reusing keyed joins) keep the full spread at any
+# qualifying size (chunk 0 = always slots-wide).
+FANOUT_CHUNKS: dict[str, int] = {
+    "embeddings": 2 << 20,
+    "events": 8 << 20,
+}
+
 
 def table(
-    spark: SparkSession, sf_dir: str, name: str, fanout: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fanout: bool = True,
+    fanout_chunk: int | None = None,
 ) -> DataFrame:
     """Load one testdata table. Parquet scan → full pushdown/pruning.
 
@@ -130,13 +151,33 @@ def table(
             and os.path.getsize(path) < slots * 8 * 1024 * 1024
         )
         if small:
-            key = FANOUT_KEYS.get(name)
-            if key is not None:
-                from pyspark.sql import functions as F
+            # Scale-adaptive spread (optimization round 13, guide §2.2):
+            # a caller whose per-row work is vectorized (Arrow GEMM) or
+            # already cheap passes fanout_chunk = the bytes one slot
+            # should be worth spreading for; the partition count then
+            # DERIVES from input size — min(slots, ceil(size/chunk)) —
+            # instead of pinning the local core count. At bench scale a
+            # sub-chunk table skips the exchange outright (the fan-out
+            # would cost more than the single-task compute it spreads);
+            # at 10-100× the same call site fans wide again. Callers
+            # with heavy per-row JVM work (regex tokenization, decimal
+            # chains) keep the default slots-wide spread.
+            chunk = (
+                fanout_chunk
+                if fanout_chunk is not None
+                else FANOUT_CHUNKS.get(name, 0)
+            )
+            n_part = slots
+            if chunk:
+                n_part = min(slots, -(-os.path.getsize(path) // chunk))
+            if n_part > 1:
+                key = FANOUT_KEYS.get(name)
+                if key is not None:
+                    from pyspark.sql import functions as F
 
-                df = df.repartition(slots, F.col(key))
-            else:
-                df = df.repartition(slots)
+                    df = df.repartition(n_part, F.col(key))
+                else:
+                    df = df.repartition(n_part)
     return df
 
 

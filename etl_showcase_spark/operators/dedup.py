@@ -172,49 +172,79 @@ def minhash_lsh_pairs(
     # repeated builds of the same query share one entry instead of
     # accumulating. Measured at sf0.1: 2.10s → 1.50s.
     base = base.transform(tracked_persist)
-    sig = base.select(
+    # Empty shingle sets leave the banding entirely (optimization round
+    # 13, guide §2.5): every empty doc carries the identical sentinel
+    # signature, so they ALL land in one (band, key) bucket — the one
+    # unbounded hot key in the operator at scale — yet an empty doc can
+    # never appear in the output (its exact Jaccard is NULL/0 < any
+    # threshold, and it can't share a bucket with a non-empty doc:
+    # non-empty minima are < p, the sentinel is exactly p). Dropping
+    # them before the signature pass is provably output-neutral and
+    # removes both the hot bucket and their share of the Arrow traffic.
+    sig = base.filter(F.size("__sh") > 0).select(
         "__id", F.size("__sh").alias("__n"), _minima(F.col("__sh")).alias("__m")
     )
+    # Band key = the band's signature slice itself (optimization round
+    # 13). The old spelling re-hashed each r-row slice to one bigint via
+    # element_at→cast(string)→concat_ws→xxhash64 — ~6 expression nodes
+    # per signature component (measured 0.25 s of plan build/analysis
+    # per bench rep at bands=8, rows=4) plus per-row string
+    # materialization at runtime. Two docs collide on a band iff their
+    # r minima are equal, which is exactly equality of the slice —
+    # grouping on the array<bigint> directly produces the identical
+    # bucket partition (minus the ~2^-64 xxhash-collision merges the
+    # re-hash could introduce), with ONE slice call per band.
     banded = sig.select(
         "__id",
         "__n",
-        F.explode(
+        F.posexplode(
             F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("__m", b * rows + r + 1).cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
+                *[F.xxhash64(F.slice("__m", b * rows + 1, rows)) for b in range(bands)]
             )
-        ).alias("bk"),
-    ).select(
-        "__id", "__n", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        ).alias("band", "key"),
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Candidate generation as ONE bucket aggregation instead of the
+    # band self-join (optimization round 13, guide §2.4): the join
+    # spelling evaluated the signature pandas_udf TWICE — the broadcast
+    # side's plan recomputes everything above the cached base, so the
+    # plan carried two ArrowEvalPython corpus passes — and at scale,
+    # where the banded frame outgrows the broadcast threshold, it
+    # degrades to a sort-merge join (two sorts of bands×n rows).
+    # groupBy(band, key) + in-row pair expansion computes signatures
+    # once, shuffles only the narrow (band, key, id, n) postings, and
+    # never sorts. Pair set is identical by construction: a pair shares
+    # a bucket iff the join would have matched it, id_a < id_b enforced
+    # by array_sort (struct order = field order, id first), and
+    # per-bucket members are exactly the bucket's posting rows.
+    member = F.struct(F.col("__id").alias("id"), F.col("__n").alias("n"))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    expanded = buckets.select(
+        "ms", F.posexplode("ms").alias("i", "a")
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("a.n").alias("n_a"),
+        F.explode(
+            F.slice(
+                "ms",
+                F.col("i") + 2,
+                F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
+            )
+        ).alias("b"),
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.__id") < F.col("r.__id")),
+        expanded.select(
+            "id_a",
+            "n_a",
+            F.col("b.id").alias("id_b"),
+            F.col("b.n").alias("n_b"),
         )
-        .groupBy(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-        )
-        .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
     )
     candidates = _size_ratio_prune(candidates, jaccard_threshold)
     # Exact-Jaccard verification only on the candidate pairs: join the

@@ -178,7 +178,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders", fanout=False).filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    # fanout_chunk (r13 optimization, guide §2.2/§2.4): this frame flows
+    # straight into the orders join — broadcast-probed at bench scale
+    # (the probe is ~ns/row, no spread needed), re-shuffled by the
+    # join's own exchange when orders outgrows the broadcast threshold.
+    # The partition count derives from input size, so the exchange
+    # disappears at bench scale and returns at 10-100×.
+    li = table(spark, sf_dir, "lineitem", fanout_chunk=16 << 20).filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
     )
     one = F.lit(1).cast("decimal(12,2)")
@@ -244,7 +250,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
     )
-    li = table(spark, sf_dir, "lineitem")
+    # fanout_chunk: same rationale as q3 — join-bound probe side
+    li = table(spark, sf_dir, "lineitem", fanout_chunk=16 << 20)
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -428,7 +435,12 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
 
 @register("q6_revenue_change", oracle=_Q6_ORACLE, tags=("P8", "P10", "G4"), bench=True)
 def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # fanout=False (r13 optimization, guide §2.4): the pushed filters
+    # keep ~2% of rows at every scale factor, so the fan-out exchange
+    # would spread a few thousand survivors over all slots for one
+    # scalar aggregate — the exchange costs more than the sum it
+    # parallelizes, at bench scale and at 100× alike.
+    li = table(spark, sf_dir, "lineitem", fanout=False)
     lo = F.lit("0.05").cast("decimal(12,2)")
     hi = F.lit("0.07").cast("decimal(12,2)")
     return (

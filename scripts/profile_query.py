@@ -1,94 +1,132 @@
 #!/usr/bin/env python
-"""Per-stage wall-time profile of one registered query (guide §1:
-measure first, attribute time to stages before touching anything).
+"""Per-query profiling harness for the optimization rounds (guide §1).
 
-Runs the query end-to-end with the noop sink (2 untimed warm-ups, then
-one metered run) and prints, for every stage of the metered run:
-submission→completion wall ms, task count, shuffle read/write bytes,
-and the first line of the stage's name (which names the boundary
-operator). Reads the driver's AppStatusStore — no UI needed, no extra
-jobs.
+Runs ONE registered query at $SPARK_GRAFT_SF_DIR with the bench's exact
+methodology (2 untimed warm-ups + best-of-N noop-sink reps), then prints:
 
-Run: python scripts/profile_query.py <query_name> [sf_dir] [cpus]
+  - per-rep wall times and the best-of-N;
+  - the per-JOB breakdown of the final timed rep (job description,
+    duration, stage count) from the Spark UI REST API — this is how a
+    1.4 s query decomposes into its actions/stages;
+  - per-stage detail (name, duration, tasks, shuffle bytes) for stages
+    above 50 ms.
+
+Usage: python scripts/profile_query.py <query_name> [reps]
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
+def _rest(base: str, path: str):
+    with urllib.request.urlopen(base + path) as r:
+        return json.load(r)
+
+
+def main() -> None:
     name = sys.argv[1]
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    cpus = sys.argv[3] if len(sys.argv) > 3 else os.environ.get("SPARK_GRAFT_CPUS", "32")
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from etl_showcase_spark.caching import release_all
-    from etl_showcase_spark.registry import all_specs
+    from etl_showcase_spark.registry import queries
     from etl_showcase_spark.session import get_spark
 
     spark = get_spark(
-        app_name=f"profile-{name}",
+        app_name="etl-showcase-profile",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4049"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    spec = all_specs()[name]
+    fn = queries()[name]
 
-    # same conditioning as bench.py: warm the Python worker pool, then
-    # two untimed warm-ups so codegen/JIT reach steady state
-    spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").write.mode(
-        "overwrite"
-    ).format("noop").save()
+    # mirror bench.py warmup: catalog + python worker pool
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+
     for _ in range(2):
-        spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    jvm, gw = sc._jvm, sc._gateway
-
-    def stage_rows():
-        stages = store.stageList(
-            jvm.java.util.ArrayList(), False, False,
-            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
-        )
-        rows = {}
-        for i in range(stages.size()):
-            s = stages.apply(i)
-            sub = s.submissionTime()
-            comp = s.completionTime()
-            if sub.isEmpty() or comp.isEmpty():
-                continue
-            ms = comp.get().getTime() - sub.get().getTime()
-            rows[(s.stageId(), s.attemptId())] = (
-                ms,
-                s.numCompleteTasks(),
-                s.shuffleReadBytes(),
-                s.shuffleWriteBytes(),
-                (s.name() or "").splitlines()[0][:90],
-            )
-        return rows
-
-    before = set(stage_rows())
-    t0 = time.perf_counter()
-    spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    wall = time.perf_counter() - t0
-    rows = {k: v for k, v in stage_rows().items() if k not in before}
-
-    print(f"query={name} wall={wall:.3f}s stages={len(rows)}")
-    total_ms = sum(v[0] for v in rows.values())
-    print(f"sum(stage wall)={total_ms} ms (stages overlap; gaps = driver/plan time)")
-    print(f"{'stage':>8} {'ms':>7} {'tasks':>5} {'shufR':>10} {'shufW':>10}  name")
-    for (sid, att), (ms, ntask, srb, swb, nm) in sorted(rows.items()):
-        print(f"{sid:>8} {ms:>7} {ntask:>5} {srb:>10} {swb:>10}  {nm}")
+    times = []
+    for rep in range(reps):
+        first_job_before = None
+        if rep == reps - 1:
+            # remember the job frontier so the last rep's jobs can be isolated
+            tracker = spark.sparkContext.statusTracker()
+            ids = tracker.getJobIdsForGroup(None)
+            first_job_before = max(ids) if ids else -1
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times.append(time.perf_counter() - t0)
     release_all()
+
+    print(f"\n=== {name} @ {sf_dir} reps={times} best={min(times):.3f}s ===")
+
+    app_id = spark.sparkContext.applicationId
+    base = f"http://localhost:4049/api/v1/applications/{app_id}"
+    jobs = _rest(base, "/jobs")
+    jobs = [j for j in jobs if j["jobId"] > (first_job_before if first_job_before is not None else -1)]
+    jobs.sort(key=lambda j: j["jobId"])
+    print(f"\n-- jobs in final rep: {len(jobs)}")
+    stage_to_job = {}
+    for j in jobs:
+        sub = j.get("submissionTime", "?")
+        dur = "?"
+        if "completionTime" in j and "submissionTime" in j:
+            from datetime import datetime
+
+            f = "%Y-%m-%dT%H:%M:%S.%f%Z"
+            try:
+                dur = (
+                    datetime.strptime(j["completionTime"], f)
+                    - datetime.strptime(j["submissionTime"], f)
+                ).total_seconds()
+                dur = f"{dur:.3f}s"
+            except Exception:
+                pass
+        print(
+            f"  job {j['jobId']}: {dur}  stages={len(j.get('stageIds', []))} "
+            f"desc={j.get('description', j.get('name', ''))[:110]}"
+        )
+        for sid in j.get("stageIds", []):
+            stage_to_job[sid] = j["jobId"]
+
+    stages = _rest(base, "/stages?status=complete")
+    mine = [s for s in stages if s["stageId"] in stage_to_job]
+    mine.sort(key=lambda s: s["stageId"])
+    print(f"\n-- stages of final rep (>= 30ms):")
+    for s in mine:
+        from datetime import datetime
+
+        f = "%Y-%m-%dT%H:%M:%S.%f%Z"
+        try:
+            dur = (
+                datetime.strptime(s["completionTime"], f)
+                - datetime.strptime(s["firstTaskLaunchedTime"], f)
+            ).total_seconds()
+        except Exception:
+            dur = -1
+        if dur < 0.03:
+            continue
+        print(
+            f"  stage {s['stageId']} (job {stage_to_job[s['stageId']]}): {dur:.3f}s "
+            f"tasks={s['numCompleteTasks']} "
+            f"in={s['inputBytes']} sr={s['shuffleReadBytes']} sw={s['shuffleWriteBytes']} "
+            f"| {s['name'][:90]}"
+        )
     spark.stop()
-    return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
