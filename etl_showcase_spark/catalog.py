@@ -9,6 +9,8 @@ views, §3.3).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -106,6 +108,25 @@ FANOUT_CHUNKS: dict[str, int] = {
 }
 
 
+def derived_width(spark: SparkSession, sf_dir: str, name: str, chunk: int) -> int:
+    """Size-derived task width for operator-internal repartitions
+    (guide §2.2): min(cores, ceil(file_bytes / chunk)), at least 1.
+
+    Same derivation as the fan-out above but exposed to plan functions
+    whose operators repartition internally (e.g. the MinHash signature
+    stage): the width grows with the input and converges to cores-wide,
+    instead of pinning defaultParallelism at every scale — at small
+    inputs the per-task Arrow/scheduling floor of a cores-wide Python
+    stage costs more than the compute it spreads."""
+    slots = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return slots
+    return max(1, min(slots, -(-size // chunk)))
+
+
 def table(
     spark: SparkSession,
     sf_dir: str,
@@ -139,8 +160,6 @@ def table(
     else:
         df = spark.read.parquet(path)
     if name in FACT_TABLES and fanout:
-        import os
-
         slots = spark.sparkContext.defaultParallelism
         # free metadata check — never a Spark job. Applies ONLY to a
         # single local file: a directory-shaped dataset would report

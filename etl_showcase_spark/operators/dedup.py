@@ -60,9 +60,18 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    n_part: int | None = None,
 ) -> DataFrame:
     """L2: MinHash + banded LSH near-duplicate pairs, verified with the
     exact Jaccard of the candidates' shingle sets.
+
+    ``n_part`` overrides the width of the shingle/signature stage (and
+    of the persisted base every later pass re-reads). Default: every
+    core (defaultParallelism). Callers that can see the input's size
+    should derive a width from it (plans/llm_text.py does) — at small
+    scale the per-task Arrow/scheduling floor of a cores-wide Python
+    stage costs more than the compute it spreads, while a byte-derived
+    width converges to cores-wide as the corpus grows.
 
     shingle → minhash → band → bucket-join → verify:
     1. signature array per doc (num_hashes components);
@@ -149,7 +158,8 @@ def minhash_lsh_pairs(
     # CPU-bound but byte-light, so both a single-row-group scan and
     # AQE's size-based coalescing would serialize it; an explicit
     # partition count (which AQE respects) keeps every core busy
-    n_part = df.sparkSession.sparkContext.defaultParallelism
+    if n_part is None:
+        n_part = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")).repartition(
         n_part, F.col("__id")
     )

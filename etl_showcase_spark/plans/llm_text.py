@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..caching import tracked_persist
 
-from ..catalog import table
+from ..catalog import derived_width, table
 from ..operators import textops
 from ..operators.dedup import (
     exact_dedup,
@@ -249,9 +249,24 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("minhash_lsh_neardup", oracle=None, tags=("L2",), bench=True)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # fanout=False: minhash_lsh_pairs repartitions by __id itself — the
+    # catalog fan-out would add a second, immediately-discarded exchange
+    # of the raw text ahead of it (visible in the cold/first build).
+    d = table(spark, sf_dir, "documents", fanout=False)
     return minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
+        d,
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        jaccard_threshold=0.3,
+        # signature width from input bytes (r13 optimization, guide
+        # §2.2): ~10 tasks at sf0.1 instead of 32 (measured 1.4s→0.95s —
+        # the cores-wide Python stage was floor-bound), cores-wide again
+        # by sf1. 64 KiB of compressed text/task prices the regex
+        # tokenize + shingle hash at ~100× plain scan cost.
+        n_part=derived_width(spark, sf_dir, "documents", 64 << 10),
     )
 
 

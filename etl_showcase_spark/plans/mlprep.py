@@ -22,6 +22,8 @@ engines (precedent: plans/llm_vector.py, plans/curation.py pagerank).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -4520,6 +4522,9 @@ def _sharded_pack_manifest(lens: DataFrame) -> DataFrame:
     )
 
 
+_REPACK_DIRS = 256  # bounded physical partition fan-out at ANY corpus size
+
+
 @register(
     "incremental_pack_repacking",
     oracle=_REPACK_ORACLE,
@@ -4533,11 +4538,20 @@ def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = tracked_persist(exact_substr_span_removal(spark, sf_dir))
     root = tempfile.mkdtemp(prefix="pack_repack_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
-    return _repack_v2_from_per_doc(spark, per_doc, root)
+    # Directory fan-out derived from input size up to the _REPACK_DIRS
+    # cap (r13 optimization, guide §2.2/§6): the cap alone pinned 256
+    # writer tasks + 256 parquet files for a 2 KB manifest at sf0.01 —
+    # 1.0 s of task/file overhead per build, measured. 32 KiB of source
+    # text per directory keeps ≥2 dirs (so DPP pruning stays exercised,
+    # tests/test_round11_session_ops.py) and reaches the cap by ~sf1.
+    # Result-neutral: dirkey is physical layout only, never an output.
+    size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    n_dirs = min(_REPACK_DIRS, max(2, -(-size // (32 << 10))))
+    return _repack_v2_from_per_doc(spark, per_doc, root, n_dirs=n_dirs)
 
 
 def _repack_v2_from_per_doc(
-    spark: SparkSession, per_doc: DataFrame, root: str
+    spark: SparkSession, per_doc: DataFrame, root: str, n_dirs: int = _REPACK_DIRS
 ) -> DataFrame:
     """The repack core over an arbitrary (doc_id, n_tokens, n_kept,
     n_removed) frame — factored out so the delta-sized scale stress
@@ -4545,14 +4559,11 @@ def _repack_v2_from_per_doc(
     set over a growing base, the op's actual production shape (the x10
     replica lake multiplies the ExactSubstr chain's duplicates BY
     CONSTRUCTION, which is what dominated the round-11 α=0.74)."""
-    _repack_land_v1(per_doc, root)
-    return _repack_apply_v2(spark, per_doc, root)
+    _repack_land_v1(per_doc, root, n_dirs)
+    return _repack_apply_v2(spark, per_doc, root, n_dirs)
 
 
-_REPACK_DIRS = 256  # bounded physical partition fan-out at ANY corpus size
-
-
-def _repack_land_v1(per_doc: DataFrame, root: str) -> None:
+def _repack_land_v1(per_doc: DataFrame, root: str, n_dirs: int = _REPACK_DIRS) -> None:
     """v1: the pre-removal manifest, landed partitioned by a BOUNDED
     directory key (dirkey = shard % _REPACK_DIRS) with shard kept as a
     data column, plus a committed file manifest (_FILELIST.json).
@@ -4577,15 +4588,15 @@ def _repack_land_v1(per_doc: DataFrame, root: str) -> None:
     shard = F.expr(f"doc_id div {_REPACK_SHARD}").cast("bigint")
     m1 = _sharded_pack_manifest(
         per_doc.select(shard.alias("shard"), "doc_id", F.col("n_tokens").alias("n"))
-    ).withColumn("dirkey", (F.col("shard") % _REPACK_DIRS).cast("int"))
-    m1.repartition(_REPACK_DIRS, "dirkey").write.partitionBy("dirkey").parquet(
+    ).withColumn("dirkey", (F.col("shard") % n_dirs).cast("int"))
+    m1.repartition(n_dirs, "dirkey").write.partitionBy("dirkey").parquet(
         root + "/manifest_v1"
     )
     land_filelist(root + "/manifest_v1")
 
 
 def _repack_apply_v2(
-    spark: SparkSession, per_doc: DataFrame, root: str
+    spark: SparkSession, per_doc: DataFrame, root: str, n_dirs: int = _REPACK_DIRS
 ) -> DataFrame:
     """The v2 MAINTENANCE phase: removal deltas → materialized work
     list, unchanged shards carried via the DPP complement semi join,
@@ -4618,9 +4629,9 @@ def _repack_apply_v2(
     # is a comparison (gotcha (b)). Changed (boundary) dirs: DPP-pruned
     # to ≤|worklist| dirs, then the changed SHARDS drop out via a
     # broadcast anti join on the shard data column.
-    dirkey = (F.col("shard") % _REPACK_DIRS).cast("int")
+    dirkey = (F.col("shard") % n_dirs).cast("int")
     all_dirs = (
-        per_doc.groupBy((F.expr(f"doc_id div {_REPACK_SHARD}") % _REPACK_DIRS)
+        per_doc.groupBy((F.expr(f"doc_id div {_REPACK_SHARD}") % n_dirs)
                 .cast("int")
                 .alias("dirkey"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))

@@ -39,6 +39,7 @@ HELPERS = [
     "etl_showcase_spark.plans.mlprep:_two_level_assign",
     "etl_showcase_spark.plans.llm_vector:_stride_frame",
     "etl_showcase_spark.plans.llm_vector:_strided_queries",
+    "etl_showcase_spark.plans.llm_vector:_strided_queries_eager",
     "etl_showcase_spark.plans.llm_vector:_serve_lsh_topk",
     "etl_showcase_spark.plans.llm_vector:_write_posting_and_tombstone_snapshots",
     "etl_showcase_spark.plans.llm_vector:_lsh_posting_sql",
