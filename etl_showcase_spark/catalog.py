@@ -108,21 +108,41 @@ FANOUT_CHUNKS: dict[str, int] = {
 }
 
 
+def dataset_bytes(path: str) -> int | None:
+    """Bytes of a local parquet dataset: the file's size, or the sum of
+    a directory's direct children (Spark-written datasets are one level
+    of part files). None when the size can't be determined — callers
+    must fall back to their conservative default. NEVER stat a
+    directory inode as if it were data: that returns ~4 KB for any
+    multi-file lake and silently collapses every size-derived width to
+    1 (observed: the x100 stress lake ran the MinHash signature pass on
+    ONE task, 307 s of a 400 s run)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+    except OSError:
+        pass
+    return None
+
+
 def derived_width(spark: SparkSession, sf_dir: str, name: str, chunk: int) -> int:
     """Size-derived task width for operator-internal repartitions
-    (guide §2.2): min(cores, ceil(file_bytes / chunk)), at least 1.
+    (guide §2.2): min(cores, ceil(dataset_bytes / chunk)), at least 1.
 
     Same derivation as the fan-out above but exposed to plan functions
     whose operators repartition internally (e.g. the MinHash signature
     stage): the width grows with the input and converges to cores-wide,
     instead of pinning defaultParallelism at every scale — at small
     inputs the per-task Arrow/scheduling floor of a cores-wide Python
-    stage costs more than the compute it spreads."""
+    stage costs more than the compute it spreads. Unknown size →
+    cores-wide (the conservative end: full parallelism)."""
     slots = spark.sparkContext.defaultParallelism
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    try:
-        size = os.path.getsize(path)
-    except OSError:
+    size = dataset_bytes(os.path.join(sf_dir, f"{name}.parquet"))
+    if size is None:
         return slots
     return max(1, min(slots, -(-size // chunk)))
 

@@ -204,6 +204,13 @@ def minhash_lsh_pairs(
     # grouping on the array<bigint> directly produces the identical
     # bucket partition (minus the ~2^-64 xxhash-collision merges the
     # re-hash could introduce), with ONE slice call per band.
+    # The banded posting frame is PERSISTED (r13): it feeds both sides
+    # of the band self-join below, and without a cache each side
+    # re-evaluates the signature pandas_udf — the before-plan carried
+    # TWO ArrowEvalPython corpus passes. Caching the narrow
+    # (id, n, band, key) postings (bands×n rows of 4 fixed-width
+    # columns) is the cheap way to one UDF pass; Spark's persist spills
+    # to disk at sizes where memory is tight.
     banded = sig.select(
         "__id",
         "__n",
@@ -212,49 +219,32 @@ def minhash_lsh_pairs(
                 *[F.xxhash64(F.slice("__m", b * rows + 1, rows)) for b in range(bands)]
             )
         ).alias("band", "key"),
-    )
+    ).transform(tracked_persist)
 
-    # Candidate generation as ONE bucket aggregation instead of the
-    # band self-join (optimization round 13, guide §2.4): the join
-    # spelling evaluated the signature pandas_udf TWICE — the broadcast
-    # side's plan recomputes everything above the cached base, so the
-    # plan carried two ArrowEvalPython corpus passes — and at scale,
-    # where the banded frame outgrows the broadcast threshold, it
-    # degrades to a sort-merge join (two sorts of bands×n rows).
-    # groupBy(band, key) + in-row pair expansion computes signatures
-    # once, shuffles only the narrow (band, key, id, n) postings, and
-    # never sorts. Pair set is identical by construction: a pair shares
-    # a bucket iff the join would have matched it, id_a < id_b enforced
-    # by array_sort (struct order = field order, id first), and
-    # per-bucket members are exactly the bucket's posting rows.
-    member = F.struct(F.col("__id").alias("id"), F.col("__n").alias("n"))
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list(member)).alias("ms"))
-        .filter(F.size("ms") >= 2)
-    )
-    expanded = buckets.select(
-        "ms", F.posexplode("ms").alias("i", "a")
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("a.n").alias("n_a"),
-        F.explode(
-            F.slice(
-                "ms",
-                F.col("i") + 2,
-                F.greatest(F.size("ms") - F.col("i") - 1, F.lit(0)),
-            )
-        ).alias("b"),
-    )
+    # Candidate generation stays a band SELF-JOIN deliberately (r13
+    # finding, guide §2.5): the tempting groupBy(band, key) +
+    # collect_list + in-row pair expansion computes the same pair set
+    # with one shuffle, and at sf0.1 it measures the same — but a hot
+    # bucket (a large near-duplicate group all sharing one band key)
+    # then becomes ONE giant array expanded by ONE task, and AQE's
+    # skew handling splits JOINS only, never aggregations. Measured on
+    # the x100 replica lake (duplicate groups of ~100 by construction):
+    # bucket-agg 527 s vs self-join 44 s — the join keeps the g²
+    # expansion spread across skew-split partitions.
+    left = banded.alias("l")
+    right = banded.alias("r")
     candidates = (
-        expanded.select(
-            "id_a",
-            "n_a",
-            F.col("b.id").alias("id_b"),
-            F.col("b.n").alias("n_b"),
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.__id") < F.col("r.__id")),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"))
+        .groupBy(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+        )
+        .agg(F.first("l.__n").alias("n_a"), F.first("r.__n").alias("n_b"))
     )
     candidates = _size_ratio_prune(candidates, jaccard_threshold)
     # Exact-Jaccard verification only on the candidate pairs: join the
