@@ -21,6 +21,29 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def compact_metric_line(out: dict, cap: int = 1500) -> str:
+    """The driver stdout contract (round 14, VERDICT r13 item 8): the
+    FINAL stdout line must be the compact metric JSON and must fit the
+    driver's ~2000-char stdout-tail capture — round 12 lost its entire
+    timing signal when an oversized line pushed the JSON past the tail
+    (BENCH_r12.json parsed: null). This renderer makes that failure
+    structurally impossible: if the full object would exceed ``cap``
+    chars it degrades stepwise — first dropping the optional
+    per-query normalized map, then falling back to the five
+    driver-required keys — so the line ALWAYS parses and always fits.
+    tests/test_bench_contract.py pins both the no-degradation property
+    for the current suite and the degradation ladder."""
+    line = json.dumps(out)
+    if len(line) <= cap:
+        return line
+    slim = {k: v for k, v in out.items() if k != "queries_normalized"}
+    line = json.dumps(slim)
+    if len(line) <= cap:
+        return line
+    keep = {k: out[k] for k in ("metric", "value", "unit", "queries", "sf") if k in out}
+    return json.dumps(keep)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -175,7 +198,7 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(shuffle_doc))
-    print(json.dumps(out))
+    print(compact_metric_line(out))
     spark.stop()
 
 

@@ -153,6 +153,7 @@ def table(
     name: str,
     fanout: bool = True,
     fanout_chunk: int | None = None,
+    fanout_cols: list[str] | None = None,
 ) -> DataFrame:
     """Load one testdata table. Parquet scan → full pushdown/pruning.
 
@@ -210,11 +211,23 @@ def table(
             if chunk:
                 n_part = min(slots, -(-os.path.getsize(path) // chunk))
             if n_part > 1:
-                key = FANOUT_KEYS.get(name)
-                if key is not None:
+                # fanout_cols (r14, guide §2.3 "project before the
+                # exchange"): a caller that neither joins nor groups on
+                # the table's natural key can fan out on columns it
+                # consumes ANYWAY, so the key never rides the exchange
+                # as ballast — q1/weather dropped the 8-byte l_orderkey
+                # from a 600k-row shuffle this way (~4.6 MB at sf0.1).
+                # Callers must pick a high-cardinality consumed column
+                # (§2.5: 20-100× more distinct values than partitions).
+                cols = (
+                    fanout_cols
+                    if fanout_cols is not None
+                    else ([FANOUT_KEYS[name]] if name in FANOUT_KEYS else None)
+                )
+                if cols:
                     from pyspark.sql import functions as F
 
-                    df = df.repartition(n_part, F.col(key))
+                    df = df.repartition(n_part, *[F.col(c) for c in cols])
                 else:
                     df = df.repartition(n_part)
     return df

@@ -308,7 +308,14 @@ def minhash_lsh_pairs_md5(
         )
         .filter(F.size("__sh") >= 1)
     ).transform(tracked_persist)  # three consumers in one action — see minhash_lsh_pairs
-    banded = _md5_banded(base, num_hashes, bands)
+    # The banded posting frame is PERSISTED (r14, propagating the r13
+    # minhash_lsh_pairs fix): it feeds both sides of the band self-join,
+    # and without a cache each side re-evaluates the md5 signature stage
+    # (num_hashes interpreted array_min(transform(md5)) folds per row —
+    # the operator's dominant per-row cost) — the before-plan carried
+    # the full signature subtree TWICE. Caching the narrow
+    # (id, n, band, key) postings feeds both sides from one pass.
+    banded = _md5_banded(base, num_hashes, bands).transform(tracked_persist)
     left, right = banded.alias("l"), banded.alias("r")
     candidates = (
         left.join(
@@ -381,7 +388,11 @@ def minhash_lsh_pairs_md5_incremental(
         )
         .filter(F.size("__sh") >= 1)
     ).transform(tracked_persist)  # three consumers in one action — see minhash_lsh_pairs
-    banded = _md5_banded(base, num_hashes, bands)
+    # persisted for the same reason as minhash_lsh_pairs_md5: the delta
+    # and corpus sides below are two readers of the banded frame, and
+    # without a cache each re-runs the md5 signature stage over the
+    # WHOLE input before its filter (r14)
+    banded = _md5_banded(base, num_hashes, bands).transform(tracked_persist)
     delta = banded.filter(F.col("__new")).alias("d")
     corpus = banded.filter(~F.col("__new")).alias("c")
     candidates = (
@@ -528,6 +539,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def _simhash_sig_udf(n_bits: int):
+    """Arrow-vectorized SimHash voting (r14, guide §4.2): pd.Series of
+    array<bigint> per-token hashes → bigint signature. Bit b of the
+    signature is set iff the sum over tokens of ±1 (vote = bit b of the
+    token hash, mapped 1→+1 / 0→-1) is > 0 — bit-identical to the
+    unrolled JVM fold (simhash64 / simhash32_md5 below), which
+    evaluates n_bits interpreted higher-order `aggregate` expressions
+    per row, each one re-walking the token-hash array (and, before the
+    r14 rewrite of the pair operators, re-deriving it from the text).
+    Here the whole Arrow batch is one (tokens × bits) numpy broadcast:
+    flatten the batch's hash arrays once, extract the bit matrix with
+    one shift, vote-sum per document with add.reduceat, pack bits back.
+    Exact integer math throughout; a NULL/empty token array yields
+    signature 0, exactly like the JVM fold (aggregate over NULL is
+    NULL, and every per-bit `when` then takes the `otherwise(0)` arm).
+    The per-token hash stays a JVM expression at the call site (xxhash64
+    or md5), so the md5 twin remains oracle-replayable — the UDF is
+    pure arithmetic on the hashes."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _sig(hs):  # pd.Series of array<bigint> (token hashes)
+        # self-contained (pickled by value): no references to this module
+        import numpy as np
+        import pandas as pd
+
+        out = np.zeros(len(hs), dtype="uint64")
+        lens = hs.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        shifts = np.arange(n_bits, dtype="uint64")
+        nonempty = np.flatnonzero(lens)
+        arrs = hs.to_numpy()
+        # chunk the (tokens × n_bits) broadcast product (same cap
+        # discipline as the MinHash UDF above): ~4M int32 cells per
+        # run so a token-heavy batch can't materialize GBs; a doc too
+        # big for the cap alone still runs, just by itself
+        cap = max(1, (1 << 22) // n_bits)
+        start = 0
+        while start < len(nonempty):
+            end, tot = start, 0
+            while end < len(nonempty) and (
+                tot == 0 or tot + lens[nonempty[end]] <= cap
+            ):
+                tot += lens[nonempty[end]]
+                end += 1
+            idx = nonempty[start:end]
+            flat = np.concatenate(
+                [np.asarray(arrs[i], dtype="int64") for i in idx]
+            ).view("uint64")
+            # bit b of hash h == (h >> b) & 1 — identical for the JVM's
+            # arithmetic shiftright, since & 1 keeps only the landed bit
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                "int32"
+            )
+            bounds = np.concatenate([[0], np.cumsum(lens[idx])[:-1]])
+            votes = np.add.reduceat(2 * bits - 1, bounds, axis=0)
+            out[idx] = ((votes > 0).astype("uint64") << shifts[None, :]).sum(axis=1)
+            start = end
+        # uint64 → int64 view wraps bit 63 exactly like the JVM's
+        # shiftleft(1L, 63) does
+        return pd.Series(out.view("int64"))
+
+    return _sig
+
+
 def simhash64(tok: Column) -> Column:
     """L2: 64-bit SimHash over token xxhash64 values — per bit, sum
     +1/-1 across tokens and keep the sign. Built-in expressions only:
@@ -592,10 +667,20 @@ def simhash_md5_pairs(
     Hamming with bit_count. Same pigeonhole recall guarantee
     (max_hamming <= n_blocks-1 → recall 1); every step is replayable
     in ANSI SQL, so this variant carries the hash-checked CORRECTNESS
-    row for the SimHash pipeline. Returns (id_a, id_b, hamming)."""
+    row for the SimHash pipeline. Returns (id_a, id_b, hamming).
+
+    Signature = JVM md5 per token (ONE transform pass — still the
+    engine-portable hash the oracle replays) + the Arrow-vectorized
+    bit-vote UDF (r14, guide §4.2), replacing 32 interpreted
+    higher-order `aggregate` folds per row; bit-identical to
+    simhash32_md5 (tests/test_dedup.py asserts equality)."""
+    tok_hashes = F.transform(
+        tokens(F.col(text_col)),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
     sigs = df.select(
         F.col(id_col).alias("__id"),
-        simhash32_md5(tokens(F.col(text_col))).alias("__sig"),
+        _simhash_sig_udf(32)(tok_hashes).alias("__sig"),
     # both self-join sides read this — one md5-simhash pass, not two
     ).transform(tracked_persist)
     n_blocks = 32 // block_bits
@@ -652,9 +737,17 @@ def simhash_neardup_pairs(
     so max_hamming <= n_blocks-1 (the default, 3 of 4) gives recall 1.
     A looser max_hamming still works but is probabilistic-recall AND
     candidate-heavy: at sf0.1 the 138k hamming<=12 pairs are ~100× the
-    hamming<=3 set — exactly the blowup a 100 TB corpus can't afford."""
+    hamming<=3 set — exactly the blowup a 100 TB corpus can't afford.
+
+    Signature = JVM xxhash64 per token (one transform pass) + the
+    Arrow-vectorized bit-vote UDF (r14, guide §4.2), replacing the 64
+    interpreted higher-order `aggregate` folds per row of the simhash64
+    column spelling; bit-identical (tests/test_dedup.py asserts
+    equality against simhash64 on the corpus)."""
+    tok_hashes = F.transform(tokens(F.col(text_col)), lambda w: F.xxhash64(w))
     sigs = df.select(
-        F.col(id_col).alias("__id"), simhash64(tokens(F.col(text_col))).alias("__sig")
+        F.col(id_col).alias("__id"),
+        _simhash_sig_udf(64)(tok_hashes).alias("__sig"),
     # the signature frame feeds BOTH sides of the block self-join —
     # persist() computes the per-doc simhash once, not twice
     ).transform(tracked_persist)

@@ -56,7 +56,13 @@ ORDER BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("S9", "P3", "P7", "G1", "G2", "G3", "G4", "G5", "G8", "F1", "F2", "O1"), bench=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # fan out on a consumed high-cardinality column instead of
+    # l_orderkey (r14, guide §2.3): q1 never joins or groups on the
+    # order key, so keying the spread by it shipped 8 ballast bytes per
+    # row through the exchange (~4.6 MB of a 600k-row shuffle at
+    # sf0.1). l_extendedprice is consumed by three aggregates and is
+    # near-unique (§2.5's 20-100× rule) — same spread, narrower rows.
+    li = table(spark, sf_dir, "lineitem", fanout_cols=["l_extendedprice"])
     one = F.lit(1).cast("decimal(12,2)")
     disc_price = dec2("l_extendedprice") * (one - dec2("l_discount"))
     charge = disc_price * (one + dec2("l_tax"))

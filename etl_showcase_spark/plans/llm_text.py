@@ -2444,7 +2444,9 @@ def weighted_jaccard_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.size("__sh") >= 1)
         .transform(tracked_persist)  # banding + both verify posting sides
     )
-    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS)
+    # persisted (r14): both self-join sides read the banded postings —
+    # one md5 signature pass, not two (same fix as minhash_lsh_pairs_md5)
+    banded = _md5_banded(base, _MH_HASHES, _MH_BANDS).transform(tracked_persist)
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(

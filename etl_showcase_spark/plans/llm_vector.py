@@ -471,7 +471,14 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import topk_per_group
 
     e = table(spark, sf_dir, "embeddings")
-    q = _strided_queries_eager(e).select(
+    # panel is PLAN-EMBEDDED (broadcast side of the crossJoin below,
+    # never collected by its own action) — keep the lazy stride helper
+    # (r14, ADVICE: the eager .first() added a build-time count job
+    # that paid the corpus fan-out exchange for nothing) and build the
+    # panel from an UN-fanned scan so the broadcast subtree never pays
+    # the corpus fan-out exchange at any scale. Same rows either way.
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
+    q = _strided_queries(eq).select(
         F.col("vec_id").alias("q_id"), quantize(F.col("embedding")).alias("q_vec")
     )
     c = e.select(
@@ -898,7 +905,11 @@ def ann_jl_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     m = _jl_matrix()
-    qq = _strided_queries(e).select(
+    # panel is plan-embedded (broadcast sides of the candidate and
+    # re-rank joins) — lazy stride helper kept, un-fanned scan so the
+    # broadcast subtrees skip the corpus fan-out exchange (r14)
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
+    qq = _strided_queries(eq).select(
         F.col("vec_id").alias("q_id"), quantize(F.col("embedding")).alias("qv")
     )
     qp = qq.select(
@@ -1068,7 +1079,10 @@ def ann_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8_quantize(F.col("embedding"), int8_scale(F.col("embedding"))).alias("v8"),
     ).transform(tracked_persist)
     qq = (
-        _strided_queries(e)
+        # panel ids from an UN-fanned scan (r14): this subtree is a
+        # broadcast side, and only vec_id survives the select — the
+        # fanned scan would pay the corpus fan-out exchange for ids
+        _strided_queries(table(spark, sf_dir, "embeddings", fanout=False))
         .select("vec_id")
         .join(base, "vec_id")
         .select(
@@ -1547,8 +1561,15 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import gemm_contrastive_topk
 
     e = table(spark, sf_dir, "embeddings")
+    # the operator COLLECTS the query panel via its own toPandas action
+    # (gemm_exact_topk's shape), so the panel side gets the r13 eager
+    # stride + un-fanned scan treatment (r14, propagating §ann): the
+    # lazy crossJoin spelling re-planned and re-executed a
+    # BroadcastExchange inside that collection, and the fanned scan
+    # paid the corpus fan-out exchange to gather ~100 rows. Same rows.
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
     res = gemm_contrastive_topk(
-        _strided_queries(e),
+        _strided_queries_eager(eq),
         e,
         "vec_id",
         "vec_id",
@@ -1577,8 +1598,12 @@ def contrastive_ivf_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_contrastive_negatives
 
     e = table(spark, sf_dir, "embeddings")
+    # panel is plan-embedded (broadcast side of the probe join) — lazy
+    # stride helper kept, but built from an UN-fanned scan so the
+    # broadcast subtree skips the corpus fan-out exchange (r14)
+    eq = table(spark, sf_dir, "embeddings", fanout=False)
     return ivf_contrastive_negatives(
-        _strided_queries(e),
+        _strided_queries(eq),
         e,
         "vec_id",
         "vec_id",

@@ -4545,8 +4545,19 @@ def incremental_pack_repacking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text per directory keeps ≥2 dirs (so DPP pruning stays exercised,
     # tests/test_round11_session_ops.py) and reaches the cap by ~sf1.
     # Result-neutral: dirkey is physical layout only, never an output.
-    size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-    n_dirs = min(_REPACK_DIRS, max(2, -(-size // (32 << 10))))
+    # Size via catalog.dataset_bytes (r14, ADVICE): it sums a
+    # directory-shaped dataset's part files — a raw getsize stats the
+    # directory inode (~4 KB) and would collapse n_dirs to 2 at exactly
+    # the multi-file scale where the fan-out matters — and returns None
+    # instead of raising when the path is missing.
+    from ..catalog import dataset_bytes
+
+    size = dataset_bytes(os.path.join(sf_dir, "documents.parquet"))
+    n_dirs = (
+        _REPACK_DIRS
+        if size is None
+        else min(_REPACK_DIRS, max(2, -(-size // (32 << 10))))
+    )
     return _repack_v2_from_per_doc(spark, per_doc, root, n_dirs=n_dirs)
 
 

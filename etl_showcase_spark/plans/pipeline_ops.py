@@ -297,7 +297,14 @@ GROUP BY l_returnflag, qty_category
     bench=True,
 )
 def weather_pipeline_recast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # fan out on a consumed high-cardinality column instead of
+    # l_orderkey (r14, guide §2.3, same reasoning as q1): the recast
+    # never touches the order key, so it was pure exchange ballast
+    # (~4.6 MB of the 14.2 MB shuffle at sf0.1). A group-keyed fan-out
+    # (l_returnflag, qty_category) was A/B'd and rejected: ≤8 distinct
+    # combos cap the derive stage at 8 of 32 slots (§2.5) to save only
+    # the ~2 KB partial-agg exchange.
+    li = table(spark, sf_dir, "lineitem", fanout_cols=["l_extendedprice"])
     one = F.lit(1).cast("decimal(12,2)")
     q = F.col("l_quantity")
     enriched = li.select(

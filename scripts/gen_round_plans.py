@@ -21,7 +21,7 @@ def main() -> None:
     cpus = sys.argv[4] if len(sys.argv) > 4 else "32"
     only = set(sys.argv[5:])
 
-    from etl_showcase_spark.registry import bench_specs
+    from etl_showcase_spark.registry import all_specs, bench_specs
     from etl_showcase_spark.session import get_spark
 
     spark = get_spark(
@@ -35,7 +35,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
-    for name, spec in sorted(bench_specs().items()):
+    # explicit names may target ANY registered query (r14: the round's
+    # targets are mostly non-bench paths); default stays the bench set
+    specs = all_specs() if only else bench_specs()
+    for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
         df = spec.build(spark, sf)

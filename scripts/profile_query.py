@@ -62,9 +62,16 @@ def main() -> None:
     for rep in range(reps):
         first_job_before = None
         if rep == reps - 1:
-            # remember the job frontier so the last rep's jobs can be isolated
-            tracker = spark.sparkContext.statusTracker()
-            ids = tracker.getJobIdsForGroup(None)
+            # remember the job frontier so the last rep's jobs can be
+            # isolated. Frontier and post-run listing both come from the
+            # REST /jobs endpoint (r14, ADVICE): statusTracker
+            # .getJobIdsForGroup(None) only returns jobs with NO job
+            # group set, so any code path that labels its jobs would
+            # make the frontier too low and let warm-up jobs pollute
+            # the final-rep breakdown.
+            app_id = spark.sparkContext.applicationId
+            rest_base = f"http://localhost:4049/api/v1/applications/{app_id}"
+            ids = [j["jobId"] for j in _rest(rest_base, "/jobs")]
             first_job_before = max(ids) if ids else -1
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

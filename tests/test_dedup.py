@@ -55,6 +55,37 @@ def test_simhash_distance_ordering(spark):
     assert (1, 4) in {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_simhash_vectorized_sig_equals_jvm_fold(spark):
+    """The r14 Arrow-vectorized bit-vote UDF must be bit-identical to
+    the unrolled JVM fold it replaced inside the pair operators — for
+    BOTH widths (xxhash64/64-bit and md5/32-bit), on the real corpus
+    plus the edge rows the fold's NULL semantics cover (empty text,
+    whitespace-only, NULL)."""
+    from etl_showcase_spark.operators.dedup import _simhash_sig_udf, simhash32_md5
+
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, None), (100004, "one"),
+         (100005, "a b c a b c " * 500)],
+        ["doc_id", "text"],
+    )
+    df = corpus.unionByName(edges)
+    tok = tokens(F.col("text"))
+    h64 = F.transform(tok, lambda w: F.xxhash64(w))
+    h32 = F.transform(
+        tok, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+    )
+    bad = df.select(
+        simhash64(tok).eqNullSafe(_simhash_sig_udf(64)(h64)).alias("eq64"),
+        simhash32_md5(tok).eqNullSafe(_simhash_sig_udf(32)(h32)).alias("eq32"),
+    ).agg(
+        F.sum((~F.col("eq64")).cast("int")).alias("bad64"),
+        F.sum((~F.col("eq32")).cast("int")).alias("bad32"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert bad["n"] > 0 and bad["bad64"] == 0 and bad["bad32"] == 0
+
+
 def test_lsh_ann_recall_vs_brute_force(spark):
     from etl_showcase_spark.catalog import table
 
