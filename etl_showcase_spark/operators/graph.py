@@ -36,9 +36,16 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
+    # Materialize the caller's edge pipeline ONCE before the undirected
+    # union (r14, guide §2.4): the union's two branches are separate
+    # subtrees of e's checkpoint execution, and the upstream pipeline —
+    # for the near-dup callers a banded window + two verify joins over
+    # the whole corpus — was observed to execute twice (AQE did not
+    # reuse the sibling stages across the union). One checkpoint of the
+    # (src, dst) projection makes both branches read materialized rows.
+    ein = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        ein.union(ein.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
@@ -48,6 +55,15 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence check = the label-sum invariant (r14, guide §1.2):
+    # min-propagation makes every node's label non-increasing across
+    # rounds over a fixed id set, so an UNCHANGED sum proves an
+    # unchanged label vector — one aggregate over the just-checkpointed
+    # frame instead of the old join-with-previous-labels + count (a
+    # 2-exchange job per round). Exact decimal sum: no overflow, no
+    # float reassociation. prev_sum starts as None; an empty edge set
+    # sums to None and converges on round 1.
+    prev_sum = None
     for _ in range(max_iter):
         # propagate: every node offers its label to its neighbors
         msgs = e.join(labels, e["a"] == labels["id"]).select(
@@ -69,15 +85,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = doubled.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
         labels = doubled
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # exhausting the round budget without convergence means some
         # component carries MULTIPLE labels — silently returning would
@@ -85,9 +99,9 @@ def connected_components(
         # of one duplicate cluster
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter — "
+            "(the label sum was still decreasing); raise max_iter — "
             "O(log diameter) rounds suffice, so this graph's diameter "
-            "exceeds ~2^{max_iter}"
+            f"exceeds ~2^{max_iter}"
         )
     return labels.select("id", F.col("label").alias("component"))
 

@@ -882,6 +882,9 @@ GROUP BY s.doc_id
 @register("decontaminate_train_test", oracle=_DECON_ORACLE, tags=("L4", "L2"))
 def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # persisted (r14): the gram posting frame feeds BOTH the test-gram
+    # dictionary and the train-side probe — one tokenize+shingle+explode
+    # pass instead of two (same rule as the dedup signature frames)
     grams = d.select(
         "doc_id",
         F.explode(
@@ -890,7 +893,7 @@ def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4").alias(
             "is_test"
         ),
-    )
+    ).transform(tracked_persist)
     test_grams = grams.filter("is_test").select("gram").distinct()
     return (
         grams.filter(~F.col("is_test"))

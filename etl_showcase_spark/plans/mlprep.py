@@ -5022,6 +5022,48 @@ def _manifest_batches(docs: DataFrame) -> DataFrame:
     )
 
 
+def _manifest_batches_by_arrival(kept: DataFrame) -> DataFrame:
+    """BOTH arrival cohorts' batch rollups from ONE global ranking
+    (r14, guide §2.4): _manifest_batches called per cohort paid the
+    range exchange + sampling pass + per-partition-counts chain twice
+    over the same kept frame. Ranking once over the total order
+    (is_new ASC, __k ASC, doc_id ASC) puts every base row before every
+    delta row, so base positions equal the base-only ranking verbatim
+    and delta positions minus n_base equal the delta-only ranking —
+    the per-cohort rel_batch/head/tail aggregates are bit-identical to
+    two separate _manifest_batches calls (the streaming twin still
+    takes the per-cohort spelling; its equality test pins the match).
+    Returns (is_new, rel_batch, n_docs, sum_chars, head_doc, tail_doc).
+    """
+    from ..operators.relational import with_global_row_number
+
+    ranked = with_global_row_number(
+        kept.withColumn("__k", _manifest_shuffle_key()),
+        [F.col("is_new").asc(), F.col("__k").asc(), F.col("doc_id").asc()],
+        "pos",
+    )
+    n_base = ranked.filter(~F.col("is_new")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__nb")
+    )
+    rel = ranked.crossJoin(F.broadcast(n_base)).withColumn(
+        "rel_pos",
+        F.when(~F.col("is_new"), F.col("pos")).otherwise(F.col("pos") - F.col("__nb")),
+    )
+    return (
+        rel.withColumn(
+            "rel_batch",
+            F.expr(f"(rel_pos - 1) div {_EPOCH_SHUFFLE_BATCH}").cast("bigint"),
+        )
+        .groupBy("is_new", "rel_batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min_by("doc_id", "rel_pos").alias("head_doc"),
+            F.max_by("doc_id", "rel_pos").alias("tail_doc"),
+        )
+    )
+
+
 @register(
     "incremental_manifest_maintenance",
     oracle=_incr_manifest_oracle(),
@@ -5035,7 +5077,10 @@ def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
     from ..sources.io import read_snapshot, write_snapshot
 
     kept = _decon_kept_with_arrival(spark, sf_dir)
-    batches = _manifest_batches
+    # ONE global ranking covers both arrival cohorts (r14, see
+    # _manifest_batches_by_arrival) — persisted because the v1 write
+    # and the delta append are separate actions of the commit protocol
+    allb = tracked_persist(_manifest_batches_by_arrival(kept))
 
     root = tempfile.mkdtemp(prefix="manifest_maint_")
     atexit.register(shutil.rmtree, root, ignore_errors=True)
@@ -5043,7 +5088,7 @@ def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
 
     # v1: the shipped manifest, committed through the snapshot protocol
     write_snapshot(
-        batches(kept.filter(~F.col("is_new"))).select(
+        allb.filter(~F.col("is_new")).select(
             F.col("rel_batch").alias("batch_id"),
             "n_docs",
             "sum_chars",
@@ -5061,7 +5106,7 @@ def incremental_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("bigint").alias("__n1")
     )
     delta_b = (
-        batches(kept.filter(F.col("is_new")))
+        allb.filter(F.col("is_new"))
         .crossJoin(F.broadcast(offset))
         .select(
             (F.col("__n1") + F.col("rel_batch")).cast("bigint").alias("batch_id"),
