@@ -605,10 +605,22 @@ def lsh_neardup_pairs(
     ).transform(tracked_persist)
     pa = posting.select(F.col("__id").alias("id_a"), "tbl", "key")
     pb = posting.select(F.col("__id").alias("id_b"), "tbl", "key")
+    # Explicit width on the candidate dedup (r14, guide §2.2): the pair
+    # stream is byte-light (two longs) but compute-heavy downstream
+    # (hash-dedup + exact int-dot verify per pair), so AQE's size-based
+    # coalescing collapsed the whole dedup→verify chain to ONE task
+    # (measured: a single 4.8 s stage at sf0.1 while 31 cores idled).
+    # REPARTITION_BY_NUM is exempt from coalescing; (id_a, id_b) is
+    # unique per row so the spread is skew-free, and the aggregate and
+    # verify joins reuse the partitioning (no extra exchange). The
+    # bucket self-join itself stays under AQE so its skew handling
+    # keeps splitting hot buckets at scale (the r13 minhash finding).
+    width = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         pa.join(pb, ["tbl", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(width, "id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     scored = (

@@ -148,6 +148,12 @@ def main() -> None:
         help="skip the build if the scratch lake for this --mult already exists "
         "(only safe when the base testdata hasn't changed since it was built)",
     )
+    ap.add_argument(
+        "--build-only",
+        action="store_true",
+        help="build (and verify) the lake, then exit without timing — for "
+        "harnesses that run their own measurements over it (implies --keep)",
+    )
     args = ap.parse_args()
 
     from etl_showcase_spark.session import get_spark
@@ -175,6 +181,11 @@ def main() -> None:
         # each replica's key space must be disjoint (no offset collisions)
         assert k_big == k_base * args.mult, f"{t}: replicated {key} collided"
         print(f"  {t}: {n_base} -> {n_big} rows, {k_big} distinct {key}", flush=True)
+
+    if args.build_only:
+        print(f"lake ready at {out_dir} (build-only)", flush=True)
+        spark.stop()
+        return
 
     base = run_suite(spark, BASE)
     big = run_suite(spark, out_dir)

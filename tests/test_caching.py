@@ -4,6 +4,7 @@ same logical plan, and release must leave Spark storage empty."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_showcase_spark import caching
@@ -52,6 +53,7 @@ def test_fifo_cap_evicts_oldest(spark):
     assert _storage_count(spark) == 0
 
 
+@pytest.mark.slow
 def test_ktruss_fixed_rounds_reach_fixpoint(spark):
     """On this corpus the 6-round peel IS the k-truss: one more support
     pass over the returned core must drop nothing."""

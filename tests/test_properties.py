@@ -5,6 +5,7 @@ reference has no property testing (SURVEY.md §5.1); this is the
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -22,6 +23,7 @@ _SETTINGS = dict(
 )
 
 
+@pytest.mark.slow
 @given(target=KV, updates=KV)
 @settings(**_SETTINGS)
 def test_merge_upsert_invariants(spark, target, updates):
@@ -63,6 +65,7 @@ def test_topk_per_group_matches_python(spark, rows, k):
         assert sorted(got_vals.get(g, []), reverse=True) == sorted(xs, reverse=True)[:k]
 
 
+@pytest.mark.slow
 @given(seed=st.integers(0, 2**31 - 1))
 @settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_minhash_band_keys_agree_across_runs(spark, seed):
@@ -85,6 +88,7 @@ def test_minhash_band_keys_agree_across_runs(spark, seed):
     assert pa == pb
 
 
+@pytest.mark.slow
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 15), st.integers(0, 15)),
@@ -173,6 +177,7 @@ def test_scd2_intervals_partition_history(spark, rows):
             assert a.priority != b.priority
 
 
+@pytest.mark.slow
 @given(
     base=st.lists(st.tuples(st.integers(0, 8), st.integers(0, 99)), max_size=15),
     log=st.lists(
@@ -209,6 +214,7 @@ def test_apply_cdc_changes_matches_replay(spark, base, log):
     assert got == state
 
 
+@pytest.mark.slow
 @given(
     left=st.lists(st.tuples(st.integers(0, 10), st.one_of(st.none(), st.integers(0, 3))), max_size=12),
     right=st.lists(st.tuples(st.integers(0, 10), st.one_of(st.none(), st.integers(0, 3))), max_size=12),
@@ -269,6 +275,7 @@ def test_random_projection_linearity_and_determinism(spark, seed):
     assert rademacher_matrix(dim, out) == m  # seed-deterministic
 
 
+@pytest.mark.slow
 @given(
     vals=st.lists(st.integers(0, 8), min_size=1, max_size=60),
     tiles=st.integers(1, 7),
@@ -297,6 +304,7 @@ def test_with_global_ntile_matches_python_ntile(spark, vals, tiles):
     assert got == expect
 
 
+@pytest.mark.slow
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 50), st.integers(-1000, 1000)),
@@ -373,6 +381,7 @@ def test_gemm_contrastive_topk_matches_python(spark, data, k):
             assert list(g["c_id"]) == expect, (q_id, side)
 
 
+@pytest.mark.slow
 @given(data=_LABELED)
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])

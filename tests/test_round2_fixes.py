@@ -161,6 +161,7 @@ def test_lsh_expression_and_gemm_keys_agree(spark):
         assert list(r.expr_keys) == list(r.gemm_keys), r.vec_id
 
 
+@pytest.mark.slow
 def test_asof_join_matches_pandas_merge_asof(spark):
     import pandas as pd
     from hypothesis import given, settings
